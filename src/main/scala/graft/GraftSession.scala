@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned session factory for the graft engine.
+  *
+  * Local testing runs `local[32]`; the same settings translate to a real
+  * cluster (AQE re-plans shuffles at runtime, skew-join handles hot keys,
+  * broadcast threshold keeps dimension joins shuffle-free). Only the
+  * shuffle-partition count is environment-specific: 32 locally, and on a
+  * 1000-executor cluster it should be sized ~ input bytes / 128 MB.
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      // events.ts is parquet TIMESTAMP(NANOS) — read as long, normalized
+      // in Tables.events (Spark has no ns TimestampType).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

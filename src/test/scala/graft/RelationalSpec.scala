@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("every relational query runs, has rows, and a matching oracle") {
+    Relational.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(Relational.oracles.contains(name), s"$name missing oracle SQL")
+    }
+  }
+
+  test("q1_agg aggregates every lineitem exactly once") {
+    val rows = Relational.q1Agg(spark, sf).collect()
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter("l_shipdate <= timestamp'2000-12-01'").count()
+    assert(total == expected)
+    assert(rows.length == 6) // 3 returnflags x 2 linestatus
+  }
+
+  test("q_topk_group emits at most 3 rows per brand, ranked") {
+    val rows = Relational.qTopkGroup(spark, sf).collect()
+    val byBrand = rows.groupBy(_.getAs[String]("p_brand"))
+    byBrand.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val prices = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("p_retailprice"))
+      assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q_sessionize: session counts sum to event count") {
+    val n = Relational.qSessionize(spark, sf).agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0)
+    assert(n == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("q_semi_anti: semi + full-anti partitions customers") {
+    val rows = Relational.qSemiAnti(spark, sf).collect()
+    val kinds = rows.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap
+    assert(kinds.getOrElse("has_order", 0) > 0)
+  }
+}
