@@ -1,0 +1,344 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Triples.{sqlCte => T, NS}
+
+/** SPARQL-class query operators over the triple store (SURVEY §2.A) —
+  * the reference's `data-publishing/factgrid/queries` (.rq files) +
+  * `apps/{companions,compare-factgrid-wikidata}` capability surface,
+  * re-expressed as Catalyst plans over the `Triples.statements` view.
+  *
+  * The SPARQL mental model maps 1:1 onto DataFrame ops:
+  *   - triple pattern        → filter on `p` (+ `o_*`) over statements
+  *   - BGP (pattern join)    → equi-join of patterns on shared vars
+  *   - OPTIONAL              → left outer join
+  *   - UNION                 → unionAll
+  *   - FILTER / BIND         → filter / withColumn
+  *   - property path `p*`    → iterative fixpoint (frontier BFS)
+  *   - label service         → broadcast join against the label dim
+  *
+  * Scale notes (100 TB): every pattern filters `p` BEFORE joining — at
+  * production the statements table is partitioned/bucketed by `p` then
+  * `s`, so a pattern is a pruned scan, and pattern-joins shuffle only
+  * the pattern subsets (never the whole store). The label dimension and
+  * seed sets are broadcast. Fixpoint loops keep a sparse frontier
+  * (anti-join visited) and localCheckpoint per hop to bound lineage.
+  */
+object KGQueries {
+
+  private def pat(st: DataFrame, p: String): DataFrame = st.filter(col("p") === p)
+
+  /** kg_triples — the RML-style melt itself (full statements dump). */
+  def kgTriples(spark: SparkSession, dir: String): DataFrame =
+    Triples.statements(spark, dir)
+
+  /** kg_bgp_join — BGP: customers in ASIA with segment BUILDING.
+    * SPARQL: ?c in_nation ?n . ?n in_region ?r . ?r label "ASIA" .
+    *         ?c mktsegment "BUILDING" . ?c label ?name          */
+  def kgBgpJoin(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val asiaRegion = pat(st, "label").filter(col("o_val") === "ASIA")
+      .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
+      .select(col("s").as("r"))
+    val nInR = pat(st, "in_region").select(col("s").as("n"), col("o_id").as("r"))
+    val cInN = pat(st, "in_nation").select(col("s").as("c"), col("o_id").as("n"))
+      .filter(col("c") >= lit(Triples.CUSTOMER * NS) && col("c") < lit((Triples.CUSTOMER + 1) * NS))
+    val cSeg = pat(st, "mktsegment").filter(col("o_val") === "BUILDING").select(col("s").as("c"))
+    val cName = pat(st, "label").select(col("s").as("c"), col("o_val").as("name"))
+    // region + nation patterns are tiny → broadcast into the fact side.
+    cInN.join(broadcast(nInR.join(broadcast(asiaRegion), "r")), "n")
+      .join(cSeg, "c")
+      .join(cName, "c")
+      .select(col("c"), col("name"))
+  }
+
+  /** kg_optional — OPTIONAL: every customer, with their orders if any. */
+  def kgOptional(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val cust = pat(st, "label")
+      .filter(col("s") >= lit(Triples.CUSTOMER * NS) && col("s") < lit((Triples.CUSTOMER + 1) * NS))
+      .select(col("s").as("c"), col("o_val").as("name"))
+    val placed = pat(st, "placed_by").select(col("s").as("o"), col("o_id").as("c"))
+    cust.join(placed, Seq("c"), "left_outer").select(col("c"), col("name"), col("o"))
+  }
+
+  /** kg_union — UNION of two patterns: all entities located in a nation,
+    * tagged by which pattern matched (customer vs supplier branch). */
+  def kgUnion(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val inN = pat(st, "in_nation")
+    val c = inN.filter(col("s") >= lit(Triples.CUSTOMER * NS) && col("s") < lit((Triples.CUSTOMER + 1) * NS))
+      .select(lit("customer").as("kind"), col("s").as("x"), col("o_id").as("n"))
+    val s = inN.filter(col("s") >= lit(Triples.SUPPLIER * NS) && col("s") < lit((Triples.SUPPLIER + 1) * NS))
+      .select(lit("supplier").as("kind"), col("s").as("x"), col("o_id").as("n"))
+    c.unionAll(s)
+  }
+
+  /** kg_filter_bind — FILTER(len > 10) + BIND(upper(label), strlen). */
+  def kgFilterBind(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    pat(st, "label")
+      .filter(col("s") >= lit(Triples.PART * NS) && col("s") < lit((Triples.PART + 1) * NS))
+      .filter(length(col("o_val")) > 10)
+      .select(col("s"), col("o_val").as("label"),
+        upper(col("o_val")).as("label_upper"), length(col("o_val")).as("label_len"))
+  }
+
+  /** kg_property_path — `(in_nation|in_region)+` transitive closure:
+    * all (entity, transitively-containing place) pairs, via iterative
+    * frontier BFS (the Spark shape of SPARQL `fgt:P2/fgt:P3*`).
+    * Scale: each hop joins only the previous frontier (not the whole
+    * closure) against the edge set; localCheckpoint bounds lineage. */
+  def kgPropertyPath(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val edges = st.filter(col("p").isin("in_nation", "in_region"))
+      .select(col("s").as("a"), col("o_id").as("b"))
+      .localCheckpoint(eager = true)
+    var closure = edges
+    var frontier = edges
+    var continue = true
+    while (continue) {
+      val next = frontier.join(edges.withColumnRenamed("a", "b_").withColumnRenamed("b", "c"),
+          col("b") === col("b_"))
+        .select(col("a"), col("c").as("b"))
+        .exceptAll(closure).distinct()
+        .localCheckpoint(eager = true)
+      if (next.isEmpty) continue = false
+      else { closure = closure.unionAll(next).distinct().localCheckpoint(eager = true); frontier = next }
+    }
+    closure.select(col("a").as("s"), col("b").as("reach"))
+  }
+
+  /** kg_label_join — label service: resolve placed_by edges to labels
+    * via a broadcast id→label dimension (SPARQL label service shape). */
+  def kgLabelJoin(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val labels = pat(st, "label").select(col("s").as("id"), col("o_val").as("lbl"))
+    val placed = pat(st, "placed_by").select(col("s").as("o"), col("o_id").as("c"))
+    placed.join(broadcast(labels), col("c") === col("id"))
+      .select(col("o").as("order_id"), col("c").as("customer_id"), col("lbl").as("customer_label"))
+  }
+
+  /** kg_khop — 2-hop neighborhood of the ASIA region node over the
+    * undirected entity graph, with hop distance (min). Frontier BFS:
+    * visited is anti-joined out so each hop only expands new nodes. */
+  def kgKhop(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val fwd = st.filter(col("o_id").isNotNull).select(col("s").as("a"), col("o_id").as("b"))
+    val edges = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true)
+    val seeds = pat(st, "label").filter(col("o_val") === "ASIA")
+      .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
+      .select(col("s").as("node"))
+    var visited = seeds.withColumn("dist", lit(0))
+    var frontier = seeds
+    for (hop <- 1 to 2) {
+      val next = frontier.join(edges, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      visited = visited.unionAll(next.withColumn("dist", lit(hop)))
+      frontier = next
+    }
+    visited
+  }
+
+  /** kg_cooccur — companions network (apps/companions): part pairs
+    * co-occurring in the same order, weighted by number of shared
+    * orders. Pairs are generated per-order (bounded fan-out), never as
+    * a global cross join. */
+  def kgCooccur(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val hp = pat(st, "has_part").select(col("s").as("o"), col("o_id").as("part"))
+    val a = hp.withColumnRenamed("part", "p1")
+    val b = hp.withColumnRenamed("part", "p2")
+    a.join(b, Seq("o")).filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("weight"))
+      .filter(col("weight") >= 2)
+  }
+
+  /** Graph B for diff/upsert: a deterministic "stale remote copy" of
+    * the mktsegment sub-graph — some statements missing (%7), some
+    * conflicting (%10 → LEGACY), some extra ids A has never seen (%13,
+    * offset key). Mirrors apps/compare-factgrid-wikidata. */
+  private def graphB(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 7 =!= 0)
+      .select(
+        Triples.id(Triples.CUSTOMER, col("c_custkey")).as("s"),
+        when(col("c_custkey") % 10 === 0, lit("LEGACY")).otherwise(col("c_mktsegment")).as("o_val"))
+      .unionAll(
+        Tables.customer(spark, dir).filter(col("c_custkey") % 13 === 0)
+          .select((Triples.id(Triples.CUSTOMER, col("c_custkey")) + lit(500000000L)).as("s"),
+            col("c_mktsegment").as("o_val")))
+
+  private val graphBSql: String =
+    s"""(SELECT ${Triples.idSql(Triples.CUSTOMER, "c_custkey")} AS s,
+       |  CASE WHEN c_custkey % 10 = 0 THEN 'LEGACY' ELSE c_mktsegment END AS o_val
+       | FROM customer WHERE c_custkey % 7 <> 0
+       | UNION ALL
+       | SELECT ${Triples.idSql(Triples.CUSTOMER, "c_custkey")} + 500000000 AS s, c_mktsegment AS o_val
+       | FROM customer WHERE c_custkey % 13 = 0)""".stripMargin
+
+  private def graphA(spark: SparkSession, dir: String): DataFrame =
+    pat(Triples.statements(spark, dir), "mktsegment").select(col("s"), col("o_val"))
+
+  /** kg_graph_diff — federated compare of two graphs on subject key:
+    * classify every statement as match / conflict / missing on either
+    * side (full outer join — both sides shuffle on s once). */
+  def kgGraphDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = graphA(spark, dir).withColumnRenamed("o_val", "a_val")
+    val b = graphB(spark, dir).withColumnRenamed("o_val", "b_val")
+    a.join(b, Seq("s"), "full_outer")
+      .select(col("s"), col("a_val"), col("b_val"),
+        when(col("b_val").isNull, "missing_in_b")
+          .when(col("a_val").isNull, "missing_in_a")
+          .when(col("a_val") === col("b_val"), "match")
+          .otherwise("conflict").as("status"))
+  }
+
+  /** kg_upsert — publishing merge: A's statements win; B rows whose
+    * subject A doesn't know are carried over (anti-join + union). */
+  def kgUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val a = graphA(spark, dir)
+    val b = graphB(spark, dir)
+    a.select(col("s"), col("o_val"), lit("upserted").as("src"))
+      .unionAll(
+        b.join(a.select("s"), Seq("s"), "left_anti")
+          .select(col("s"), col("o_val"), lit("carried").as("src")))
+  }
+
+  /** kg_validate — "Remove NA": drop literal statements whose value is
+    * NULL/''/'NA' and edges whose target id doesn't exist (dangling
+    * ref), on a deterministically-corrupted raw feed; report per
+    * predicate. Scale: the entity-id set join is a broadcast at dim
+    * scale / a co-bucketed semi-join at fact scale. */
+  def kgValidate(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    // deterministic corruption: null/NA some mktsegments, dangle some placed_by
+    val raw = st.select(col("s"), col("p"),
+      when(col("p") === "placed_by" && col("s") % 17 === 0, col("o_id") + lit(900000000L))
+        .otherwise(col("o_id")).as("o_id"),
+      when(col("p") === "mktsegment" && col("s") % 11 === 0, lit(null).cast("string"))
+        .when(col("p") === "mktsegment" && col("s") % 13 === 0, lit("NA"))
+        .otherwise(col("o_val")).as("o_val"))
+    val ids = Triples.entityIds(spark, dir).distinct()
+    val litOk = raw.filter(col("o_id").isNull)
+      .withColumn("valid", col("o_val").isNotNull && col("o_val") =!= "" && col("o_val") =!= "NA")
+    val edgeOk = raw.filter(col("o_id").isNotNull)
+      .join(broadcast(ids), col("o_id") === col("id"), "left_outer")
+      .withColumn("valid", col("id").isNotNull)
+      .select(litOk.columns.map(col).toIndexedSeq: _*)
+    litOk.unionAll(edgeOk)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_triples"       -> (kgTriples _),
+    "kg_bgp_join"      -> (kgBgpJoin _),
+    "kg_optional"      -> (kgOptional _),
+    "kg_union"         -> (kgUnion _),
+    "kg_filter_bind"   -> (kgFilterBind _),
+    "kg_property_path" -> (kgPropertyPath _),
+    "kg_label_join"    -> (kgLabelJoin _),
+    "kg_khop"          -> (kgKhop _),
+    "kg_cooccur"       -> (kgCooccur _),
+    "kg_graph_diff"    -> (kgGraphDiff _),
+    "kg_upsert"        -> (kgUpsert _),
+    "kg_validate"      -> (kgValidate _))
+
+  private val R0 = Triples.REGION * NS; private val R1 = (Triples.REGION + 1) * NS
+  private val C0 = Triples.CUSTOMER * NS; private val C1 = (Triples.CUSTOMER + 1) * NS
+  private val S0 = Triples.SUPPLIER * NS; private val S1 = (Triples.SUPPLIER + 1) * NS
+  private val P0 = Triples.PART * NS; private val P1 = (Triples.PART + 1) * NS
+
+  val oracles: Map[String, String] = Map(
+    "kg_triples" -> s"$T SELECT s, p, o_id, o_val FROM triples",
+    "kg_bgp_join" ->
+      s"""$T
+         |SELECT c.s AS c, nm.o_val AS name
+         |FROM (SELECT s FROM triples WHERE p='label' AND o_val='ASIA' AND s BETWEEN $R0 AND ${R1 - 1}) r
+         |JOIN (SELECT s, o_id FROM triples WHERE p='in_region') nr ON nr.o_id = r.s
+         |JOIN (SELECT s, o_id FROM triples WHERE p='in_nation' AND s BETWEEN $C0 AND ${C1 - 1}) c ON c.o_id = nr.s
+         |JOIN (SELECT s FROM triples WHERE p='mktsegment' AND o_val='BUILDING') seg ON seg.s = c.s
+         |JOIN (SELECT s, o_val FROM triples WHERE p='label') nm ON nm.s = c.s""".stripMargin,
+    "kg_optional" ->
+      s"""$T
+         |SELECT c.s AS c, c.o_val AS name, o.s AS o
+         |FROM (SELECT s, o_val FROM triples WHERE p='label' AND s BETWEEN $C0 AND ${C1 - 1}) c
+         |LEFT JOIN (SELECT s, o_id FROM triples WHERE p='placed_by') o ON o.o_id = c.s""".stripMargin,
+    "kg_union" ->
+      s"""$T
+         |SELECT 'customer' AS kind, s AS x, o_id AS n FROM triples
+         |WHERE p='in_nation' AND s BETWEEN $C0 AND ${C1 - 1}
+         |UNION ALL
+         |SELECT 'supplier' AS kind, s AS x, o_id AS n FROM triples
+         |WHERE p='in_nation' AND s BETWEEN $S0 AND ${S1 - 1}""".stripMargin,
+    "kg_filter_bind" ->
+      s"""$T
+         |SELECT s, o_val AS label, upper(o_val) AS label_upper, length(o_val) AS label_len
+         |FROM triples WHERE p='label' AND s BETWEEN $P0 AND ${P1 - 1} AND length(o_val) > 10""".stripMargin,
+    "kg_property_path" ->
+      s"""$T, e AS (SELECT s AS a, o_id AS b FROM triples WHERE p IN ('in_nation','in_region'))
+         |SELECT DISTINCT s, reach FROM (
+         |  WITH RECURSIVE r(s, reach) AS (
+         |    SELECT a, b FROM e
+         |    UNION
+         |    SELECT r.s, e.b FROM r JOIN e ON e.a = r.reach)
+         |  SELECT s, reach FROM r)""".stripMargin,
+    "kg_label_join" ->
+      s"""$T
+         |SELECT pb.s AS order_id, pb.o_id AS customer_id, l.o_val AS customer_label
+         |FROM (SELECT s, o_id FROM triples WHERE p='placed_by') pb
+         |JOIN (SELECT s, o_val FROM triples WHERE p='label') l ON l.s = pb.o_id""".stripMargin,
+    "kg_khop" ->
+      s"""$T, e AS (
+         |  SELECT s AS a, o_id AS b FROM triples WHERE o_id IS NOT NULL
+         |  UNION ALL SELECT o_id, s FROM triples WHERE o_id IS NOT NULL),
+         |seeds AS (SELECT s AS node FROM triples WHERE p='label' AND o_val='ASIA' AND s BETWEEN $R0 AND ${R1 - 1}),
+         |h1 AS (SELECT DISTINCT e.b AS node FROM seeds JOIN e ON e.a = seeds.node
+         |       WHERE e.b NOT IN (SELECT node FROM seeds)),
+         |h2 AS (SELECT DISTINCT e.b AS node FROM h1 JOIN e ON e.a = h1.node
+         |       WHERE e.b NOT IN (SELECT node FROM seeds) AND e.b NOT IN (SELECT node FROM h1))
+         |SELECT node, 0 AS dist FROM seeds
+         |UNION ALL SELECT node, 1 FROM h1
+         |UNION ALL SELECT node, 2 FROM h2""".stripMargin,
+    "kg_cooccur" ->
+      s"""$T, hp AS (SELECT s AS o, o_id AS part FROM triples WHERE p='has_part')
+         |SELECT a.part AS p1, b.part AS p2, count(*) AS weight
+         |FROM hp a JOIN hp b ON a.o = b.o AND a.part < b.part
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "kg_graph_diff" ->
+      s"""$T, a AS (SELECT s, o_val AS a_val FROM triples WHERE p='mktsegment'),
+         |b AS (SELECT s, o_val AS b_val FROM $graphBSql b0)
+         |SELECT coalesce(a.s, b.s) AS s, a_val, b_val,
+         |  CASE WHEN b.s IS NULL THEN 'missing_in_b'
+         |       WHEN a.s IS NULL THEN 'missing_in_a'
+         |       WHEN a_val = b_val THEN 'match' ELSE 'conflict' END AS status
+         |FROM a FULL OUTER JOIN b ON a.s = b.s""".stripMargin,
+    "kg_upsert" ->
+      s"""$T, a AS (SELECT s, o_val FROM triples WHERE p='mktsegment'),
+         |b AS (SELECT * FROM $graphBSql b0)
+         |SELECT s, o_val, 'upserted' AS src FROM a
+         |UNION ALL
+         |SELECT s, o_val, 'carried' AS src FROM b WHERE s NOT IN (SELECT s FROM a)""".stripMargin,
+    "kg_validate" ->
+      s"""$T, raw AS (
+         |  SELECT s, p,
+         |    CASE WHEN p='placed_by' AND s % 17 = 0 THEN o_id + 900000000 ELSE o_id END AS o_id,
+         |    CASE WHEN p='mktsegment' AND s % 11 = 0 THEN NULL
+         |         WHEN p='mktsegment' AND s % 13 = 0 THEN 'NA'
+         |         ELSE o_val END AS o_val
+         |  FROM triples),
+         |ids AS (SELECT DISTINCT id FROM ${Triples.entityIdsSql} u)
+         |SELECT p, count(*) AS n_total,
+         |  CAST(sum(CASE WHEN (o_id IS NULL AND o_val IS NOT NULL AND o_val <> '' AND o_val <> 'NA')
+         |            OR (o_id IS NOT NULL AND o_id IN (SELECT id FROM ids))
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
+         |FROM raw GROUP BY p""".stripMargin)
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.kg.{KGQueries, Triples}
+
+class KGSpec extends SparkSpec {
+
+  test("every kg query runs, has rows, and a matching oracle") {
+    KGQueries.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(KGQueries.oracles.contains(name), s"$name missing oracle SQL")
+    }
+  }
+
+  test("statements: ids are namespaced, edges and literals are disjoint") {
+    val st = Triples.statements(spark, sf)
+    assert(st.filter(col("o_id").isNotNull && col("o_val").isNotNull).count() == 0)
+    assert(st.filter(col("o_id").isNull && col("o_val").isNull).count() == 0)
+    assert(st.filter(col("s") < Triples.NS).count() == 0)
+  }
+
+  test("property path closure: every customer reaches nation and region") {
+    val closure = KGQueries.kgPropertyPath(spark, sf)
+    val custReach = closure
+      .filter(col("s") >= Triples.CUSTOMER * Triples.NS && col("s") < (Triples.CUSTOMER + 1) * Triples.NS)
+      .groupBy("s").count()
+    // each customer reaches exactly its nation + that nation's region
+    assert(custReach.filter(col("count") =!= 2).count() == 0)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    assert(custReach.count() == nCust)
+  }
+
+  test("khop: hop-1 from ASIA is exactly its nations") {
+    val hop1 = KGQueries.kgKhop(spark, sf).filter(col("dist") === 1).count()
+    val expected = spark.sql(
+      s"""SELECT count(*) FROM parquet.`$sf/nation.parquet` n
+         |JOIN parquet.`$sf/region.parquet` r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA'""".stripMargin).first().getLong(0)
+    assert(hop1 == expected)
+  }
+
+  test("graph diff statuses partition the keyspace") {
+    val d = KGQueries.kgGraphDiff(spark, sf)
+    val statuses = d.groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statuses.keySet == Set("match", "conflict", "missing_in_a", "missing_in_b"))
+  }
+}
