@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.kg.KGQueries.queries
+      graft.kg.KGQueries.queries ++
+      graft.er.ER.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-      graft.kg.KGQueries.oracles
+      graft.kg.KGQueries.oracles ++
+      graft.er.ER.oracles
 }

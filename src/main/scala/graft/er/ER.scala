@@ -1,0 +1,182 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Entity resolution & linking (SURVEY §2.B) — the reference's
+  * `apps/entity-resolver/index.Rmd` + `data-gathering/misc/
+  * export-duplicates.R` (normalize → candidate pairs → fuzzy match →
+  * confirmed merge groups) and `data-linking` (label search against an
+  * external authority, keep top match), re-expressed as Spark plans.
+  *
+  * Scale notes (100 TB):
+  *   - Candidate generation is ALWAYS blocked (first-token block key):
+  *     pair count is sum of per-block n², never global n². At
+  *     production, add a block-size cap + salting for hot blocks (the
+  *     classic "Smith" problem) — noted inline.
+  *   - Fuzzy scoring uses the codegen'd `levenshtein` expression, no
+  *     UDF boxing.
+  *   - Connected components run edge-centric in GraphX (Pregel-style
+  *     small-label propagation, the scalable choice for huge sparse
+  *     match graphs); the DuckDB oracle replays it as recursive
+  *     reachability.
+  *   - Linking broadcasts the authority dictionary (dims are small
+  *     even at 100 TB fact scale) and resolves top-1 with one window.
+  */
+object ER {
+
+  /** Shared name normalization: lower, strip punctuation, collapse
+    * whitespace — identical semantics to the SQL in [[normSql]]. */
+  def norm(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(trim(c)), "[^a-z0-9 ]", ""), " +", " "))
+
+  def normSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower(trim($c)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Mention pool: entity labels from three sources. */
+  private def mentions(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(lit("customer").as("src"), col("c_custkey").as("id"), col("c_name").as("label"))
+    val s = Tables.supplier(spark, dir)
+      .select(lit("supplier").as("src"), col("s_suppkey").as("id"), col("s_name").as("label"))
+    val p = Tables.part(spark, dir)
+      .select(lit("part").as("src"), col("p_partkey").as("id"), col("p_name").as("label"))
+    c.unionAll(s).unionAll(p)
+  }
+
+  private val mentionsSql =
+    """(SELECT 'customer' AS src, c_custkey AS id, c_name AS label FROM customer
+      | UNION ALL SELECT 'supplier', s_suppkey, s_name FROM supplier
+      | UNION ALL SELECT 'part', p_partkey, p_name FROM part)""".stripMargin
+
+  /** er_normalize — normalized mention table (narrow map, no shuffle). */
+  def erNormalize(spark: SparkSession, dir: String): DataFrame =
+    mentions(spark, dir).select(col("src"), col("id"), col("label"), norm(col("label")).as("norm"))
+
+  /** er_exact_dups — exact-duplicate groups on the normalized key:
+    * one groupBy (map-side partial), canonical id = min id. */
+  def erExactDups(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
+      .groupBy(col("norm"))
+      .agg(count(lit(1)).as("n_dups"), min(col("id")).as("canonical_id"))
+      .filter(col("n_dups") >= 2)
+
+  /** Normalized parts with their block key (first token). */
+  private def blockedParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
+      .withColumn("blk", split(col("norm"), " ").getItem(0))
+
+  /** er_blocking — candidate pairs within a block (self-join on the
+    * block key; per-block n², never global n²). At production scale
+    * add: block-size cap + salt for skewed blocks. */
+  def erBlocking(spark: SparkSession, dir: String): DataFrame = {
+    val p = blockedParts(spark, dir)
+    val a = p.select(col("blk"), col("id").as("id_a"), col("norm").as("norm_a"))
+    val b = p.select(col("blk"), col("id").as("id_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("blk"), col("id_a"), col("id_b"))
+  }
+
+  /** er_fuzzy_match — Levenshtein ≤ 2 on blocked candidate pairs
+    * (codegen'd expression, evaluated during the shuffle join). */
+  def erFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
+    val p = blockedParts(spark, dir)
+    val a = p.select(col("blk"), col("id").as("id_a"), col("norm").as("norm_a"))
+    val b = p.select(col("blk"), col("id").as("id_b"), col("norm").as("norm_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("norm_a"), col("norm_b")))
+      .filter(col("dist") <= 2)
+      .select(col("id_a"), col("id_b"), col("norm_a"), col("norm_b"), col("dist"))
+  }
+
+  /** er_connected_components — cluster ids over the fuzzy-match edge
+    * set via GraphX (edge-centric label propagation; comp = min vertex
+    * id, singletons included). */
+  def erConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.graphx.{Edge, Graph}
+    val sess = spark
+    import sess.implicits._
+    val edges = erFuzzyMatch(spark, dir)
+      .select(col("id_a"), col("id_b"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val vertices = Tables.part(spark, dir)
+      .select(col("p_partkey")).rdd.map(r => (r.getLong(0), ()))
+    val graph = Graph(vertices, edges)
+    val cc = graph.connectedComponents().vertices
+    cc.toDF("id", "comp")
+  }
+
+  /** er_linking — link each part mention to the authority concept
+    * dictionary (distinct second tokens, id = min member part id):
+    * broadcast the dictionary, score all (mention, concept) pairs with
+    * Levenshtein, keep top-1 per mention via one window. */
+  def erLinking(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
+    val concepts = p
+      .withColumn("concept", split(col("norm"), " ").getItem(1))
+      .filter(col("concept").isNotNull)
+      .groupBy(col("concept")).agg(min(col("id")).as("concept_id"))
+    val scored = p.crossJoin(broadcast(concepts))
+      .withColumn("score", levenshtein(col("norm"), col("concept")))
+    val w = Window.partitionBy(col("id")).orderBy(col("score"), col("concept"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("norm"), col("concept"), col("concept_id"), col("score"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_normalize"            -> (erNormalize _),
+    "er_exact_dups"           -> (erExactDups _),
+    "er_blocking"             -> (erBlocking _),
+    "er_fuzzy_match"          -> (erFuzzyMatch _),
+    "er_connected_components" -> (erConnectedComponents _),
+    "er_linking"              -> (erLinking _))
+
+  private val N = normSql("p_name")
+
+  val oracles: Map[String, String] = Map(
+    "er_normalize" ->
+      s"""SELECT src, id, label, ${normSql("label")} AS norm FROM $mentionsSql m""",
+    "er_exact_dups" ->
+      s"""SELECT $N AS norm, count(*) AS n_dups, min(p_partkey) AS canonical_id
+         |FROM part GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+    "er_blocking" ->
+      s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
+         |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p)
+         |SELECT a.blk, a.id AS id_a, x.id AS id_b
+         |FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id""".stripMargin,
+    "er_fuzzy_match" ->
+      s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
+         |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p)
+         |SELECT a.id AS id_a, x.id AS id_b, a.norm AS norm_a, x.norm AS norm_b,
+         |  levenshtein(a.norm, x.norm) AS dist
+         |FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
+         |WHERE levenshtein(a.norm, x.norm) <= 2""".stripMargin,
+    "er_connected_components" ->
+      s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
+         |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),
+         |m AS (SELECT a.id AS id_a, x.id AS id_b
+         |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
+         |      WHERE levenshtein(a.norm, x.norm) <= 2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
+         |reach AS (
+         |  WITH RECURSIVE r(src, node) AS (
+         |    SELECT id, id FROM p
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
+         |  SELECT src, node FROM r)
+         |SELECT src AS id, min(node) AS comp FROM reach GROUP BY src""".stripMargin,
+    "er_linking" ->
+      s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
+         |c AS (SELECT string_split(norm, ' ')[2] AS concept, min(id) AS concept_id
+         |      FROM p WHERE string_split(norm, ' ')[2] IS NOT NULL GROUP BY 1)
+         |SELECT id, norm, concept, concept_id, levenshtein(norm, concept) AS score
+         |FROM p CROSS JOIN c
+         |QUALIFY row_number() OVER (PARTITION BY id ORDER BY levenshtein(norm, concept), concept) = 1""".stripMargin)
+}
