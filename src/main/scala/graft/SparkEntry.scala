@@ -14,12 +14,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.kg.KGQueries.queries ++
-      graft.er.ER.queries
+      graft.er.ER.queries ++
+      graft.dedup.Dedup.queries ++
+      graft.dedup.Text.queries ++
+      graft.dedup.Multimodal.queries ++
+      graft.streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.kg.KGQueries.oracles ++
-      graft.er.ER.oracles
+      graft.er.ER.oracles ++
+      graft.dedup.Dedup.oracles ++
+      graft.dedup.Text.oracles ++
+      graft.dedup.Multimodal.oracles ++
+      graft.streaming.Streaming.oracles
 }

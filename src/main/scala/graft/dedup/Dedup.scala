@@ -1,0 +1,229 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication + similarity search over `documents`/`embeddings`
+  * (SURVEY §2.D) — the LLM-training-data operators. The reference's
+  * entity-dedup capability (export-duplicates.R) generalized to
+  * document-scale exact/near dedup.
+  *
+  * Scale notes (100 TB):
+  *   - NOTHING here is a global cross join. Near-dup candidates come
+  *     from inverted-index joins (shared shingle), LSH band buckets,
+  *     or SimHash chunk buckets — pair volume ∝ collisions, not n².
+  *   - The one intentional exception: `dedup_embedding` /
+  *     `sim_topk_bruteforce` are the exact *baselines*; their scale
+  *     path is `sim_ann_lsh` (hyperplane-bucketed). At 100 TB you run
+  *     the baseline only on samples/eval sets.
+  *   - Signatures (MinHash/SimHash) are computed with `xxhash64`, a
+  *     codegen'd deterministic expression — results are identical at
+  *     any parallelism, no seeded RNG state on executors.
+  *   - Hot-shingle skew: ubiquitous shingles produce quadratic bucket
+  *     blowup in the inverted-index join; AQE skew-join splits hot
+  *     buckets at runtime, and the production knob is a doc-frequency
+  *     cap on shingles (drop shingles appearing in > maxDf docs).
+  */
+object Dedup {
+
+  // ---- shared pieces -------------------------------------------------
+
+  /** Word trigram shingles, distinct per doc. Spark `element_at` and
+    * DuckDB list indexing are both 1-based; the generated shingle
+    * strings are identical. */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 3,
+          expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
+          .otherwise(array())).as("s"))
+      .distinct()
+
+  private val shinglesSql =
+    """(SELECT DISTINCT doc_id,
+      |   unnest(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
+      | FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) d0)""".stripMargin
+
+  /** Embeddings as double vectors with precomputed norm (the cast to
+    * double makes Spark's fold and DuckDB's list_dot_product run the
+    * same IEEE double ops in the same order → bit-identical cosines). */
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+
+  private def cos(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+
+  // ---- operators -----------------------------------------------------
+
+  /** dedup_exact — hash-groupBy exact dedup: one md5 per doc, one
+    * map-side-partial groupBy; keeper = min doc_id. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+
+  /** dedup_ngram_jaccard — exact trigram-Jaccard near-dup pairs via an
+    * inverted-index join (pairs share ≥1 shingle; never all-pairs). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.select(col("doc_id").as("a"), col("s"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("s"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a"), col("b"), col("common"), col("jaccard"))
+  }
+
+  /** dedup_minhash_lsh — MinHash signatures (k=64 via xxhash64 seeds)
+    * → 32 bands × 2 rows → bucket join → candidate pairs. The scale
+    * path for near-dup detection: candidates ∝ band collisions. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sigCols = (0 until 64).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bands = (0 until 32).map(j =>
+      struct(lit(j).as("band"), xxhash64(lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("key")))
+    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    exploded.select(col("band"), col("key"), col("doc_id").as("a"))
+      .join(exploded.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** dedup_simhash — 64-bit SimHash (count-weighted word hashes) +
+    * Hamming ≤ 7 pairs, blocked by 8×8-bit chunks (pigeonhole: any
+    * pair at distance ≤ 7 shares at least one chunk). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val vCols = (0 until 64).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"v$j"))
+    val sums = words.groupBy(col("doc_id")).agg(vCols.head, vCols.tail: _*)
+    val sigExpr = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    val sig = sums.select(col("doc_id"), sigExpr.as("sig"))
+    val chunks = sig.select(col("doc_id"), col("sig"),
+        explode(array((0 until 8).map(i =>
+          struct(lit(i).as("ci"), expr(s"(sig >> ${8 * i}) & 255").as("cv"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    chunks.select(col("ci"), col("cv"), col("doc_id").as("a"), col("sig").as("sig_a"))
+      .join(chunks.select(col("ci"), col("cv"), col("doc_id").as("b"), col("sig").as("sig_b")),
+        Seq("ci", "cv"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 7)
+  }
+
+  /** dedup_embedding — exact cosine near-dup pairs (the correctness
+    * baseline; `sim_ann_lsh` is the scale path). */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("a") < col("b"))
+      .withColumn("cosine", cos("va", "vb") / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a"), col("b"), col("cosine"))
+  }
+
+  /** sim_topk_bruteforce — exact cosine top-5 neighbors for the query
+    * set (vec_id < 10): broadcast the queries against all vectors. */
+  def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("vq"), col("nrm").as("nq"))
+    val t = e.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("nrm").as("nt"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("neighbor"))
+    broadcast(q).join(t, col("q") =!= col("neighbor"))
+      .withColumn("cosine", cos("vq", "vt") / (col("nq") * col("nt")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
+  }
+
+  /** sim_ann_lsh — random-hyperplane LSH: 6 deterministic ±1
+    * hyperplanes (xxhash64 parity) → 64 buckets; neighbors are scored
+    * only within the query's bucket. The ANN scale path: bucket sizes
+    * ~n/64, so scoring cost drops 64× per probe. */
+  def simAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    // sign bit j = sign(sum_d v[d] * w(j,d)), w = ±1 from xxhash64 parity
+    val bitExprs = (0 until 6).map { j =>
+      val s = expr(
+        s"""aggregate(zip_with(v, sequence(0, 63), (x, d) -> CASE WHEN pmod(xxhash64($j * 64 + d), 2) = 0 THEN x ELSE -x END),
+           | 0D, (acc, x) -> acc + x)""".stripMargin)
+      when(s > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    val sig = e.withColumn("bucket", bitExprs.reduce((a, b) => a + b))
+    val q = sig.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("vq"), col("nrm").as("nq"), col("bucket"))
+    val t = sig.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("nrm").as("nt"), col("bucket"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("neighbor"))
+    broadcast(q).join(t, Seq("bucket")).filter(col("q") =!= col("neighbor"))
+      .withColumn("cosine", cos("vq", "vt") / (col("nq") * col("nt")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"         -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
+    "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_embedding"     -> (dedupEmbedding _),
+    "sim_topk_bruteforce" -> (simTopkBruteforce _),
+    "sim_ann_lsh"         -> (simAnnLsh _))
+
+  /** dedup_minhash_lsh / dedup_simhash / sim_ann_lsh are [R] rows-only:
+    * their signatures hinge on xxhash64, which DuckDB doesn't have. */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, s FROM $shinglesSql sh0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, common,
+         |  CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) AS jaccard
+         |FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |WHERE CAST(common AS DOUBLE) / CAST(sa.n + sb.n - common AS DOUBLE) >= 0.5""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "sim_topk_bruteforce" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT q.vec_id AS q, t.vec_id AS neighbor,
+        |  list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cosine,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(q.v, t.v) / (q.nrm * t.nrm) DESC, t.vec_id) AS INTEGER) AS rk
+        |FROM n q JOIN n t ON q.vec_id < 10 AND t.vec_id <> q.vec_id
+        |QUALIFY rk <= 5""".stripMargin)
+}

@@ -1,0 +1,131 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text analysis over `documents` (SURVEY §2.D): language ID, quality
+  * scoring, token counting, winnowing fingerprints — the per-document
+  * scoring stages of a training-data pipeline. All four are narrow
+  * per-row plans (no shuffle except the fingerprint's tiny per-doc
+  * window), fully codegen'd — the shape that streams through 100 TB
+  * at scan speed.
+  */
+object Text {
+
+  private val dicts: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "los", "las", "y", "es", "un"),
+    "fr" -> Seq("le", "les", "et", "est", "une"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** text_langid — stopword-dictionary language scoring; the predicted
+    * language is the best-scoring dictionary (fixed precedence order
+    * for ties, 'und' = undetermined when nothing matches). */
+  def textLangid(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("declared_lang"), split(col("text"), " ").as("t"))
+    val scored = dicts.foldLeft(base) { case (df, (l, ws)) =>
+      df.withColumn(s"s_$l", expr(s"size(filter(t, w -> w IN ${inList(ws)}))"))
+    }
+    val best = greatest(dicts.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = dicts.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives earlier dicts precedence on ties (en > de > es > fr)
+    scored.select((Seq(col("doc_id"), col("declared_lang")) ++
+      dicts.map { case (l, _) => col(s"s_$l") } :+ pred.as("pred_lang")): _*)
+  }
+
+  /** text_quality — length / stopword-ratio / word-length heuristics
+    * + keep flag (the C4-style quality gate, minus the model bits). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val en = inList(dicts.head._2)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(col("t")).as("n_words"),
+        expr("size(filter(t, w -> w IN " + en + "))").as("n_stop"))
+      .withColumn("avg_word_len",
+        (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words").cast("double"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_words").cast("double"))
+      .withColumn("keep",
+        col("n_words") >= 20 && col("n_words") <= 2000 && col("stop_ratio") >= 0.02)
+  }
+
+  /** text_tokens — whitespace token count + a BPE-ish regex token
+    * count (letter runs / digit runs / other symbols). */
+  def textTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_re_tokens"),
+        length(col("text")).as("n_chars"))
+
+  /** text_fingerprint — winnowing-lite: xxhash64 over char 8-grams,
+    * keep the min hash of every 4-gram window, distinct per doc. The
+    * per-doc window sort is tiny (doc-local); at scale this is one
+    * narrow pass per document. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(1, length(text)-7), i -> xxhash64(substring(text, i, 8)))")))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, 3)
+    grams.withColumn("fp", min(col("h")).over(w))
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid"      -> (textLangid _),
+    "text_quality"     -> (textQuality _),
+    "text_tokens"      -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _))
+
+  /** text_fingerprint is [R] (xxhash64 has no DuckDB equivalent). */
+  val oracles: Map[String, String] = {
+    val dictSelects = dicts.map { case (l, ws) =>
+      s"len(list_filter(t, w -> w IN ${inList(ws)})) AS s_$l"
+    }.mkString(",\n  ")
+    val best = "greatest(" + dicts.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val predCase = dicts.map { case (l, _) =>
+      s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    Map(
+      "text_langid" ->
+        s"""WITH t0 AS (SELECT doc_id, lang AS declared_lang, string_split(text,' ') AS t FROM documents),
+           |s AS (SELECT doc_id, declared_lang,
+           |  $dictSelects
+           |FROM t0)
+           |SELECT doc_id, declared_lang, ${dicts.map(d => "CAST(s_" + d._1 + " AS INTEGER) AS s_" + d._1).mkString(", ")},
+           |  $predCase AS pred_lang
+           |FROM s""".stripMargin,
+      "text_quality" ->
+        s"""WITH t0 AS (SELECT doc_id, text, string_split(text,' ') AS t FROM documents)
+           |SELECT doc_id,
+           |  CAST(length(text) AS INTEGER) AS n_chars,
+           |  CAST(len(t) AS INTEGER) AS n_words,
+           |  CAST(len(list_filter(t, w -> w IN ${inList(dicts.head._2)})) AS INTEGER) AS n_stop,
+           |  CAST(length(text) - (len(t) - 1) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_word_len,
+           |  CAST(len(list_filter(t, w -> w IN ${inList(dicts.head._2)})) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS stop_ratio,
+           |  (len(t) >= 20 AND len(t) <= 2000
+           |   AND CAST(len(list_filter(t, w -> w IN ${inList(dicts.head._2)})) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.02) AS keep
+           |FROM t0""".stripMargin,
+      "text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws_tokens,
+          |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
+          |  CAST(length(text) AS INTEGER) AS n_chars
+          |FROM documents""".stripMargin)
+  }
+}
