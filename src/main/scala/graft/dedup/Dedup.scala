@@ -48,16 +48,17 @@ object Dedup {
       |   unnest(list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS s
       | FROM (SELECT doc_id, string_split(text,' ') AS t FROM documents) d0)""".stripMargin
 
-  /** Embeddings as double vectors with precomputed norm (the cast to
-    * double makes Spark's fold and DuckDB's list_dot_product run the
-    * same IEEE double ops in the same order → bit-identical cosines). */
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  /** Embeddings as double vectors (the cast to double makes the native
+    * cosine_sim fold and DuckDB's list_dot_product run the same IEEE
+    * double ops in the same order → bit-identical cosines). */
+  private def vecs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")))
+  }
 
-  private def cos(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+  /** Native one-pass codegen'd cosine ([[graft.functions.CosineSim]]). */
+  private def cos(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
 
   // ---- operators -----------------------------------------------------
 
@@ -136,10 +137,10 @@ object Dedup {
     * baseline; `sim_ann_lsh` is the scale path). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
-    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cosine", cos("va", "vb") / (col("na") * col("nb")))
+      .withColumn("cosine", cos("va", "vb"))
       .filter(col("cosine") >= 0.4)
       .select(col("a"), col("b"), col("cosine"))
   }
@@ -149,11 +150,11 @@ object Dedup {
   def simTopkBruteforce(spark: SparkSession, dir: String): DataFrame = {
     val e = vecs(spark, dir)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q"), col("v").as("vq"), col("nrm").as("nq"))
-    val t = e.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("nrm").as("nt"))
+      .select(col("vec_id").as("q"), col("v").as("vq"))
+    val t = e.select(col("vec_id").as("neighbor"), col("v").as("vt"))
     val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("neighbor"))
     broadcast(q).join(t, col("q") =!= col("neighbor"))
-      .withColumn("cosine", cos("vq", "vt") / (col("nq") * col("nt")))
+      .withColumn("cosine", cos("vq", "vt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
@@ -174,11 +175,11 @@ object Dedup {
     }
     val sig = e.withColumn("bucket", bitExprs.reduce((a, b) => a + b))
     val q = sig.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q"), col("v").as("vq"), col("nrm").as("nq"), col("bucket"))
-    val t = sig.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("nrm").as("nt"), col("bucket"))
+      .select(col("vec_id").as("q"), col("v").as("vq"), col("bucket"))
+    val t = sig.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("bucket"))
     val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("neighbor"))
     broadcast(q).join(t, Seq("bucket")).filter(col("q") =!= col("neighbor"))
-      .withColumn("cosine", cos("vq", "vt") / (col("nq") * col("nt")))
+      .withColumn("cosine", cos("vq", "vt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q"), col("neighbor"), col("cosine"), col("rk"))

@@ -71,26 +71,37 @@ object ER {
       .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
       .withColumn("blk", split(col("norm"), " ").getItem(0))
 
-  /** er_blocking — candidate pairs within a block (self-join on the
-    * block key; per-block n², never global n²). At production scale
-    * add: block-size cap + salt for skewed blocks. */
-  def erBlocking(spark: SparkSession, dir: String): DataFrame = {
-    val p = blockedParts(spark, dir)
-    val a = p.select(col("blk"), col("id").as("id_a"), col("norm").as("norm_a"))
-    val b = p.select(col("blk"), col("id").as("id_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .select(col("blk"), col("id_a"), col("id_b"))
+  /** Candidate pairs within a block. The block key has LOW cardinality
+    * (~20 first tokens), so a shuffle join would put each block on one
+    * task — guaranteed skew. Instead: round-robin repartition the probe
+    * side and broadcast the build side → every core generates pairs for
+    * a slice of every block. (At 100 TB the build side is the blocked
+    * *dictionary*, still broadcast-sized; a giant build side would call
+    * for salted keys instead — noted here as the fallback.) */
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = blockedParts(spark, dir).withColumn("len", length(col("norm")))
+    val a = p.repartition(spark.sessionState.conf.numShufflePartitions)
+      .select(col("blk"), col("id").as("id_a"), col("norm").as("norm_a"), col("len").as("len_a"))
+    val b = p.select(col("blk"), col("id").as("id_b"), col("norm").as("norm_b"), col("len").as("len_b"))
+    a.join(broadcast(b), Seq("blk")).filter(col("id_a") < col("id_b"))
   }
 
-  /** er_fuzzy_match — Levenshtein ≤ 2 on blocked candidate pairs
-    * (codegen'd expression, evaluated during the shuffle join). */
+  /** er_blocking — candidate pairs within a block (per-block n², never
+    * global n²). At production scale add: block-size cap + salting. */
+  def erBlocking(spark: SparkSession, dir: String): DataFrame =
+    candidatePairs(spark, dir).select(col("blk"), col("id_a"), col("id_b"))
+
+  /** er_fuzzy_match — Levenshtein ≤ 2 on blocked candidate pairs.
+    * Result-preserving optimizations (the oracle is unchanged):
+    * length-difference ≤ 2 is NECESSARY for lev ≤ 2, and it's a cheap
+    * codegen'd predicate evaluated before the expensive one; the
+    * thresholded `levenshtein(a, b, 2)` runs a banded DP that exits
+    * early (returns -1 above the threshold). */
   def erFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    val p = blockedParts(spark, dir)
-    val a = p.select(col("blk"), col("id").as("id_a"), col("norm").as("norm_a"))
-    val b = p.select(col("blk"), col("id").as("id_b"), col("norm").as("norm_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("dist", levenshtein(col("norm_a"), col("norm_b")))
-      .filter(col("dist") <= 2)
+    candidatePairs(spark, dir)
+      .filter(abs(col("len_a") - col("len_b")) <= 2)
+      .withColumn("dist", levenshtein(col("norm_a"), col("norm_b"), 2))
+      .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("norm_a"), col("norm_b"), col("dist"))
   }
 
@@ -101,8 +112,11 @@ object ER {
     import org.apache.spark.graphx.{Edge, Graph}
     val sess = spark
     import sess.implicits._
+    // materialize the match edges ONCE — GraphX's iterations must not
+    // re-run the blocked levenshtein join every superstep
     val edges = erFuzzyMatch(spark, dir)
       .select(col("id_a"), col("id_b"))
+      .localCheckpoint(eager = true)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val vertices = Tables.part(spark, dir)
       .select(col("p_partkey")).rdd.map(r => (r.getLong(0), ()))

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+
+  test("cosine_sim matches the zip_with/aggregate fold bit-for-bit") {
+    GraftFunctions.registerAll(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = e.select(col("vec_id").as("ia"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("v").as("vb"))
+    val pairs = a.join(b, col("ia") < col("ib")).limit(2000)
+      .withColumn("native", expr("cosine_sim(va, vb)"))
+      .withColumn("folded",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)") /
+          (sqrt(expr("aggregate(zip_with(va, va, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")) *
+           sqrt(expr("aggregate(zip_with(vb, vb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"))))
+    assert(pairs.filter(col("native") =!= col("folded")).count() == 0)
+  }
+
+  test("cosine_sim of a vector with itself is 1.0") {
+    GraftFunctions.registerAll(spark)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val n = e.withColumn("c", expr("cosine_sim(v, v)"))
+      .filter(abs(col("c") - 1.0) > 1e-12).count()
+    assert(n == 0)
+  }
+
+  test("hamming64 equals bit_count(xor)") {
+    GraftFunctions.registerAll(spark)
+    val df = spark.range(1000).selectExpr("id", "xxhash64(id) AS a", "xxhash64(id + 7) AS b")
+      .withColumn("h1", expr("hamming64(a, b)"))
+      .withColumn("h2", bit_count(col("a").bitwiseXOR(col("b"))))
+    assert(df.filter(col("h1") =!= col("h2")).count() == 0)
+  }
+
+  test("cosine_sim null propagation") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D, 2.0D)) AS c")
+      .first()
+    assert(r.isNullAt(0))
+  }
+}
