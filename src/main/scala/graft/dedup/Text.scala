@@ -86,11 +86,29 @@ object Text {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** text_mentions — gazetteer entity-mention extraction: find known
+    * entity terms (the part-name noun dictionary) inside document
+    * text — the Spark-idiomatic equivalent of the reference's NER
+    * stage (`data-gathering` flair/spacy mention extraction): a
+    * dictionary match is a broadcast join, not a per-row model call,
+    * which is what survives 100 TB. */
+  def textMentions(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.part(spark, dir)
+      .select(explode(split(lower(col("p_name")), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("n_entities"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    toks.join(broadcast(dict), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_mentions"), max(col("n_entities")).as("n_entities"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"      -> (textLangid _),
     "text_quality"     -> (textQuality _),
     "text_tokens"      -> (textTokens _),
-    "text_fingerprint" -> (textFingerprint _))
+    "text_fingerprint" -> (textFingerprint _),
+    "text_mentions"    -> (textMentions _))
 
   /** text_fingerprint is [R] (xxhash64 has no DuckDB equivalent). */
   val oracles: Map[String, String] = {
@@ -126,6 +144,15 @@ object Text {
           |  CAST(len(string_split(text,' ')) AS INTEGER) AS n_ws_tokens,
           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
           |  CAST(length(text) AS INTEGER) AS n_chars
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+      "text_mentions" ->
+        """WITH dict AS (
+          |  SELECT term, count(*) AS n_entities FROM (
+          |    SELECT unnest(string_split(lower(p_name), ' ')) AS term FROM part) t
+          |  GROUP BY 1),
+          |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+          |SELECT doc_id, toks.term, count(*) AS n_mentions, max(n_entities) AS n_entities
+          |FROM toks JOIN dict ON toks.term = dict.term
+          |GROUP BY 1, 2""".stripMargin)
   }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.{Ingest, Tables}
+
+class SourcesSpec extends SparkSpec {
+
+  test("csv sink + source round-trip preserves rows") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars")
+    Ingest.writeCsv(docs, dir)
+    val back = Ingest.csv(spark, dir, "doc_id BIGINT, lang STRING, n_chars BIGINT")
+    assert(back.count() == docs.count())
+    assert(back.agg(sum("n_chars")).first().getLong(0) ==
+      docs.agg(sum("n_chars")).first().getLong(0))
+  }
+
+  test("partitioned parquet sink enables partition pruning") {
+    val dir = Files.createTempDirectory("graft_parts").toString
+    Ingest.writeParquet(Tables.documents(spark, sf), dir, Seq("lang"))
+    val pruned = spark.read.parquet(dir).filter(col("lang") === "en")
+    val expected = Tables.documents(spark, sf).filter(col("lang") === "en").count()
+    assert(pruned.count() == expected)
+    // the pruned scan must touch only the lang=en directory
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("lang=de"))
+  }
+
+  test("text source reads raw lines") {
+    val dir = Files.createTempDirectory("graft_txt").toString
+    Tables.documents(spark, sf).select("text").limit(50)
+      .write.mode("overwrite").text(dir)
+    assert(Ingest.text(spark, dir).count() == 50)
+  }
+
+  test("text_mentions finds dictionary terms in documents") {
+    val m = graft.dedup.Text.textMentions(spark, sf)
+    assert(m.count() > 0)
+    // every mentioned term must be in the part-noun dictionary
+    val dictTerms = spark.read.parquet(s"$sf/part.parquet")
+      .select(explode(split(lower(col("p_name")), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val mentioned = m.select("term").distinct().collect().map(_.getString(0)).toSet
+    assert(mentioned.subsetOf(dictTerms))
+  }
+}
