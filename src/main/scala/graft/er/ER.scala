@@ -114,9 +114,13 @@ object ER {
     import sess.implicits._
     // materialize the match edges ONCE — GraphX's iterations must not
     // re-run the blocked levenshtein join every superstep
+    // coalesce: the match graph is tiny relative to the pair-generation
+    // stage; GraphX superstep overhead scales with partition count, so
+    // don't carry 32 near-empty partitions through Pregel
     val edges = erFuzzyMatch(spark, dir)
       .select(col("id_a"), col("id_b"))
       .localCheckpoint(eager = true)
+      .coalesce(4)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val vertices = Tables.part(spark, dir)
       .select(col("p_partkey")).rdd.map(r => (r.getLong(0), ()))

@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Entity graph from the o_id statements (edge attr = predicate). */
-  def fromStatements(st: DataFrame): Graph[Unit, String] = {
+  /** Entity graph from the o_id statements (edge attr = predicate).
+    * `numPartitions` sizes the Pregel shuffles: per-superstep overhead
+    * scales with partition count, so size it to edge volume (locally a
+    * handful; on a cluster ∝ edge bytes / 128 MB). */
+  def fromStatements(st: DataFrame, numPartitions: Int = 8): Graph[Unit, String] = {
     val edges = st.filter(col("o_id").isNotNull)
       .select(col("s"), col("o_id"), col("p"))
+      .coalesce(numPartitions)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     Graph.fromEdges(edges, ())
   }
@@ -34,5 +38,13 @@ object Graphs {
   def pageRank(spark: SparkSession, st: DataFrame, tol: Double = 0.001): DataFrame = {
     val sess = spark; import sess.implicits._
     fromStatements(st).pageRank(tol).vertices.toDF("id", "rank")
+  }
+
+  /** Fixed-iteration PageRank: deterministic step count (no
+    * convergence probe), the variant to prefer for reproducible
+    * pipeline output and bounded cost at scale. */
+  def staticPageRank(spark: SparkSession, st: DataFrame, numIter: Int = 10): DataFrame = {
+    val sess = spark; import sess.implicits._
+    fromStatements(st).staticPageRank(numIter).vertices.toDF("id", "rank")
   }
 }

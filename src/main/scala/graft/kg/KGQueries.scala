@@ -238,7 +238,25 @@ object KGQueries {
         sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
   }
 
+  /** kg_degree — per-entity degree over the entity graph, computed
+    * edge-centric in GraphX (in+out; the reference's network degree
+    * structure). Oracle: count node occurrences over both edge ends. */
+  def kgDegree(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark; import sess.implicits._
+    Graphs.fromStatements(Triples.statements(spark, dir))
+      .degrees.toDF("id", "degree")
+      .select(col("id"), col("degree").cast("long").as("degree"))
+  }
+
+  /** kg_pagerank — PageRank over the entity graph, fixed 10 iterations
+    * (deterministic; [R]: float scores have no exact SQL oracle). */
+  def kgPagerank(spark: SparkSession, dir: String): DataFrame =
+    Graphs.staticPageRank(spark, Triples.statements(spark, dir), numIter = 10)
+      .filter(col("rank") > 1.0)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_degree"        -> (kgDegree _),
+    "kg_pagerank"      -> (kgPagerank _),
     "kg_triples"       -> (kgTriples _),
     "kg_bgp_join"      -> (kgBgpJoin _),
     "kg_optional"      -> (kgOptional _),
@@ -258,6 +276,11 @@ object KGQueries {
   private val P0 = Triples.PART * NS; private val P1 = (Triples.PART + 1) * NS
 
   val oracles: Map[String, String] = Map(
+    "kg_degree" ->
+      s"""$T, ends AS (
+         |  SELECT s AS id FROM triples WHERE o_id IS NOT NULL
+         |  UNION ALL SELECT o_id FROM triples WHERE o_id IS NOT NULL)
+         |SELECT id, count(*) AS degree FROM ends GROUP BY id""".stripMargin,
     "kg_triples" -> s"$T SELECT s, p, o_id, o_val FROM triples",
     "kg_bgp_join" ->
       s"""$T
