@@ -32,6 +32,53 @@ object Streaming {
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** Open-session state: (session index, start ms, last ms, n events,
+    * value sum in micro-units — scaled long reproduces the
+    * DECIMAL(18,6) exact-sum semantics of [[graft.util.Exact]]). */
+  type SessState = (Long, Long, Long, Long, Long)
+  final case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+      session_start: String, session_value: Double)
+
+  // object-level (reached via the static module from executor closures —
+  // DateTimeFormatter is not Serializable, so it must not be captured)
+  private val sessGapMs = 1800000L
+  private def sessFmt(ms: Long): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochMilli(ms))
+  private def micros(v: Double): Long =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.movePointRight(6).longValueExact()
+
+  private def sessEmit(userId: Long, events: Iterator[Ev],
+      state: org.apache.spark.sql.streaming.GroupState[SessState]): Iterator[SessOut] = {
+    def out(s: SessState) =
+      SessOut(userId, s._1, s._4, sessFmt(s._2),
+        BigDecimal(BigInt(s._5), 6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    if (!events.hasNext) { // event-time timeout: seal the open session
+      val closed = state.getOption.map(out).toList
+      state.remove()
+      return closed.iterator
+    }
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var sessions = List.empty[SessOut]
+    var cur = state.getOption
+    for (e <- sorted) {
+      val t = e.ts.getTime
+      cur match {
+        case Some(s) if t - s._3 <= sessGapMs =>
+          cur = Some((s._1, s._2, t, s._4 + 1, s._5 + micros(e.value)))
+        case Some(s) =>
+          sessions ::= out(s)
+          cur = Some((s._1 + 1, t, t, 1L, micros(e.value)))
+        case None =>
+          cur = Some((1L, t, t, 1L, micros(e.value)))
+      }
+    }
+    state.update(cur.get)
+    state.setTimeoutTimestamp(cur.get._3 + sessGapMs)
+    sessions.reverse.iterator
+  }
+
   /** stream_window_agg — 1-hour tumbling windows per event_type. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -71,10 +118,70 @@ object Streaming {
         exactDouble(col("sum_value_dec")).as("sum_value"))
   }
 
+  /** stream_sessionize — custom per-key state via
+    * flatMapGroupsWithState: 30-minute-gap sessions per user, emitted
+    * when the event-time timeout seals them. Exactly reproduces the
+    * batch sessionization (same oracle as q_sessionize's logic), so
+    * the custom-state path is hash-checked, not just smoke-tested.
+    *
+    * State per user = the open session only (bounded); sessions close
+    * either when a later event arrives past the gap or when the
+    * watermark passes the gap timeout — the production pattern for
+    * sessionization over an unbounded stream.
+    */
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+
+    val rows = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().toSeq
+    val maxTs = rows.map(_.ts.getTime).max
+    def sentinel(offsetH: Int) =
+      Ev(-1L, new Timestamp(maxTs + offsetH * 3600L * 1000), -1L, "sentinel", 0.0)
+
+    implicit val sc = spark.sqlContext
+    val source = MemoryStream[Ev]
+    val sessions = source.toDS()
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessEmit _)
+    val sinkName = "graft_stream_sessions"
+    val q = sessions.toDF().writeStream.format("memory").queryName(sinkName)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      source.addData(rows)
+      q.processAllAvailable()
+      source.addData(Seq(sentinel(3)))
+      q.processAllAvailable()
+      source.addData(Seq(sentinel(6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sinkName).filter(col("user_id") >= 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_agg" -> (streamWindowAgg _))
+    "stream_window_agg" -> (streamWindowAgg _),
+    "stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
+    "stream_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800000000
+        |      THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(25,4)) AS DOUBLE) AS session_value
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "stream_window_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS wstart,
         |  event_type, count(*) AS n_events,
