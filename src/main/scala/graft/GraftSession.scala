@@ -25,6 +25,10 @@ object GraftSession {
       // events.ts is parquet TIMESTAMP(NANOS) — read as long, normalized
       // in Tables.events (Spark has no ns TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // per-process warehouse: managed-table locations must not collide
+      // with a previous JVM's leftovers (LOCATION_ALREADY_EXISTS)
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

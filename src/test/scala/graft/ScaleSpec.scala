@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.util.Scale
+
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join with NO exchange (co-located SMJ)") {
+    Scale.writeBucketed(
+      Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8)
+    Scale.writeBucketed(
+      Tables.lineitem(spark, sf).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 8)
+    val joined = Scale.colocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() == spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("salted join is result-identical to the plain join") {
+    val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val n = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = l.join(n, "l_orderkey")
+    val salted = Scale.saltedJoin(l, n, "l_orderkey", 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+}
