@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BitwiseCount, BitwiseXor, Expression, ExpressionInfo}
@@ -71,15 +71,33 @@ object GraftFunctions {
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[CosineSim].getName, null, name, usage, "", "", "", "", "", "", "built-in")
 
+  private val cosineSim = (
+    FunctionIdentifier("cosine_sim"),
+    info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
+    (children: Seq[Expression]) => CosineSim(children(0), children(1)))
+
+  private val hamming64 = (
+    FunctionIdentifier("hamming64"),
+    info("hamming64", "hamming64(a, b) - hamming distance between two 64-bit signatures"),
+    (children: Seq[Expression]) => BitwiseCount(BitwiseXor(children(0), children(1))))
+
+  /** Imperative registration into an existing session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("cosine_sim"),
-      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two double arrays"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1)))
-    reg.registerFunction(
-      FunctionIdentifier("hamming64"),
-      info("hamming64", "hamming64(a, b) - hamming distance between two 64-bit signatures"),
-      (children: Seq[Expression]) => BitwiseCount(BitwiseXor(children(0), children(1))))
+    Seq(cosineSim, hamming64).foreach { case (id, fi, b) => reg.registerFunction(id, fi, b) }
   }
+
+  /** Extension-point registration (builder.withExtensions /
+    * spark.sql.extensions=graft.functions.GraftExtensions). */
+  def inject(ext: SparkSessionExtensions): Unit =
+    Seq(cosineSim, hamming64).foreach(ext.injectFunction)
+}
+
+/** `SparkSessionExtensions` hook: makes the graft native functions part
+  * of every session built with
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `builder.withExtensions`), the deployment-grade registration
+  * path for a shared cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
 }

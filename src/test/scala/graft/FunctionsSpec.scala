@@ -37,6 +37,15 @@ class FunctionsSpec extends SparkSpec {
     assert(df.filter(col("h1") =!= col("h2")).count() == 0)
   }
 
+  test("extensions injection: functions available without registerAll") {
+    // SparkSpec's session comes from GraftSession.builder, which wires
+    // GraftExtensions — so SQL resolution must work with no imperative
+    // registration call in this test
+    val r = spark.sql("SELECT cosine_sim(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c, hamming64(5, 6) AS h").first()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getInt(1) == 2) // 101 xor 110 = 011
+  }
+
   test("cosine_sim null propagation") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D, 2.0D)) AS c")
