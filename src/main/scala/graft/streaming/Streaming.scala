@@ -79,8 +79,20 @@ object Streaming {
     sessions.reverse.iterator
   }
 
+  /** Run `body` with a reduced shuffle-partition count: streaming
+    * state stores cost per partition per microbatch, and the replayed
+    * test streams are small — 8 partitions beats dragging the batch
+    * engine's 32 through 3 microbatches of state-store I/O. (On a real
+    * cluster, size state partitions to key cardinality instead.) */
+  private def withFewPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** stream_window_agg — 1-hour tumbling windows per event_type. */
-  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = {
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = withFewPartitions(spark) {
     import spark.implicits._
     val rows = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -129,7 +141,7 @@ object Streaming {
     * watermark passes the gap timeout — the production pattern for
     * sessionization over an unbounded stream.
     */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = withFewPartitions(spark) {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
 
