@@ -148,7 +148,26 @@ object ER {
       .select(col("id"), col("norm"), col("concept"), col("concept_id"), col("score"))
   }
 
+  /** er_canonicalize — apply confirmed merges to the graph: rewrite
+    * has_part edge targets to each duplicate cluster's canonical
+    * (min-id) part, dropping edges that collapse into one. The
+    * reference's "human-confirmed merge → canonical entity id" step
+    * closed end-to-end: ER output flows back into the triple store.
+    * The component map is dictionary-sized → broadcast. */
+  def erCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.kg.Triples
+    val comp = erConnectedComponents(spark, dir)
+      .select((col("id") + lit(Triples.PART * Triples.NS)).as("o_id"),
+        (col("comp") + lit(Triples.PART * Triples.NS)).as("canonical"))
+    graft.kg.Triples.statements(spark, dir)
+      .filter(col("p") === "has_part")
+      .join(broadcast(comp), Seq("o_id"))
+      .select(col("s"), col("p"), col("canonical").as("o_id"))
+      .distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_canonicalize"         -> (erCanonicalize _),
     "er_normalize"            -> (erNormalize _),
     "er_exact_dups"           -> (erExactDups _),
     "er_blocking"             -> (erBlocking _),
@@ -159,6 +178,27 @@ object ER {
   private val N = normSql("p_name")
 
   val oracles: Map[String, String] = Map(
+    "er_canonicalize" -> {
+      val NS = graft.kg.Triples.NS
+      val P0 = graft.kg.Triples.PART * NS
+      s"""${graft.kg.Triples.sqlCte},
+         |p AS (SELECT p_partkey AS id, $N AS norm FROM part),
+         |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),
+         |m AS (SELECT a.id AS id_a, x.id AS id_b
+         |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
+         |      WHERE levenshtein(a.norm, x.norm) <= 2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
+         |reach AS (
+         |  WITH RECURSIVE r(src, node) AS (
+         |    SELECT id, id FROM p
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
+         |  SELECT src, node FROM r),
+         |comp AS (SELECT src AS id, min(node) AS comp FROM reach GROUP BY src)
+         |SELECT DISTINCT t.s, t.p, $P0 + c.comp AS o_id
+         |FROM triples t JOIN comp c ON t.o_id = $P0 + c.id
+         |WHERE t.p = 'has_part'""".stripMargin
+    },
     "er_normalize" ->
       s"""SELECT src, id, label, ${normSql("label")} AS norm FROM $mentionsSql m""",
     "er_exact_dups" ->
