@@ -213,7 +213,7 @@ object ER {
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
          |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p)
          |SELECT a.id AS id_a, x.id AS id_b, a.norm AS norm_a, x.norm AS norm_b,
-         |  levenshtein(a.norm, x.norm) AS dist
+         |  CAST(levenshtein(a.norm, x.norm) AS INTEGER) AS dist
          |FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          |WHERE levenshtein(a.norm, x.norm) <= 2""".stripMargin,
     "er_connected_components" ->
@@ -234,7 +234,7 @@ object ER {
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
          |c AS (SELECT string_split(norm, ' ')[2] AS concept, min(id) AS concept_id
          |      FROM p WHERE string_split(norm, ' ')[2] IS NOT NULL GROUP BY 1)
-         |SELECT id, norm, concept, concept_id, levenshtein(norm, concept) AS score
+         |SELECT id, norm, concept, concept_id, CAST(levenshtein(norm, concept) AS INTEGER) AS score
          |FROM p CROSS JOIN c
          |QUALIFY row_number() OVER (PARTITION BY id ORDER BY levenshtein(norm, concept), concept) = 1""".stripMargin)
 }

@@ -304,7 +304,7 @@ object KGQueries {
          |WHERE p='in_nation' AND s BETWEEN $S0 AND ${S1 - 1}""".stripMargin,
     "kg_filter_bind" ->
       s"""$T
-         |SELECT s, o_val AS label, upper(o_val) AS label_upper, length(o_val) AS label_len
+         |SELECT s, o_val AS label, upper(o_val) AS label_upper, CAST(length(o_val) AS INTEGER) AS label_len
          |FROM triples WHERE p='label' AND s BETWEEN $P0 AND ${P1 - 1} AND length(o_val) > 10""".stripMargin,
     "kg_property_path" ->
       s"""$T, e AS (SELECT s AS a, o_id AS b FROM triples WHERE p IN ('in_nation','in_region'))

@@ -208,7 +208,7 @@ object Relational {
     "q_window" ->
       """SELECT * FROM (
         |  SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-        |    row_number() OVER w AS rn,
+        |    CAST(row_number() OVER w AS INTEGER) AS rn,
         |    CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(25,4)) AS DOUBLE) AS running_total
         |  FROM orders
         |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
@@ -216,7 +216,7 @@ object Relational {
     "q_topk_group" ->
       """SELECT * FROM (
         |  SELECT p_brand, p_partkey, p_name, p_retailprice,
-        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk
         |  FROM part
         |) WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin,
     "q_semi_anti" ->
@@ -251,7 +251,7 @@ object Relational {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), sessions AS (
         |  SELECT user_id, event_id, ts, value,
-        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |  FROM flagged
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
