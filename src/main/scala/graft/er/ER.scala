@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import graft.util.Scale
 
 /** Entity resolution & linking (SURVEY §2.B) — the reference's
   * `apps/entity-resolver/index.Rmd` + `data-gathering/misc/
@@ -14,17 +15,23 @@ import graft.sources.Tables
   *
   * Scale notes (100 TB):
   *   - Candidate generation is ALWAYS blocked (first-token block key):
-  *     pair count is sum of per-block n², never global n². At
-  *     production, add a block-size cap + salting for hot blocks (the
-  *     classic "Smith" problem) — noted inline.
+  *     pair count is sum of per-block n², never global n². The block
+  *     self-join is SALTED ([[Scale.saltedJoin]]) — nothing is
+  *     broadcast, so no side is bounded by driver/executor memory, and
+  *     the low-cardinality block key cannot serialize onto single
+  *     tasks. An optional block-size cap ([[blockedPairs]]) refines
+  *     oversized blocks and drops pathological ones explicitly.
   *   - Fuzzy scoring uses the codegen'd `levenshtein` expression, no
   *     UDF boxing.
-  *   - Connected components run edge-centric in GraphX (Pregel-style
-  *     small-label propagation, the scalable choice for huge sparse
-  *     match graphs); the DuckDB oracle replays it as recursive
-  *     reachability.
-  *   - Linking broadcasts the authority dictionary (dims are small
-  *     even at 100 TB fact scale) and resolves top-1 with one window.
+  *   - Connected components run as DataFrame-native
+  *     large-star/small-star ([[graft.kg.Components]]); the DuckDB
+  *     oracle replays it as recursive reachability. The component map
+  *     is computed once per (session, input) and shared between
+  *     er_connected_components and er_canonicalize.
+  *   - Linking generates candidates via a shared-token block (mention ×
+  *     concepts whose term occurs in the mention) — never an unblocked
+  *     mention×dictionary cross join — and resolves top-1 per mention
+  *     with one window.
   */
 object ER {
 
@@ -71,23 +78,72 @@ object ER {
       .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
       .withColumn("blk", split(col("norm"), " ").getItem(0))
 
-  /** Candidate pairs within a block. The block key has LOW cardinality
-    * (~20 first tokens), so a shuffle join would put each block on one
-    * task — guaranteed skew. Instead: round-robin repartition the probe
-    * side and broadcast the build side → every core generates pairs for
-    * a slice of every block. (At 100 TB the build side is the blocked
-    * *dictionary*, still broadcast-sized; a giant build side would call
-    * for salted keys instead — noted here as the fallback.) */
-  private def candidatePairs(spark: SparkSession, dir: String): DataFrame = {
-    val p = blockedParts(spark, dir).withColumn("len", length(col("norm")))
-    val a = p.repartition(spark.sessionState.conf.numShufflePartitions)
-      .select(col("blk"), col("id").as("id_a"), col("norm").as("norm_a"), col("len").as("len_a"))
+  /** Salt fan-out for the blocked self-join: enough sub-keys to spread
+    * a ~20-value block key over every core of a 32-way stage. */
+  private val pairSalts = 32
+
+  /** Candidate pairs within a block over any `(id, norm, blk)` frame —
+    * the reusable pair generator.
+    *
+    * Physical shape: the block key has LOW cardinality (~20 first
+    * tokens at test SF), so a plain shuffle join serializes each block
+    * onto one task, and round 1's forced `broadcast(build)` capped the
+    * pipeline at single-JVM memory (OOM once mentions outgrow a dim).
+    * The salted join does neither: the probe side gets a deterministic
+    * per-row salt (hash of id), the build side replicates nSalts×
+    * through the SHUFFLE, so every core works a 1/nSalts slice of every
+    * block and no collection is ever held on one node.
+    *
+    * `maxBlock`: optional block-size cap — the production knob for the
+    * classic "Smith" problem. Blocks above the cap are REFINED by
+    * extending the key with the second token; refined blocks still
+    * above the cap are DROPPED (explicit overflow policy: a key that
+    * stays pathological after refinement is non-discriminative, and its
+    * n² pairs are match noise — audit them via [[oversizedBlocks]]).
+    * Default None = exact per-block pair semantics (what the DuckDB
+    * oracle replays). */
+  def blockedPairs(blocked: DataFrame, maxBlock: Option[Long] = None): DataFrame = {
+    val p = (maxBlock match {
+      case None      => blocked
+      case Some(cap) => capBlocks(blocked, cap)
+    }).withColumn("len", length(col("norm")))
+    val a = p.select(col("blk"), col("id").as("id_a"), col("norm").as("norm_a"), col("len").as("len_a"))
     val b = p.select(col("blk"), col("id").as("id_b"), col("norm").as("norm_b"), col("len").as("len_b"))
-    a.join(broadcast(b), Seq("blk")).filter(col("id_a") < col("id_b"))
+    Scale.saltedJoin(a, b, "blk", pairSalts, saltOn = col("id_a"))
+      .filter(col("id_a") < col("id_b"))
   }
 
+  /** Apply the block-size cap: refine oversized blocks with the second
+    * token, then drop blocks that remain oversized. Both size scans are
+    * map-side-partial aggregates on the (tiny) block-key domain. */
+  def capBlocks(blocked: DataFrame, cap: Long): DataFrame = {
+    val sizes = blocked.groupBy("blk").agg(count(lit(1)).as("_n"))
+    val refined = blocked.join(sizes, "blk")
+      .withColumn("blk", when(col("_n") > cap,
+          concat_ws("|", col("blk"), coalesce(split(col("norm"), " ").getItem(1), lit(""))))
+        .otherwise(col("blk")))
+      .drop("_n")
+    val sizes2 = refined.groupBy("blk").agg(count(lit(1)).as("_n"))
+    refined.join(sizes2, "blk").filter(col("_n") <= cap).drop("_n")
+  }
+
+  /** Audit companion to the cap: blocks (post-refinement) that the cap
+    * would drop, with their sizes — surfaced, never silently lost. */
+  def oversizedBlocks(blocked: DataFrame, cap: Long): DataFrame = {
+    val sizes = blocked.groupBy("blk").agg(count(lit(1)).as("_n"))
+    val refined = blocked.join(sizes, "blk")
+      .withColumn("blk", when(col("_n") > cap,
+          concat_ws("|", col("blk"), coalesce(split(col("norm"), " ").getItem(1), lit(""))))
+        .otherwise(col("blk")))
+      .drop("_n")
+    refined.groupBy("blk").agg(count(lit(1)).as("n_rows")).filter(col("n_rows") > cap)
+  }
+
+  private def candidatePairs(spark: SparkSession, dir: String): DataFrame =
+    blockedPairs(blockedParts(spark, dir))
+
   /** er_blocking — candidate pairs within a block (per-block n², never
-    * global n²). At production scale add: block-size cap + salting. */
+    * global n²), salted across all cores; see [[blockedPairs]]. */
   def erBlocking(spark: SparkSession, dir: String): DataFrame =
     candidatePairs(spark, dir).select(col("blk"), col("id_a"), col("id_b"))
 
@@ -105,34 +161,39 @@ object ER {
       .select(col("id_a"), col("id_b"), col("norm_a"), col("norm_b"), col("dist"))
   }
 
+  /** Match-graph component map `(id, comp)`, computed ONCE per
+    * (session, input dir) and shared by er_connected_components and
+    * er_canonicalize — the blocking→levenshtein→CC chain is the
+    * expensive part of the ER pipeline and must not run twice. The
+    * memo holds a localCheckpointed (materialized, lineage-free)
+    * frame; size = one row per part id. */
+  private val ccMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def componentsOf(spark: SparkSession, dir: String): DataFrame =
+    ccMemo.getOrElseUpdate((spark, dir), {
+      val edges = erFuzzyMatch(spark, dir)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val vertices = Tables.part(spark, dir).select(col("p_partkey").as("id"))
+      graft.kg.Components.connectedComponents(edges, vertices)
+        .localCheckpoint(eager = true)
+    })
+
   /** er_connected_components — cluster ids over the fuzzy-match edge
-    * set via GraphX (edge-centric label propagation; comp = min vertex
-    * id, singletons included). */
-  def erConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.graphx.{Edge, Graph}
-    val sess = spark
-    import sess.implicits._
-    // materialize the match edges ONCE — GraphX's iterations must not
-    // re-run the blocked levenshtein join every superstep
-    // coalesce: the match graph is tiny relative to the pair-generation
-    // stage; GraphX superstep overhead scales with partition count, so
-    // don't carry 32 near-empty partitions through Pregel
-    val edges = erFuzzyMatch(spark, dir)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(eager = true)
-      .coalesce(4)
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val vertices = Tables.part(spark, dir)
-      .select(col("p_partkey")).rdd.map(r => (r.getLong(0), ()))
-    val graph = Graph(vertices, edges)
-    val cc = graph.connectedComponents().vertices
-    cc.toDF("id", "comp")
-  }
+    * set (comp = min member id, singletons included) via DataFrame
+    * large-star/small-star ([[graft.kg.Components]]). */
+  def erConnectedComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOf(spark, dir)
 
   /** er_linking — link each part mention to the authority concept
-    * dictionary (distinct second tokens, id = min member part id):
-    * broadcast the dictionary, score all (mention, concept) pairs with
-    * Levenshtein, keep top-1 per mention via one window. */
+    * dictionary (distinct second tokens, id = min member part id).
+    * Candidate generation is BLOCKED on shared tokens: a mention is
+    * scored only against concepts whose term appears among the
+    * mention's tokens (inverted-index join — candidates ∝ token
+    * matches, never |mentions|×|concepts|); top-1 per mention via one
+    * window. The concept dictionary side is vocabulary-sized, so the
+    * equi-join broadcasts under AQE at dim scale and degrades to a
+    * plain shuffle join — not an OOM — when the dictionary is huge. */
   def erLinking(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
       .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
@@ -140,7 +201,10 @@ object ER {
       .withColumn("concept", split(col("norm"), " ").getItem(1))
       .filter(col("concept").isNotNull)
       .groupBy(col("concept")).agg(min(col("id")).as("concept_id"))
-    val scored = p.crossJoin(broadcast(concepts))
+    val toks = p
+      .select(col("id"), col("norm"), explode(split(col("norm"), " ")).as("concept"))
+      .distinct()
+    val scored = toks.join(concepts, Seq("concept"))
       .withColumn("score", levenshtein(col("norm"), col("concept")))
     val w = Window.partitionBy(col("id")).orderBy(col("score"), col("concept"))
     scored.withColumn("rk", row_number().over(w))
@@ -153,10 +217,11 @@ object ER {
     * (min-id) part, dropping edges that collapse into one. The
     * reference's "human-confirmed merge → canonical entity id" step
     * closed end-to-end: ER output flows back into the triple store.
-    * The component map is dictionary-sized → broadcast. */
+    * Reuses the shared component map ([[componentsOf]]); the map is
+    * one row per entity (dictionary-sized) → broadcast. */
   def erCanonicalize(spark: SparkSession, dir: String): DataFrame = {
     import graft.kg.Triples
-    val comp = erConnectedComponents(spark, dir)
+    val comp = componentsOf(spark, dir)
       .select((col("id") + lit(Triples.PART * Triples.NS)).as("o_id"),
         (col("comp") + lit(Triples.PART * Triples.NS)).as("canonical"))
     graft.kg.Triples.statements(spark, dir)
@@ -233,8 +298,9 @@ object ER {
     "er_linking" ->
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
          |c AS (SELECT string_split(norm, ' ')[2] AS concept, min(id) AS concept_id
-         |      FROM p WHERE string_split(norm, ' ')[2] IS NOT NULL GROUP BY 1)
+         |      FROM p WHERE string_split(norm, ' ')[2] IS NOT NULL GROUP BY 1),
+         |toks AS (SELECT DISTINCT id, norm, unnest(string_split(norm, ' ')) AS concept FROM p)
          |SELECT id, norm, concept, concept_id, CAST(levenshtein(norm, concept) AS INTEGER) AS score
-         |FROM p CROSS JOIN c
+         |FROM toks JOIN c USING (concept)
          |QUALIFY row_number() OVER (PARTITION BY id ORDER BY levenshtein(norm, concept), concept) = 1""".stripMargin)
 }

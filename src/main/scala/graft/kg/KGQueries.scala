@@ -1,6 +1,7 @@
 package graft.kg
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -88,28 +89,83 @@ object KGQueries {
   }
 
   /** kg_property_path — `(in_nation|in_region)+` transitive closure:
-    * all (entity, transitively-containing place) pairs, via iterative
-    * frontier BFS (the Spark shape of SPARQL `fgt:P2/fgt:P3*`).
+    * all (entity, transitively-containing place) pairs, via semi-naive
+    * iterative fixpoint (the Spark shape of SPARQL path closure).
     * Scale: each hop joins only the previous frontier (not the whole
-    * closure) against the edge set; localCheckpoint bounds lineage. */
+    * closure) against the edge set; new pairs are deduped with a
+    * LEFT-ANTI join against the (checkpointed, materialized) closure —
+    * never an exceptAll re-aggregation of the whole closure — and the
+    * emptiness check is a count on the already-materialized
+    * checkpoint, not a separate plan execution. localCheckpoint per
+    * hop bounds lineage. */
   def kgPropertyPath(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
     val edges = st.filter(col("p").isin("in_nation", "in_region"))
       .select(col("s").as("a"), col("o_id").as("b"))
+      .distinct()
       .localCheckpoint(eager = true)
     var closure = edges
     var frontier = edges
-    var continue = true
-    while (continue) {
-      val next = frontier.join(edges.withColumnRenamed("a", "b_").withColumnRenamed("b", "c"),
-          col("b") === col("b_"))
+    var growing = true
+    while (growing) {
+      val next = frontier
+        .join(edges.withColumnRenamed("a", "b_").withColumnRenamed("b", "c"), col("b") === col("b_"))
         .select(col("a"), col("c").as("b"))
-        .exceptAll(closure).distinct()
+        .distinct()
+        .join(closure, Seq("a", "b"), "left_anti")
         .localCheckpoint(eager = true)
-      if (next.isEmpty) continue = false
-      else { closure = closure.unionAll(next).distinct().localCheckpoint(eager = true); frontier = next }
+      growing = next.count() > 0
+      if (growing) {
+        // next is disjoint from closure (anti-joined) and internally
+        // distinct, so the union needs no re-distinct
+        closure = closure.unionAll(next).localCheckpoint(eager = true)
+        frontier = next
+      }
     }
     closure.select(col("a").as("s"), col("b").as("reach"))
+  }
+
+  /** kg_minus — SPARQL MINUS / FILTER NOT EXISTS: customers located in
+    * a nation, minus those whose market segment is BUILDING — the
+    * reference's exclusion form (apps/companions/queries.R:124,
+    * companions_and_relations.rq:122 `MINUS { ?p fgt:P131 fg:Q400012 }`)
+    * as a left-anti join on the shared variable. Scale: anti-join
+    * shuffles both pattern subsets on s once; no hint, so AQE
+    * broadcasts the (usually small) excluded side when it fits. */
+  def kgMinus(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val inN = pat(st, "in_nation")
+      .filter(col("s") >= lit(Triples.CUSTOMER * NS) && col("s") < lit((Triples.CUSTOMER + 1) * NS))
+      .select(col("s").as("c"), col("o_id").as("n"))
+    val excluded = pat(st, "mktsegment").filter(col("o_val") === "BUILDING")
+      .select(col("s").as("c"))
+    inN.join(excluded, Seq("c"), "left_anti")
+  }
+
+  /** kg_seq_path — sequence property path `p/q*`: one `in_nation` step
+    * then zero-or-more `in_region` steps — the composition form the
+    * reference actually writes (companions_and_relations.rq:59
+    * `?value (fgt:P2/fgt:P3*) fg:Q12`). Delegates to
+    * [[TripleStore.path]] (seeded semi-naive fixpoint). */
+  def kgSeqPath(spark: SparkSession, dir: String): DataFrame =
+    TripleStore(spark, Triples.statements(spark, dir))
+      .path("in_nation", Seq("in_region"))
+
+  /** kg_label_lang — label service with language fallback: each
+    * customer's display label prefers German and falls back to English
+    * (the reference label service's `[AUTO_LANGUAGE]` + FILTER(LANG)
+    * semantics, companions_and_relations.rq:33). One window over the
+    * per-id label set ordered by language priority. */
+  def kgLabelLang(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val labels = pat(st, "label")
+      .filter(col("s") >= lit(Triples.CUSTOMER * NS) && col("s") < lit((Triples.CUSTOMER + 1) * NS))
+      .select(col("s").as("c"), col("o_val").as("label"), col("lang"))
+    val w = Window.partitionBy(col("c"))
+      .orderBy(when(col("lang") === "de", 0).otherwise(1), col("lang"))
+    labels.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c"), col("label"), col("lang"))
   }
 
   /** kg_label_join — label service: resolve placed_by edges to labels
@@ -214,8 +270,10 @@ object KGQueries {
   /** kg_validate — "Remove NA": drop literal statements whose value is
     * NULL/''/'NA' and edges whose target id doesn't exist (dangling
     * ref), on a deterministically-corrupted raw feed; report per
-    * predicate. Scale: the entity-id set join is a broadcast at dim
-    * scale / a co-bucketed semi-join at fact scale. */
+    * predicate. Scale: the entity-id universe is FACT-sized (it
+    * includes every order id), so it is never hinted broadcast — the
+    * plan is a plain outer equi-join on o_id that AQE may broadcast at
+    * test SF and shuffles (or runs co-bucketed) at fact scale. */
   def kgValidate(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
     // deterministic corruption: null/NA some mktsegments, dangle some placed_by
@@ -229,7 +287,7 @@ object KGQueries {
     val litOk = raw.filter(col("o_id").isNull)
       .withColumn("valid", col("o_val").isNotNull && col("o_val") =!= "" && col("o_val") =!= "NA")
     val edgeOk = raw.filter(col("o_id").isNotNull)
-      .join(broadcast(ids), col("o_id") === col("id"), "left_outer")
+      .join(ids, col("o_id") === col("id"), "left_outer")
       .withColumn("valid", col("id").isNotNull)
       .select(litOk.columns.map(col).toIndexedSeq: _*)
     litOk.unionAll(edgeOk)
@@ -268,7 +326,10 @@ object KGQueries {
     "kg_cooccur"       -> (kgCooccur _),
     "kg_graph_diff"    -> (kgGraphDiff _),
     "kg_upsert"        -> (kgUpsert _),
-    "kg_validate"      -> (kgValidate _))
+    "kg_validate"      -> (kgValidate _),
+    "kg_minus"         -> (kgMinus _),
+    "kg_seq_path"      -> (kgSeqPath _),
+    "kg_label_lang"    -> (kgLabelLang _))
 
   private val R0 = Triples.REGION * NS; private val R1 = (Triples.REGION + 1) * NS
   private val C0 = Triples.CUSTOMER * NS; private val C1 = (Triples.CUSTOMER + 1) * NS
@@ -281,7 +342,30 @@ object KGQueries {
          |  SELECT s AS id FROM triples WHERE o_id IS NOT NULL
          |  UNION ALL SELECT o_id FROM triples WHERE o_id IS NOT NULL)
          |SELECT id, count(*) AS degree FROM ends GROUP BY id""".stripMargin,
-    "kg_triples" -> s"$T SELECT s, p, o_id, o_val FROM triples",
+    "kg_triples" -> s"$T SELECT s, p, o_id, o_val, lang FROM triples",
+    "kg_minus" ->
+      s"""$T
+         |SELECT s AS c, o_id AS n FROM triples t
+         |WHERE p='in_nation' AND s BETWEEN $C0 AND ${C1 - 1}
+         |  AND NOT EXISTS (SELECT 1 FROM triples x
+         |                  WHERE x.p='mktsegment' AND x.o_val='BUILDING' AND x.s = t.s)""".stripMargin,
+    "kg_seq_path" ->
+      s"""$T, step AS (SELECT s AS a, o_id AS b FROM triples WHERE p='in_nation'),
+         |e AS (SELECT s AS a, o_id AS b FROM triples WHERE p='in_region')
+         |SELECT DISTINCT a AS s, b AS reach FROM (
+         |  WITH RECURSIVE r(a, b) AS (
+         |    SELECT a, b FROM step
+         |    UNION
+         |    SELECT r.a, e.b FROM r JOIN e ON e.a = r.b)
+         |  SELECT a, b FROM r)""".stripMargin,
+    "kg_label_lang" ->
+      s"""$T
+         |SELECT c, label, lang FROM (
+         |  SELECT s AS c, o_val AS label, lang,
+         |    row_number() OVER (PARTITION BY s
+         |      ORDER BY CASE WHEN lang='de' THEN 0 ELSE 1 END, lang) AS rk
+         |  FROM triples WHERE p='label' AND s BETWEEN $C0 AND ${C1 - 1})
+         |WHERE rk = 1""".stripMargin,
     "kg_bgp_join" ->
       s"""$T
          |SELECT c.s AS c, nm.o_val AS name

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * val store = TripleStore(spark, dir)
   * store.pattern("in_nation")                          // one triple pattern
-  *   .join(store.labeled("o_id"), "o_id")              // label service
+  * store.labeled(store.pattern("in_nation"), "o_id")   // label service
   * store.khop(store.byLabel("ASIA"), k = 2)            // neighborhood
   * store.closure(Seq("in_nation", "in_region"))        // property path +
   * }}}
@@ -30,9 +30,15 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
   def labels: DataFrame =
     pattern("label").select(col("s").as("id"), col("o_val").as("label"))
 
-  /** Label-service join: resolve `idCol` of `df` to labels. */
-  def labeled(df: DataFrame, idCol: String): DataFrame =
-    df.join(broadcast(labels), df(idCol) === col("id")).drop("id")
+  /** Label-service join: resolve `idCol` of `df` to labels. The label
+    * frame is aliased and referenced qualified, so `df` may itself
+    * carry an `id` column (e.g. labeling a degree table) without
+    * ambiguity. */
+  def labeled(df: DataFrame, idCol: String): DataFrame = {
+    val lbl = labels.alias("_graft_lbl")
+    df.join(broadcast(lbl), df(idCol) === col("_graft_lbl.id"))
+      .drop(col("_graft_lbl.id"))
+  }
 
   /** Seed set: entity ids carrying an exact label. */
   def byLabel(label: String): DataFrame =
@@ -64,24 +70,42 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
   }
 
   /** Transitive closure over a predicate alternation — SPARQL
-    * `(p1|p2)+`. Iterative fixpoint; localCheckpoint bounds lineage. */
-  def closure(preds: Seq[String]): DataFrame = {
-    val e = statements.filter(col("p").isin(preds: _*))
+    * `(p1|p2)+`. Semi-naive iterative fixpoint: each hop joins only
+    * the frontier, dedups new pairs with a left-anti join against the
+    * materialized closure, and checks emptiness via a count on the
+    * checkpoint (no separate plan execution). */
+  def closure(preds: Seq[String]): DataFrame =
+    TripleStore.fixpoint(
+      statements.filter(col("p").isin(preds: _*))
+        .select(col("s").as("a"), col("o_id").as("b")))
+      .select(col("a").as("s"), col("b").as("reach"))
+
+  /** SPARQL MINUS / FILTER NOT EXISTS: rows of `left` whose `on`
+    * columns have no match in `right` (left-anti join — the excluded
+    * pattern never contributes columns, exactly MINUS semantics). */
+  def minus(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
+    left.join(right, on, "left_anti")
+
+  /** Sequence property path `step/closure*`: one step of `step`, then
+    * zero-or-more steps over `closurePreds` — SPARQL `p/q*` (e.g. the
+    * reference's `fgt:P2/fgt:P3*`). Seeded semi-naive fixpoint: the
+    * step pairs are the seed (zero closure steps included), each hop
+    * extends only the frontier. */
+  def path(step: String, closurePreds: Seq[String]): DataFrame = {
+    val first = pattern(step).select(col("s").as("a"), col("o_id").as("b"))
+    val e = statements.filter(col("p").isin(closurePreds: _*))
       .select(col("s").as("a"), col("o_id").as("b"))
-      .localCheckpoint(eager = true)
-    var acc = e
-    var frontier = e
-    var continue = true
-    while (continue) {
-      val next = frontier
-        .join(e.withColumnRenamed("a", "b_").withColumnRenamed("b", "c"), col("b") === col("b_"))
-        .select(col("a"), col("c").as("b"))
-        .exceptAll(acc).distinct()
-        .localCheckpoint(eager = true)
-      if (next.isEmpty) continue = false
-      else { acc = acc.unionAll(next).distinct().localCheckpoint(eager = true); frontier = next }
-    }
-    acc.select(col("a").as("s"), col("b").as("reach"))
+    TripleStore.fixpoint(e, seed = Some(first))
+      .select(col("a").as("s"), col("b").as("reach"))
+  }
+
+  /** VALUES-style inline seed set (SPARQL `VALUES ?x { ... }`,
+    * network-03-federated.rq:32): a driver-side id list as a
+    * broadcastable seed frame for khop/joins. */
+  def values(ids: Seq[Long]): DataFrame = {
+    val sess = spark
+    import sess.implicits._
+    ids.toDF("node")
   }
 
   /** Statement diff against another store's statements for one
@@ -102,6 +126,34 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
 }
 
 object TripleStore {
+
+  /** Transitive-closure fixpoint over an edge set `(a, b)`: returns
+    * all pairs reachable via 1+ edge steps, optionally restricted to
+    * start pairs `seed` (defaults to the edges themselves). Semi-naive:
+    * per hop, only the frontier joins the edge set; dedup is a
+    * left-anti against the materialized closure; emptiness is a count
+    * on the eager checkpoint. Shared by `closure` and `path`. */
+  private[kg] def fixpoint(edges: DataFrame, seed: Option[DataFrame] = None): DataFrame = {
+    val e = edges.distinct().localCheckpoint(eager = true)
+    var acc = seed.map(_.distinct().localCheckpoint(eager = true)).getOrElse(e)
+    var frontier = acc
+    var growing = true
+    while (growing) {
+      val next = frontier
+        .join(e.withColumnRenamed("a", "b_").withColumnRenamed("b", "c"), col("b") === col("b_"))
+        .select(col("a"), col("c").as("b"))
+        .distinct()
+        .join(acc, Seq("a", "b"), "left_anti")
+        .localCheckpoint(eager = true)
+      growing = next.count() > 0
+      if (growing) {
+        acc = acc.unionAll(next).localCheckpoint(eager = true)
+        frontier = next
+      }
+    }
+    acc
+  }
+
   /** Store over the test star schema's RML-lite mapping. */
   def apply(spark: SparkSession, dir: String): TripleStore =
     new TripleStore(spark, Triples.statements(spark, dir))

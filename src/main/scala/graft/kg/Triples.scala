@@ -60,10 +60,21 @@ object Triples {
     Rule("orders",   "o_orderkey",  ORDER,    "status",     "o_orderstatus",  None),
     Rule("orders",   "o_orderkey",  ORDER,    "priority",   "o_orderpriority", None))
 
-  /** The full statements DataFrame: `(s, p, o_id, o_val)`. */
-  def statements(spark: SparkSession, dir: String): DataFrame =
-    rules.map { r =>
-      val base = Tables.load(spark, dir, r.table).select(
+  /** Language tag for a rule's literal: base `label` literals are
+    * tagged 'en' (the source archive's labels are one language); all
+    * other statements carry NULL. A deterministic synthetic German
+    * label branch ([[deLabelCol]]/[[deLabelSql]]) gives the label
+    * dimension a second language, so the reference's label-service
+    * language fallback (`[AUTO_LANGUAGE]`,
+    * companions_and_relations.rq:33) is an expressible, testable
+    * query (kg_label_lang). */
+  private def langOf(r: Rule): Option[String] =
+    if (r.oNs.isEmpty && r.p == "label") Some("en") else None
+
+  /** The full statements DataFrame: `(s, p, o_id, o_val, lang)`. */
+  def statements(spark: SparkSession, dir: String): DataFrame = {
+    val base = rules.map { r =>
+      val row = Tables.load(spark, dir, r.table).select(
         id(r.sNs, col(r.sKey)).as("s"),
         lit(r.p).as("p"),
         (r.oNs match {
@@ -73,9 +84,20 @@ object Triples {
         (r.oNs match {
           case Some(_) => lit(null).cast("string")
           case None    => col(r.oCol).cast("string")
-        }).as("o_val"))
-      if (r.distinct) base.distinct() else base
+        }).as("o_val"),
+        langOf(r).map(lit(_)).getOrElse(lit(null)).cast("string").as("lang"))
+      if (r.distinct) row.distinct() else row
     }.reduce(_ unionAll _)
+    val de = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(
+        id(CUSTOMER, col("c_custkey")).as("s"),
+        lit("label").as("p"),
+        lit(null).cast("long").as("o_id"),
+        concat(lit("DE "), col("c_name")).cast("string").as("o_val"),
+        lit("de").as("lang"))
+    base.unionAll(de)
+  }
 
   /** DuckDB CTE defining the identical `triples` relation. */
   val sqlCte: String = {
@@ -88,10 +110,16 @@ object Triples {
         case Some(_) => "CAST(NULL AS VARCHAR)"
         case None    => s"CAST(${r.oCol} AS VARCHAR)"
       }
+      val lang = langOf(r) match {
+        case Some(l) => s"'$l'"
+        case None    => "CAST(NULL AS VARCHAR)"
+      }
       val d = if (r.distinct) "DISTINCT " else ""
-      s"SELECT $d${idSql(r.sNs, r.sKey)} AS s, '${r.p}' AS p, $oId AS o_id, $oVal AS o_val FROM ${r.table}"
+      s"SELECT $d${idSql(r.sNs, r.sKey)} AS s, '${r.p}' AS p, $oId AS o_id, $oVal AS o_val, $lang AS lang FROM ${r.table}"
     }
-    selects.mkString("WITH triples AS (\n", "\nUNION ALL\n", "\n)")
+    val de = s"SELECT ${idSql(CUSTOMER, "c_custkey")} AS s, 'label' AS p, CAST(NULL AS BIGINT) AS o_id, " +
+      "'DE ' || CAST(c_name AS VARCHAR) AS o_val, 'de' AS lang FROM customer WHERE c_custkey % 3 = 0"
+    (selects :+ de).mkString("WITH triples AS (\n", "\nUNION ALL\n", "\n)")
   }
 
   /** All known entity ids (for referential validation). */

@@ -1,9 +1,9 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path}
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -11,28 +11,40 @@ import graft.sources.Tables
 import graft.util.Exact._
 
 /** Structured Streaming (SURVEY §2.E): tumbling-window aggregation
-  * with a watermark, replayed deterministically through a memory
-  * source/sink so the DuckDB batch oracle can check it.
+  * with a watermark and custom sessionization state, replayed
+  * deterministically through a FILE source so the DuckDB batch oracle
+  * can check the result.
   *
-  * Production shape: `spark.readStream` (Kafka/files) → withWatermark
-  * → window agg → `writeStream` with checkpointing; state lives in the
-  * state store, partitioned by grouping key. The test harness here
-  * feeds the same rows through MemoryStream in APPEND mode — late
-  * sentinel batches advance the watermark so every real window is
-  * sealed and emitted, proving the watermark path (not just
-  * complete-mode replay).
+  * Replay shape (the production shape, shrunk): the events table is
+  * staged once to a parquet directory with a distributed write (the
+  * driver never holds the data); `spark.readStream` tails that
+  * directory; two late sentinel files are dropped in afterwards to
+  * advance the watermark past every real event so all windows /
+  * sessions seal and emit. Only the memory SINK is test-harness-only —
+  * swap it for a file/Kafka sink and this is the deployed topology.
+  * Round 1 fed the stream by `collect()`ing the whole table into a
+  * MemoryStream — that kept the input on the driver (7 MiB task
+  * binaries in the logs, OOM at any real scale); nothing here touches
+  * the driver now.
+  *
+  * Each replay runs on a CLONED SparkSession (`spark.newSession()` —
+  * same SparkContext, separate SQLConf/catalog), so the reduced
+  * shuffle-partition count and the memory-sink table name never leak
+  * into concurrently-running batch queries on the caller's session.
   *
   * Scale notes: tumbling windows + watermark = bounded state (only
   * unsealed windows are held); the aggregation shuffles once on
-  * (window, event_type). Money math is exact DECIMAL, so emitted rows
-  * are identical at any parallelism.
+  * (window, event_type). Money math is exact DECIMAL / micro-unit
+  * longs, so emitted rows are identical at any parallelism. State
+  * store cost ∝ partitions × microbatches — the clone runs 8 shuffle
+  * partitions for the tiny replay; size to key cardinality in prod.
   */
 object Streaming {
 
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Open-session state: (session index, start ms, last ms, n events,
+  /** Open-session state: (session index, start µs, last µs, n events,
     * value sum in micro-units — scaled long reproduces the
     * DECIMAL(18,6) exact-sum semantics of [[graft.util.Exact]]). */
   type SessState = (Long, Long, Long, Long, Long)
@@ -41,10 +53,19 @@ object Streaming {
 
   // object-level (reached via the static module from executor closures —
   // DateTimeFormatter is not Serializable, so it must not be captured)
-  private val sessGapMs = 1800000L
-  private def sessFmt(ms: Long): String =
+  /** Session gap in MICROseconds: events.ts is µs-grained, and the
+    * batch oracle compares gaps in epoch_us — millisecond truncation
+    * here would silently merge sessions split by a gap in
+    * (1800000000, 1800000999] µs. */
+  private val sessGapUs = 1800000000L
+  /** Event time in epoch µs (Timestamp.getTime is ms-truncated; the
+    * sub-ms component lives in getNanos). */
+  private def evMicros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  private def sessFmt(us: Long): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
-      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochMilli(ms))
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(Math.floorDiv(us, 1000L)))
   private def micros(v: Double): Long =
     BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP)
       .bigDecimal.movePointRight(6).longValueExact()
@@ -59,13 +80,13 @@ object Streaming {
       state.remove()
       return closed.iterator
     }
-    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val sorted = events.toSeq.sortBy(e => (evMicros(e.ts), e.event_id))
     var sessions = List.empty[SessOut]
     var cur = state.getOption
     for (e <- sorted) {
-      val t = e.ts.getTime
+      val t = evMicros(e.ts)
       cur match {
-        case Some(s) if t - s._3 <= sessGapMs =>
+        case Some(s) if t - s._3 <= sessGapUs =>
           cur = Some((s._1, s._2, t, s._4 + 1, s._5 + micros(e.value)))
         case Some(s) =>
           sessions ::= out(s)
@@ -75,60 +96,78 @@ object Streaming {
       }
     }
     state.update(cur.get)
-    state.setTimeoutTimestamp(cur.get._3 + sessGapMs)
+    // GroupState timeouts are millisecond-granular: round UP so the
+    // timeout never fires a µs-hair early (late sealing is harmless)
+    state.setTimeoutTimestamp(Math.floorDiv(cur.get._3 + sessGapUs + 999L, 1000L))
     sessions.reverse.iterator
   }
 
-  /** Run `body` with a reduced shuffle-partition count: streaming
-    * state stores cost per partition per microbatch, and the replayed
-    * test streams are small — 8 partitions beats dragging the batch
-    * engine's 32 through 3 microbatches of state-store I/O. (On a real
-    * cluster, size state partitions to key cardinality instead.) */
-  private def withFewPartitions[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
-    try body finally spark.conf.set(key, prev)
+  private val evSchema = Encoders.product[Ev].schema
+
+  /** Stage the events table + run one file-source replay: write events
+    * parquet (distributed), stream-read it, push two late sentinel
+    * files to advance the watermark, return the memory-sink table.
+    * `build` maps the watermarked streaming Dataset to its output. */
+  private def fileReplay(outer: SparkSession, dir: String, sinkName: String)(
+      build: Dataset[Ev] => DataFrame): DataFrame = {
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val staging = Files.createTempDirectory("graft_stream_src").toString
+    val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
+
+    val events = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    events.write.mode("append").parquet(staging)
+    // one-row aggregate — the only thing the driver ever holds
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    def sentinel(offsetH: Int): DataFrame = {
+      import spark.implicits._
+      Seq(Ev(-1L, new Timestamp(maxTs.getTime + offsetH * 3600L * 1000), -1L, "sentinel", 0.0)).toDF()
+    }
+
+    import spark.implicits._
+    val source = spark.readStream.schema(evSchema).parquet(staging).as[Ev]
+    val q = build(source).writeStream.format("memory").queryName(sinkName)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past all
+      // real windows/sessions, the second triggers their emission
+      sentinel(3).write.mode("append").parquet(staging)
+      q.processAllAvailable()
+      sentinel(6).write.mode("append").parquet(staging)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(java.nio.file.Paths.get(staging))
+      deleteRecursively(java.nio.file.Paths.get(checkpoint))
+    }
+    spark.table(sinkName)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val children = Files.list(p)
+      try children.forEach(c => deleteRecursively(c)) finally children.close()
+    }
+    Files.deleteIfExists(p)
   }
 
   /** stream_window_agg — 1-hour tumbling windows per event_type. */
-  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame = withFewPartitions(spark) {
-    import spark.implicits._
-    val rows = Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Ev].collect().toSeq // test harness only: prod reads Kafka/files
-
-    val maxTs = rows.map(_.ts.getTime).max
-    def sentinel(offsetH: Int) =
-      Ev(-1L, new Timestamp(maxTs + offsetH * 3600L * 1000), -1L, "sentinel", 0.0)
-
-    implicit val sc = spark.sqlContext
-    val source = MemoryStream[Ev]
-    val agg = source.toDF()
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(money(col("value"))).as("sum_value_dec"))
-    val sinkName = "graft_stream_out"
-    val q = agg.writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      source.addData(rows)
-      q.processAllAvailable()
-      // two sentinel batches: the first advances the watermark past all
-      // real windows, the second triggers their emission
-      source.addData(Seq(sentinel(3)))
-      q.processAllAvailable()
-      source.addData(Seq(sentinel(6)))
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(sinkName)
+  def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
+    fileReplay(spark, dir, "graft_stream_out") { source =>
+      source.toDF()
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(money(col("value"))).as("sum_value_dec"))
+    }
       .filter(col("event_type") =!= "sentinel")
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
         col("event_type"),
         col("n_events"),
         exactDouble(col("sum_value_dec")).as("sum_value"))
-  }
 
   /** stream_sessionize — custom per-key state via
     * flatMapGroupsWithState: 30-minute-gap sessions per user, emitted
@@ -141,35 +180,16 @@ object Streaming {
     * watermark passes the gap timeout — the production pattern for
     * sessionization over an unbounded stream.
     */
-  def streamSessionize(spark: SparkSession, dir: String): DataFrame = withFewPartitions(spark) {
-    import spark.implicits._
+  def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
-
-    val rows = Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Ev].collect().toSeq
-    val maxTs = rows.map(_.ts.getTime).max
-    def sentinel(offsetH: Int) =
-      Ev(-1L, new Timestamp(maxTs + offsetH * 3600L * 1000), -1L, "sentinel", 0.0)
-
-    implicit val sc = spark.sqlContext
-    val source = MemoryStream[Ev]
-    val sessions = source.toDS()
-      .withWatermark("ts", "1 hour")
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessEmit _)
-    val sinkName = "graft_stream_sessions"
-    val q = sessions.toDF().writeStream.format("memory").queryName(sinkName)
-      .outputMode(OutputMode.Append()).start()
-    try {
-      source.addData(rows)
-      q.processAllAvailable()
-      source.addData(Seq(sentinel(3)))
-      q.processAllAvailable()
-      source.addData(Seq(sentinel(6)))
-      q.processAllAvailable()
-    } finally q.stop()
-    spark.table(sinkName).filter(col("user_id") >= 0)
+    fileReplay(spark, dir, "graft_stream_sessions") { source =>
+      source
+        .withWatermark("ts", "1 hour")
+        .groupByKey(_.user_id)(Encoders.scalaLong)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(sessEmit _)(
+          Encoders.product[SessState], Encoders.product[SessOut])
+        .toDF()
+    }.filter(col("user_id") >= 0)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

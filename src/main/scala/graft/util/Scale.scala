@@ -1,6 +1,6 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout and skew utilities for the 100 TB path.
@@ -38,13 +38,28 @@ object Scale {
       .join(spark.table(rightTable).hint("merge"), key)
 
   /** Salted equi-join: result-identical to `large.join(small, key)`,
-    * with the large side spread over `nSalts` sub-keys. The salt is
-    * derived per-row (uniform), the small side is replicated nSalts×. */
-  def saltedJoin(large: DataFrame, small: DataFrame, key: String, nSalts: Int): DataFrame = {
+    * with the large side spread over `nSalts` sub-keys and the small
+    * side replicated nSalts× THROUGH THE SHUFFLE (never the driver —
+    * unlike a broadcast, nothing here is bounded by one JVM's memory).
+    * `saltOn` picks the salt source: default is per-row position
+    * (uniform); pass a stable column (e.g. the row's id) when the plan
+    * must be deterministic across retries/stage re-runs. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String, nSalts: Int,
+      saltOn: Column = monotonically_increasing_id()): DataFrame = {
+    // EXPLICIT repartition on the (key, salt) join key: when the join
+    // output is much larger than its inputs (pair generation), AQE's
+    // input-size-based coalescing would collapse the small shuffles to
+    // a handful of partitions and serialize the explosive join — a
+    // user-specified partition count is exempt from coalescing, so the
+    // join keeps full parallelism. Partitioning matches the join keys,
+    // so no further exchange is planned.
+    val n = large.sparkSession.sessionState.conf.numShufflePartitions
     val salted = large.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(nSalts.toLong)).cast("int"))
+        pmod(xxhash64(saltOn), lit(nSalts.toLong)).cast("int"))
+      .repartition(n, col(key), col("_salt"))
     val replicated = small.withColumn("_salt",
-      explode(array((0 until nSalts).map(lit): _*)))
+        explode(array((0 until nSalts).map(lit): _*)))
+      .repartition(n, col(key), col("_salt"))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 }
