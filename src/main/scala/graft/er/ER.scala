@@ -170,6 +170,11 @@ object ER {
   private val ccMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Drop memoized component maps. Bench calls this before every
+    * timed repetition so each query is measured at its standalone
+    * cold cost; pipelines (and Verify) keep the shared result. */
+  def resetMemo(): Unit = ccMemo.clear()
+
   private def componentsOf(spark: SparkSession, dir: String): DataFrame =
     ccMemo.getOrElseUpdate((spark, dir), {
       val edges = erFuzzyMatch(spark, dir)

@@ -49,10 +49,112 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("ann-lsh neighbors are a subset of each query's bucket, ranked") {
+  test("ann-lsh: at most 5 ranked neighbors per query") {
     val rows = graft.dedup.Dedup.simAnnLsh(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[Long]("q")).values.foreach(rs => assert(rs.length <= 5))
+  }
+
+  test("ann-lsh multi-probe recall@5 vs bruteforce truth") {
+    val truth = Dedup.simTopkBruteforce(spark, sf)
+      .select("q", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ann = Dedup.simAnnLsh(spark, sf)
+      .select("q", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      t.intersect(ann.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"ann recall@5 = $recall%.3f over ${recalls.size} queries")
+    // radius-2 multi-probe (22 of 64 buckets). The synthetic test
+    // embeddings are near-uniform (neighbor cosine ~0.4 -> bit
+    // agreement ~0.63), LSH's worst case: binomial P(<=2 of 6 bits
+    // flip) predicts ~0.6 here, and real clustered embeddings sit far
+    // higher. Floor set under the prediction; number in SURVEY §5.
+    assert(recall >= 0.5, f"multi-probe recall@5 $recall%.3f below floor")
+  }
+
+  test("simhash pairs equal an independent in-memory recomputation") {
+    // recompute every signature from scratch (same xxhash64 primitive,
+    // different code path) and the full O(n^2) Hamming<=7 pair set;
+    // the pigeonhole-blocked query must return EXACTLY that set
+    val sess = spark
+    import sess.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val words = docs.flatMap(_._2.split(" ")).distinct.toSeq
+    val hash = words.toDF("w").withColumn("h", xxhash64(col("w")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def sig(text: String): Long = {
+      val counts = text.split(" ").groupBy(identity).view.mapValues(_.length.toLong)
+      val v = new Array[Long](64)
+      for ((w, cnt) <- counts; h = hash(w); j <- 0 until 64)
+        v(j) += (if (((h >> j) & 1L) == 1L) cnt else -cnt)
+      (0 until 64).foldLeft(0L)((acc, j) => if (v(j) > 0) acc | (1L << j) else acc)
+    }
+    val sigs = docs.map { case (id, text) => id -> sig(text) }
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      (ida, sa) = sigs(i); (idb, sb) = sigs(j)
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 7
+    } yield (math.min(ida, idb), math.max(ida, idb), d)).toSet
+    val actual = Dedup.dedupSimhash(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(actual == expected,
+      s"missing=${expected.diff(actual).take(5)} extra=${actual.diff(expected).take(5)}")
+  }
+
+  test("fingerprint: near-dup doc shares most fingerprints (prefix invariance)") {
+    // winnowing property: a doc and the same doc with a prepended
+    // paragraph select (mostly) the same min-hashes on the shared text
+    val sess = spark
+    import sess.implicits._
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy(length(col("text")).desc, col("doc_id")).select(col("text")).as[String].first()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp_test").toString
+    Seq((1L, base, "en"), (2L, s"an unrelated leading paragraph goes here $base", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val fps = Text.textFingerprint(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val f1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    val overlap = f1.intersect(f2).size.toDouble / f1.size
+    info(f"fingerprint overlap = $overlap%.3f")
+    assert(overlap >= 0.8, f"prefix broke fingerprint stability: $overlap%.3f")
+  }
+
+  test("ngram maxDf cap: a planted stopword shingle stops blowing up pairs") {
+    val sess = spark
+    import sess.implicits._
+    // 30 docs: all share one ubiquitous shingle ("aa bb cc"); only
+    // docs 1 and 2 are real near-dups
+    val stop = "aa bb cc"
+    val docs = (1L to 30L).map { i =>
+      val body = if (i <= 2) "real duplicate content here" else s"unique body $i x$i y$i z$i"
+      (i, s"$stop $body", "en")
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_df_test").toString
+    docs.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val unfiltered = Dedup.ngramJaccard(spark, tmp, maxDf = None)
+      .select("a", "b").count()
+    val capped = Dedup.ngramJaccard(spark, tmp, maxDf = Some(10L))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the stopword shingle links every doc pair at jaccard>=0 but only
+    // the threshold keeps that bounded; with the cap the posting list
+    // of the hot shingle is dropped entirely and only the real pair
+    // survives candidate generation
+    assert(capped == Set((1L, 2L)), s"capped pairs: $capped")
+    assert(unfiltered >= capped.size)
+    // cap high enough to keep everything = exact result
+    val loose = Dedup.ngramJaccard(spark, tmp, maxDf = Some(1000L))
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(spark, tmp, maxDf = None)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == exact)
   }
 
   test("langid prediction is deterministic and scores are consistent") {
