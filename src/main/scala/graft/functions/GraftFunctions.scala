@@ -18,6 +18,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * the fold order of `aggregate(zip_with(...))` and of DuckDB's
   * `list_dot_product` — so results are bit-identical to both (the
   * correctness gate hashes raw doubles).
+  *
+  * Edge case: a ZERO vector (or empty array) has norm 0, so the
+  * result is NaN (0/0) — deliberately matching IEEE semantics and
+  * DuckDB's `list_dot_product / (norm * norm)` oracle rather than
+  * masking it. Cosine similarity is mathematically undefined for the
+  * zero vector; callers that want a sentinel should wrap with
+  * `nanvl(cosine_sim(a, b), lit(0.0))` (or filter zero-norm rows
+  * upstream), which keeps the choice explicit in the query plan.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {

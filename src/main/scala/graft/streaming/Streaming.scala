@@ -20,12 +20,14 @@ import graft.util.Exact._
   * driver never holds the data); `spark.readStream` tails that
   * directory; two late sentinel files are dropped in afterwards to
   * advance the watermark past every real event so all windows /
-  * sessions seal and emit. Only the memory SINK is test-harness-only —
-  * swap it for a file/Kafka sink and this is the deployed topology.
-  * Round 1 fed the stream by `collect()`ing the whole table into a
-  * MemoryStream — that kept the input on the driver (7 MiB task
-  * binaries in the logs, OOM at any real scale); nothing here touches
-  * the driver now.
+  * sessions seal and emit; results land in a parquet file SINK read
+  * back lazily. File source → transforms → file sink IS the deployed
+  * topology (swap the directories for Kafka topics at will). Round 1
+  * fed the stream by `collect()`ing the whole table into a
+  * MemoryStream and read results from a driver-memory sink — both
+  * directions held the data on the driver (7–8 MiB task binaries in
+  * the logs, OOM at any real scale); nothing here touches the driver
+  * now beyond a one-row max(ts) aggregate.
   *
   * Each replay runs on a CLONED SparkSession (`spark.newSession()` —
   * same SparkContext, separate SQLConf/catalog), so the reduced
@@ -106,14 +108,18 @@ object Streaming {
 
   /** Stage the events table + run one file-source replay: write events
     * parquet (distributed), stream-read it, push two late sentinel
-    * files to advance the watermark, return the memory-sink table.
+    * files to advance the watermark, sink to parquet FILES, and return
+    * a reader over the sink — file source AND file sink, so neither
+    * input nor output ever funnels through the driver (the round-1
+    * memory-sink read carried ~8 MiB per task at sf0.1).
     * `build` maps the watermarked streaming Dataset to its output. */
-  private def fileReplay(outer: SparkSession, dir: String, sinkName: String)(
+  private def fileReplay(outer: SparkSession, dir: String)(
       build: Dataset[Ev] => DataFrame): DataFrame = {
     val spark = outer.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val staging = Files.createTempDirectory("graft_stream_src").toString
     val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
+    val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
 
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -127,7 +133,8 @@ object Streaming {
 
     import spark.implicits._
     val source = spark.readStream.schema(evSchema).parquet(staging).as[Ev]
-    val q = build(source).writeStream.format("memory").queryName(sinkName)
+    val q = build(source).writeStream.format("parquet")
+      .option("path", sinkDir)
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append()).start()
     try {
@@ -142,8 +149,9 @@ object Streaming {
       q.stop()
       deleteRecursively(java.nio.file.Paths.get(staging))
       deleteRecursively(java.nio.file.Paths.get(checkpoint))
+      // sinkDir stays — the returned DataFrame reads it lazily
     }
-    spark.table(sinkName)
+    spark.read.parquet(sinkDir)
   }
 
   private def deleteRecursively(p: Path): Unit = {
@@ -156,7 +164,7 @@ object Streaming {
 
   /** stream_window_agg — 1-hour tumbling windows per event_type. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    fileReplay(spark, dir, "graft_stream_out") { source =>
+    fileReplay(spark, dir) { source =>
       source.toDF()
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -182,7 +190,7 @@ object Streaming {
     */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    fileReplay(spark, dir, "graft_stream_sessions") { source =>
+    fileReplay(spark, dir) { source =>
       source
         .withWatermark("ts", "1 hour")
         .groupByKey(_.user_id)(Encoders.scalaLong)

@@ -52,4 +52,14 @@ class FunctionsSpec extends SparkSpec {
       .first()
     assert(r.isNullAt(0))
   }
+
+  test("cosine_sim zero vector is NaN (documented); nanvl is the sentinel recipe") {
+    GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS c,
+        |       nanvl(cosine_sim(array(0.0D, 0.0D), array(1.0D, 2.0D)), 0.0D) AS c0""".stripMargin)
+      .first()
+    assert(r.getDouble(0).isNaN)
+    assert(r.getDouble(1) == 0.0)
+  }
 }
