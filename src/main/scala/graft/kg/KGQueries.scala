@@ -307,7 +307,13 @@ object KGQueries {
   }
 
   /** kg_pagerank — PageRank over the entity graph, fixed 10 iterations
-    * (deterministic; [R]: float scores have no exact SQL oracle). */
+    * ([R]: float scores have no exact SQL oracle). GraphX
+    * `staticPageRank`, kept after MEASURING the DataFrame alternative
+    * ([[Components.staticPageRank]], result-identical within 1e-6):
+    * 13 s vs 23 s at sf0.1 — ten fixed iterations over the full
+    * 1.2M-edge graph favor Pregel's cached specialized joins over 40
+    * DataFrame shuffles, the opposite of the few-round CC case
+    * (SURVEY §5 records both numbers). */
   def kgPagerank(spark: SparkSession, dir: String): DataFrame =
     Graphs.staticPageRank(spark, Triples.statements(spark, dir), numIter = 10)
       .filter(col("rank") > 1.0)

@@ -42,6 +42,20 @@ class KGSpec extends SparkSpec {
     assert(hop1 == expected)
   }
 
+  test("DataFrame staticPageRank matches GraphX staticPageRank within 1e-6") {
+    import graft.kg.{Components, Graphs, Triples}
+    val st = Triples.statements(spark, sf)
+    val df = Components.staticPageRank(
+        st.filter(col("o_id").isNotNull)
+          .select(col("s").as("src"), col("o_id").as("dst")), numIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val gx = Graphs.staticPageRank(spark, st, numIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(df.keySet == gx.keySet)
+    val maxDiff = df.map { case (id, r) => math.abs(r - gx(id)) }.max
+    assert(maxDiff < 1e-6, s"max rank divergence $maxDiff")
+  }
+
   test("graph diff statuses partition the keyspace") {
     val d = KGQueries.kgGraphDiff(spark, sf)
     val statuses = d.groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
