@@ -1,12 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — one JSON line with per-query COLD (first run after
+  * full storage cleanup) and WARM (median of `reps` immediate re-runs)
+  * seconds. Cold and warm are reported separately so a one-off
+  * materialization cost (e.g. a graph build) is distinguishable from a
+  * plan regression across rounds.
+  *
+  * Storage hygiene between queries: memoized ER component maps are
+  * dropped AND their blocks freed, the SQL cache is cleared, and every
+  * persistent RDD still registered with the context (GraphX graphs,
+  * fixpoint localCheckpoints awaiting GC) is unpersisted. Without the
+  * sweep, late-suite queries run under the accumulated storage of every
+  * earlier one — round 2's ER medians read 2.5–5× their standalone
+  * cost for exactly this reason.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // runs per query; the per-query number reported is the MEDIAN, so
-    // round-over-round regressions are detectable through the ±40%
-    // single-run machine noise documented in SURVEY §5
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,30 +29,41 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
-        // measure standalone cold cost: cross-query memos (shared ER
-        // component map) would otherwise zero out reps 2..n
-        graft.er.ER.resetMemo()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9 ) }
-        catch { case e: Throwable =>
-          if (!failed.contains(name)) failed ::= name
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
-        }
-      }
-      val median =
-        if (times.isEmpty) 0.0
-        else times.sorted.apply(times.size / 2)
-      name -> median
+
+    def sweep(): Unit = {
+      graft.er.ER.resetMemo()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc() // nudge ContextCleaner for anything only reachable via GC
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    var failed = List.empty[String]
+    def timed(name: String)(body: => Unit): Option[Double] = {
+      val t0 = System.nanoTime()
+      try { body; Some((System.nanoTime() - t0) / 1e9) }
+      catch { case e: Throwable =>
+        if (!failed.contains(name)) failed ::= name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        None
+      }
+    }
+
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      sweep()
+      val cold = timed(name) { fn(spark, sfDir).count() }
+      // warm reps reuse whatever the query itself caches/memoizes —
+      // that is the definition of warm; the sweep runs only before cold
+      val warms = (1 to reps).flatMap(_ => timed(name) { fn(spark, sfDir).count() })
+      val warmMedian = if (warms.isEmpty) 0.0 else warms.sorted.apply(warms.size / 2)
+      name -> (cold.getOrElse(0.0), warmMedian)
+    }
+
+    def json(sel: ((Double, Double)) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+    val totalCold = results.values.map(_._1).sum
+    val totalWarm = results.values.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${json(_._1)},"queries_warm":${json(_._2)},"total_warm":$totalWarm,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

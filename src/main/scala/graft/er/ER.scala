@@ -165,23 +165,31 @@ object ER {
     * (session, input dir) and shared by er_connected_components and
     * er_canonicalize — the blocking→levenshtein→CC chain is the
     * expensive part of the ER pipeline and must not run twice. The
-    * memo holds a localCheckpointed (materialized, lineage-free)
-    * frame; size = one row per part id. */
+    * memo holds a persisted + materialized frame (size = one row per
+    * part id); persist — not localCheckpoint — so [[resetMemo]] can
+    * FREE the storage blocks explicitly instead of leaking them until
+    * GC (the round-2 bench leak: cleared map, live blocks). */
   private val ccMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Drop memoized component maps. Bench calls this before every
-    * timed repetition so each query is measured at its standalone
-    * cold cost; pipelines (and Verify) keep the shared result. */
-  def resetMemo(): Unit = ccMemo.clear()
+  /** Drop memoized component maps AND free their storage blocks.
+    * Bench calls this before every cold measurement so each query is
+    * measured at its standalone cost; pipelines (and Verify) keep the
+    * shared result. */
+  def resetMemo(): Unit = {
+    ccMemo.values.foreach(_.unpersist(blocking = false))
+    ccMemo.clear()
+  }
 
   private def componentsOf(spark: SparkSession, dir: String): DataFrame =
     ccMemo.getOrElseUpdate((spark, dir), {
       val edges = erFuzzyMatch(spark, dir)
         .select(col("id_a").as("a"), col("id_b").as("b"))
       val vertices = Tables.part(spark, dir).select(col("p_partkey").as("id"))
-      graft.kg.Components.connectedComponents(edges, vertices)
-        .localCheckpoint(eager = true)
+      val comp = graft.kg.Components.connectedComponents(edges, vertices)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      comp.count() // materialize now: both consumers read blocks, not lineage
+      comp
     })
 
   /** er_connected_components — cluster ids over the fuzzy-match edge
@@ -222,8 +230,11 @@ object ER {
     * (min-id) part, dropping edges that collapse into one. The
     * reference's "human-confirmed merge → canonical entity id" step
     * closed end-to-end: ER output flows back into the triple store.
-    * Reuses the shared component map ([[componentsOf]]); the map is
-    * one row per entity (dictionary-sized) → broadcast. */
+    * Reuses the shared component map ([[componentsOf]]). The map is
+    * one row per MENTION entity — it grows with the data, not with a
+    * dimension — so it is never hinted broadcast: AQE broadcasts it at
+    * test SF and degrades to a shuffled equi-join at fact scale
+    * instead of OOMing the driver. */
   def erCanonicalize(spark: SparkSession, dir: String): DataFrame = {
     import graft.kg.Triples
     val comp = componentsOf(spark, dir)
@@ -231,7 +242,7 @@ object ER {
         (col("comp") + lit(Triples.PART * Triples.NS)).as("canonical"))
     graft.kg.Triples.statements(spark, dir)
       .filter(col("p") === "has_part")
-      .join(broadcast(comp), Seq("o_id"))
+      .join(comp, Seq("o_id"))
       .select(col("s"), col("p"), col("canonical").as("o_id"))
       .distinct()
   }

@@ -1,6 +1,6 @@
 package graft.kg
 
-import org.apache.spark.graphx.{Edge, Graph, VertexRDD}
+import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,13 +12,24 @@ import org.apache.spark.sql.functions._
   * pass. Edge-centric Pregel algorithms (CC, PageRank) are the right
   * shape for huge sparse graphs: state is per-vertex, messages flow
   * along co-partitioned edges.
+  *
+  * Lifecycle: GraphX caches a graph's edge/vertex RDDs internally and
+  * NEVER frees them on its own — on a long-running driver (or a bench
+  * suite) every leaked graph pins executor storage until the session
+  * dies. Every public entry point here therefore materializes its
+  * (small) result frame and unpersists the graph(s) before returning;
+  * callers get a plain DataFrame with no live RDD behind it.
   */
 object Graphs {
 
   /** Entity graph from the o_id statements (edge attr = predicate).
     * `numPartitions` sizes the Pregel shuffles: per-superstep overhead
     * scales with partition count, so size it to edge volume (locally a
-    * handful; on a cluster ∝ edge bytes / 128 MB). */
+    * handful; on a cluster ∝ edge bytes / 128 MB).
+    *
+    * Callers own the returned graph's storage: call
+    * `graph.unpersist()` once results are extracted (the query-facing
+    * helpers below do this automatically). */
   def fromStatements(st: DataFrame, numPartitions: Int = 8): Graph[Unit, String] = {
     val edges = st.filter(col("o_id").isNotNull)
       .select(col("s"), col("o_id"), col("p"))
@@ -27,17 +38,38 @@ object Graphs {
     Graph.fromEdges(edges, ())
   }
 
-  def connectedComponents(st: DataFrame): VertexRDD[Long] =
-    fromStatements(st).connectedComponents().vertices
+  /** Materialize `result` (eager localCheckpoint — small: one row per
+    * vertex) then free the graph's cached edge/vertex RDD blocks. */
+  private def extracting(g: Graph[Unit, String])(result: => DataFrame): DataFrame = {
+    val out = result.localCheckpoint(eager = true)
+    g.unpersist(blocking = false)
+    out
+  }
+
+  def connectedComponents(spark: SparkSession, st: DataFrame): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val g = fromStatements(st)
+    val cc = g.connectedComponents()
+    val out = cc.vertices.toDF("id", "comp").localCheckpoint(eager = true)
+    cc.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    out
+  }
 
   def degrees(spark: SparkSession, st: DataFrame): DataFrame = {
     val sess = spark; import sess.implicits._
-    fromStatements(st).degrees.toDF("id", "degree")
+    val g = fromStatements(st)
+    extracting(g) { g.degrees.toDF("id", "degree") }
   }
 
   def pageRank(spark: SparkSession, st: DataFrame, tol: Double = 0.001): DataFrame = {
     val sess = spark; import sess.implicits._
-    fromStatements(st).pageRank(tol).vertices.toDF("id", "rank")
+    val g = fromStatements(st)
+    val rg = g.pageRank(tol)
+    val out = rg.vertices.toDF("id", "rank").localCheckpoint(eager = true)
+    rg.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    out
   }
 
   /** Fixed-iteration PageRank: deterministic step count (no
@@ -45,6 +77,11 @@ object Graphs {
     * pipeline output and bounded cost at scale. */
   def staticPageRank(spark: SparkSession, st: DataFrame, numIter: Int = 10): DataFrame = {
     val sess = spark; import sess.implicits._
-    fromStatements(st).staticPageRank(numIter).vertices.toDF("id", "rank")
+    val g = fromStatements(st)
+    val rg = g.staticPageRank(numIter)
+    val out = rg.vertices.toDF("id", "rank").localCheckpoint(eager = true)
+    rg.unpersist(blocking = false)
+    g.unpersist(blocking = false)
+    out
   }
 }
