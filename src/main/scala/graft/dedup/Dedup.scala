@@ -19,15 +19,38 @@ import graft.sources.Tables
   *     `sim_topk_bruteforce` are the exact *baselines*; their scale
   *     path is `sim_ann_lsh` (hyperplane-bucketed). At 100 TB you run
   *     the baseline only on samples/eval sets.
-  *   - Signatures (MinHash/SimHash) are computed with `xxhash64`, a
-  *     codegen'd deterministic expression — results are identical at
-  *     any parallelism, no seeded RNG state on executors.
+  *   - Signatures (MinHash/SimHash) are computed from md5 hex prefixes
+  *     ([[Md5Bits]]) — codegen'd, deterministic at any parallelism (no
+  *     seeded RNG state on executors), and bit-identical to DuckDB's
+  *     md5, so even the hash-based operators are oracle-checked. The 64
+  *     MinHash functions come from ONE md5 per shingle via
+  *     Kirsch–Mitzenmacher double hashing h_i = h1 + i·h2 (public
+  *     technique; preserves the min-wise estimate).
   *   - Hot-shingle skew: ubiquitous shingles produce quadratic bucket
   *     blowup in the inverted-index join; AQE skew-join splits hot
   *     buckets at runtime, and the production knob is a doc-frequency
   *     cap on shingles (drop shingles appearing in > maxDf docs).
   */
+/** Portable hash words from md5 hex — the same bits in Spark
+  * (`conv(substr(md5(x),…),16,10)`) and DuckDB
+  * (`('0x'||substr(md5(x),…))::BIGINT`), so signature operators built
+  * on them are exactly replayable by the SQL oracle. All values are
+  * < 2^32 (word) or < 2^60 (prefix) — no signed-overflow edge. */
+object Md5Bits {
+  import org.apache.spark.sql.functions.{conv, md5, substring}
+  /** First 32-bit word of md5(c), as a non-negative long. */
+  def hi32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  /** Second 32-bit word of md5(c). */
+  def lo32(c: Column): Column = conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+  /** 60-bit value from the 15-hex-char md5 prefix (fits a signed 64). */
+  def p60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def hi32Sql(e: String): String = s"('0x'||substr(md5($e),1,8))::BIGINT"
+  def lo32Sql(e: String): String = s"('0x'||substr(md5($e),9,8))::BIGINT"
+  def p60Sql(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
+}
+
 object Dedup {
+  import Md5Bits._
 
   // ---- shared pieces -------------------------------------------------
 
@@ -107,15 +130,20 @@ object Dedup {
       .select(col("a"), col("b"), col("common"), col("jaccard"))
   }
 
-  /** dedup_minhash_lsh — MinHash signatures (k=64 via xxhash64 seeds)
-    * → 32 bands × 2 rows → bucket join → candidate pairs. The scale
-    * path for near-dup detection: candidates ∝ band collisions. */
+  /** dedup_minhash_lsh — MinHash signatures (k=64 functions from ONE
+    * md5 per shingle: h_i = h1 + i·h2, Kirsch–Mitzenmacher) → 32 bands
+    * × 2 rows → bucket join → candidate pairs. The scale path for
+    * near-dup detection: candidates ∝ band collisions. Band keys are
+    * md5 strings of the band's signature words, so the DuckDB oracle
+    * replays the whole pipeline exactly ([O], was [R] in round 2). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingles(spark, dir)
-    val sigCols = (0 until 64).map(i => min(xxhash64(lit(i), col("s"))).as(s"m$i"))
+      .select(col("doc_id"), hi32(col("s")).as("h1"), lo32(col("s")).as("h2"))
+    val sigCols = (0 until 64).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until 32).map(j =>
-      struct(lit(j).as("band"), xxhash64(lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")).as("key")))
+      struct(lit(j).as("band"),
+        md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}"))).as("key")))
     val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
     exploded.select(col("band"), col("key"), col("doc_id").as("a"))
@@ -126,28 +154,42 @@ object Dedup {
 
   /** dedup_simhash — 64-bit SimHash (count-weighted word hashes) +
     * Hamming ≤ 7 pairs, blocked by 8×8-bit chunks (pigeonhole: any
-    * pair at distance ≤ 7 shares at least one chunk). */
+    * pair at distance ≤ 7 shares at least one chunk). The 64 hash bits
+    * per word come from md5's two 32-bit prefix words, and the
+    * signature is carried as two 32-bit halves (sig_a = bits 0–31,
+    * sig_b = bits 32–63) — identical arithmetic is expressible in
+    * DuckDB, so the full pipeline is oracle-replayed ([O], was [R]).
+    * Hamming distance = popcount(xor) summed over the halves. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("w")))
-    val vCols = (0 until 64).map(j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"v$j"))
+      .withColumn("ha", hi32(col("w")))
+      .withColumn("hb", lo32(col("w")))
+    val vCols = (0 until 64).map { j =>
+      val word = if (j < 32) "ha" else "hb"
+      val bit = j % 32
+      sum(when(expr(s"($word >> $bit) & 1") === 1, col("cnt")).otherwise(-col("cnt"))).as(s"v$j")
+    }
     val sums = words.groupBy(col("doc_id")).agg(vCols.head, vCols.tail: _*)
-    val sigExpr = (0 until 64)
-      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    def half(lo: Int): Column = (lo until lo + 32)
+      .map(j => when(col(s"v$j") > 0, lit(1L << (j - lo))).otherwise(lit(0L)))
       .reduce(_ bitwiseOR _)
-    val sig = sums.select(col("doc_id"), sigExpr.as("sig"))
-    val chunks = sig.select(col("doc_id"), col("sig"),
-        explode(array((0 until 8).map(i =>
-          struct(lit(i).as("ci"), expr(s"(sig >> ${8 * i}) & 255").as("cv"))): _*)).as("c"))
-      .select(col("doc_id"), col("sig"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-    chunks.select(col("ci"), col("cv"), col("doc_id").as("a"), col("sig").as("sig_a"))
-      .join(chunks.select(col("ci"), col("cv"), col("doc_id").as("b"), col("sig").as("sig_b")),
-        Seq("ci", "cv"))
+    val sig = sums.select(col("doc_id"), half(0).as("sig_a"), half(32).as("sig_b"))
+    val chunks = sig.select(col("doc_id"), col("sig_a"), col("sig_b"),
+        explode(array((0 until 8).map { i =>
+          val word = if (i < 4) "sig_a" else "sig_b"
+          struct(lit(i).as("ci"), expr(s"($word >> ${8 * (i % 4)}) & 255").as("cv"))
+        }: _*)).as("c"))
+      .select(col("doc_id"), col("sig_a"), col("sig_b"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    chunks.select(col("ci"), col("cv"), col("doc_id").as("a"),
+        col("sig_a").as("a_a"), col("sig_b").as("a_b"))
+      .join(chunks.select(col("ci"), col("cv"), col("doc_id").as("b"),
+        col("sig_a").as("b_a"), col("sig_b").as("b_b")), Seq("ci", "cv"))
       .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .select(col("a"), col("b"),
+        (bit_count(col("a_a").bitwiseXOR(col("b_a"))) +
+          bit_count(col("a_b").bitwiseXOR(col("b_b")))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 7)
   }
@@ -229,6 +271,66 @@ object Dedup {
       .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
   }
 
+  /** sim_ann_ivf — IVF (inverted-file) ANN: see [[annIvf]]. Default
+    * 16 coarse cells, probe the 4 nearest — the clustered-embedding
+    * production path beside the hyperplane LSH. */
+  def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, k = 16, nprobe = 4)
+
+  /** IVF-style ANN: a k-means coarse quantizer (Spark MLlib, fixed
+    * seed → deterministic) assigns every vector to its nearest
+    * centroid's inverted list; a query scores only the lists of its
+    * `nprobe` nearest centroids. Clustering runs on UNIT vectors so
+    * the L2 quantizer induces cosine geometry (nearest centroid by L2
+    * = most-aligned centroid).
+    *
+    * Recall/cost dial (measured in DedupSpec on planted clusters,
+    * recorded in SURVEY §5): on clustered embeddings — the workload
+    * IVF exists for — recall@5 ≈ 1.0 at nprobe 4/16 because true
+    * neighbors share the query's cell; on near-uniform data IVF
+    * degrades like any space partitioner and the LSH multi-probe or
+    * exact baseline is the right tool.
+    *
+    * Scale shape: the centroid set is k×d — genuinely
+    * dictionary-sized, the one broadcast here that does NOT grow with
+    * the data (contrast ER round-1's fact broadcasts). List assignment
+    * is one model.transform map; the probe is an equi-join on the
+    * list id, cost ∝ probed fraction (nprobe/k) of the table per query
+    * batch. At 100 TB: train the quantizer on a sample, write the
+    * table bucketed by list id, and the probe join prunes buckets. */
+  def annIvf(spark: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sess = spark; import sess.implicits._
+    val e = vecs(spark, dir)
+    val unit = e.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x*x))"))
+      .filter(col("nrm") > 0) // zero vectors have no direction — excluded from the index
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val feat = unit.withColumn("features", array_to_vector(col("u")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(8).fit(feat)
+    val assigned = model.transform(feat).withColumnRenamed("prediction", "list")
+    val t = assigned.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("list"))
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list", "c")
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("vq"), col("u").as("uq"))
+    // query × centroid is a BOUNDED cross product: |query batch| × k,
+    // both dictionary-sized — never data × data
+    val wq = Window.partitionBy(col("q")).orderBy(col("cdist"), col("list"))
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("cdist",
+        expr("aggregate(zip_with(uq, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("q"), col("vq"), col("list"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("neighbor"))
+    broadcast(probes).join(t, Seq("list")).filter(col("q") =!= col("neighbor"))
+      .withColumn("cosine", cos("vq", "vt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -236,11 +338,52 @@ object Dedup {
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
-    "sim_ann_lsh"         -> (simAnnLsh _))
+    "sim_ann_lsh"         -> (simAnnLsh _),
+    "sim_ann_ivf"         -> (simAnnIvf _))
 
-  /** dedup_minhash_lsh / dedup_simhash / sim_ann_lsh are [R] rows-only:
-    * their signatures hinge on xxhash64, which DuckDB doesn't have. */
+  /** sim_ann_lsh stays [R] rows-only (its recall is MEASURED against
+    * the bruteforce truth in DedupSpec instead — hyperplane signs
+    * hinge on xxhash64 float folds with no DuckDB counterpart); the
+    * md5-based MinHash/SimHash pipelines are replayed exactly. */
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> {
+      val sigCols = (0 until 64).map(i => s"min(h1 + $i*h2) AS m$i").mkString(",\n  ")
+      val bandArms = (0 until 32).map(j =>
+        s"SELECT doc_id, $j AS band, md5('$j|'||m${2 * j}::VARCHAR||'|'||m${2 * j + 1}::VARCHAR) AS key FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH sh AS (SELECT doc_id, s FROM $shinglesSql sh0),
+         |h AS (SELECT doc_id, ${hi32Sql("s")} AS h1, ${lo32Sql("s")} AS h2 FROM sh),
+         |sig AS (SELECT doc_id,
+         |  $sigCols
+         |FROM h GROUP BY doc_id),
+         |bands AS (
+         |  $bandArms)
+         |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared_bands
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin
+    },
+    "dedup_simhash" -> {
+      val vCols = (0 until 64).map { j =>
+        val word = if (j < 32) "ha" else "hb"
+        s"sum(CASE WHEN ($word >> ${j % 32}) & 1 = 1 THEN cnt ELSE -cnt END) AS v$j"
+      }.mkString(",\n  ")
+      def half(lo: Int) = (lo until lo + 32)
+        .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << (j - lo)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, w, count(*) AS cnt FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  GROUP BY 1, 2),
+         |h AS (SELECT doc_id, cnt, ${hi32Sql("w")} AS ha, ${lo32Sql("w")} AS hb FROM w),
+         |v AS (SELECT doc_id,
+         |  $vCols
+         |FROM h GROUP BY doc_id),
+         |sig AS (SELECT doc_id, ${half(0)} AS sig_a, ${half(32)} AS sig_b FROM v)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(bit_count(xor(a.sig_a, b.sig_a)) + bit_count(xor(a.sig_b, b.sig_b)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig_a, b.sig_a)) + bit_count(xor(a.sig_b, b.sig_b)) <= 7""".stripMargin
+    },
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,

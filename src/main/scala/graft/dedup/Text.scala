@@ -69,16 +69,19 @@ object Text {
         size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_re_tokens"),
         length(col("text")).as("n_chars"))
 
-  /** text_fingerprint — winnowing-lite: xxhash64 over char 8-grams,
-    * keep the min hash of every 4-gram window, distinct per doc. The
-    * per-doc window sort is tiny (doc-local); at scale this is one
-    * narrow pass per document. */
+  /** text_fingerprint — winnowing-lite: a 60-bit md5-prefix hash
+    * ([[graft.dedup.Md5Bits]]) over char 8-grams, keep the min hash of
+    * every 4-gram window, distinct per doc. md5 makes the gram hash
+    * bit-identical in DuckDB, so the dump is oracle-checked ([O], was
+    * [R] on xxhash64). The per-doc window sort is tiny (doc-local); at
+    * scale this is one narrow pass per document. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val grams = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"),
-        posexplode(expr("transform(sequence(1, length(text)-7), i -> xxhash64(substring(text, i, 8)))")))
+        posexplode(expr(
+          "transform(sequence(1, length(text)-7), i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))")))
       .select(col("doc_id"), col("pos"), col("col").as("h"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, 3)
@@ -110,7 +113,6 @@ object Text {
     "text_fingerprint" -> (textFingerprint _),
     "text_mentions"    -> (textMentions _))
 
-  /** text_fingerprint is [R] (xxhash64 has no DuckDB equivalent). */
   val oracles: Map[String, String] = {
     val dictSelects = dicts.map { case (l, ws) =>
       s"len(list_filter(t, w -> w IN ${inList(ws)})) AS s_$l"
@@ -120,6 +122,18 @@ object Text {
       s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
     Map(
+      "text_fingerprint" ->
+        s"""WITH g0 AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, length(text)-6),
+           |      i -> struct_pack(pos := i,
+           |        h := ${graft.dedup.Md5Bits.p60Sql("substr(text, i, 8)")}))) AS u
+           |  FROM documents WHERE length(text) >= 8),
+           |g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g0)
+           |SELECT DISTINCT doc_id,
+           |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+           |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           |FROM g""".stripMargin,
       "text_langid" ->
         s"""WITH t0 AS (SELECT doc_id, lang AS declared_lang, string_split(text,' ') AS t FROM documents),
            |s AS (SELECT doc_id, declared_lang,

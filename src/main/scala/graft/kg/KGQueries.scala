@@ -142,6 +142,26 @@ object KGQueries {
     inN.join(excluded, Seq("c"), "left_anti")
   }
 
+  /** kg_minus_regex — MINUS with a regex predicate on the excluded
+    * pattern: customers located in a nation, minus those whose label
+    * matches an exclusion alternation — the reference's
+    * `MINUS {FILTER(REGEX(STR(?value), "Stefan_Zweig|Therese…"))}`
+    * (apps/companions/queries.R:124,150,166; data-publishing/factgrid/
+    * queries/companions_and_relations.rq:122) via
+    * [[TripleStore.minusWhere]]. The regex runs as a codegen'd rlike
+    * on the label pattern BEFORE the left-anti join, so only matching
+    * labels shuffle; both Spark rlike and the DuckDB oracle's
+    * regexp_matches are unanchored searches with common alternation
+    * syntax. */
+  def kgMinusRegex(spark: SparkSession, dir: String): DataFrame = {
+    val store = TripleStore(spark, Triples.statements(spark, dir))
+    val inN = store.pattern("in_nation")
+      .filter(col("s") >= lit(Triples.CUSTOMER * NS) && col("s") < lit((Triples.CUSTOMER + 1) * NS))
+      .select(col("s").as("c"), col("o_id").as("n"))
+    val labels = store.pattern("label").select(col("s").as("c"), col("o_val"))
+    store.minusWhere(inN, labels, Seq("c"), col("o_val").rlike("(0|5)7$"))
+  }
+
   /** kg_seq_path — sequence property path `p/q*`: one `in_nation` step
     * then zero-or-more `in_region` steps — the composition form the
     * reference actually writes (companions_and_relations.rq:59
@@ -180,12 +200,18 @@ object KGQueries {
 
   /** kg_khop — 2-hop neighborhood of the ASIA region node over the
     * undirected entity graph, with hop distance (min). Frontier BFS:
-    * visited is anti-joined out so each hop only expands new nodes. */
+    * visited is anti-joined out so each hop only expands new nodes.
+    * The edge set stays LAZY: for k = 2 the lineage is two joins deep,
+    * and eagerly materializing 2×|o_id statements| before the first
+    * hop costs more than both frontier joins combined (measured 19 s
+    * vs 2 scans at sf0.1). At scale, repeated expansions should read a
+    * bucketed-by-`a` edge layout ([[graft.util.Scale.writeBucketed]])
+    * instead of materializing the graph per query; [[TripleStore.khop]]
+    * checkpoints only when k > 2. */
   def kgKhop(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
     val fwd = st.filter(col("o_id").isNotNull).select(col("s").as("a"), col("o_id").as("b"))
     val edges = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(eager = true)
     val seeds = pat(st, "label").filter(col("o_val") === "ASIA")
       .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
       .select(col("s").as("node"))
@@ -299,12 +325,9 @@ object KGQueries {
   /** kg_degree — per-entity degree over the entity graph, computed
     * edge-centric in GraphX (in+out; the reference's network degree
     * structure). Oracle: count node occurrences over both edge ends. */
-  def kgDegree(spark: SparkSession, dir: String): DataFrame = {
-    val sess = spark; import sess.implicits._
-    Graphs.fromStatements(Triples.statements(spark, dir))
-      .degrees.toDF("id", "degree")
+  def kgDegree(spark: SparkSession, dir: String): DataFrame =
+    Graphs.degrees(spark, Triples.statements(spark, dir))
       .select(col("id"), col("degree").cast("long").as("degree"))
-  }
 
   /** kg_pagerank — PageRank over the entity graph, fixed 10 iterations
     * ([R]: float scores have no exact SQL oracle). GraphX
@@ -334,6 +357,7 @@ object KGQueries {
     "kg_upsert"        -> (kgUpsert _),
     "kg_validate"      -> (kgValidate _),
     "kg_minus"         -> (kgMinus _),
+    "kg_minus_regex"   -> (kgMinusRegex _),
     "kg_seq_path"      -> (kgSeqPath _),
     "kg_label_lang"    -> (kgLabelLang _))
 
@@ -355,6 +379,13 @@ object KGQueries {
          |WHERE p='in_nation' AND s BETWEEN $C0 AND ${C1 - 1}
          |  AND NOT EXISTS (SELECT 1 FROM triples x
          |                  WHERE x.p='mktsegment' AND x.o_val='BUILDING' AND x.s = t.s)""".stripMargin,
+    "kg_minus_regex" ->
+      s"""$T
+         |SELECT s AS c, o_id AS n FROM triples t
+         |WHERE p='in_nation' AND s BETWEEN $C0 AND ${C1 - 1}
+         |  AND NOT EXISTS (SELECT 1 FROM triples x
+         |                  WHERE x.p='label' AND regexp_matches(x.o_val, '(0|5)7${"$"}')
+         |                    AND x.s = t.s)""".stripMargin,
     "kg_seq_path" ->
       s"""$T, step AS (SELECT s AS a, o_id AS b FROM triples WHERE p='in_nation'),
          |e AS (SELECT s AS a, o_id AS b FROM triples WHERE p='in_region')

@@ -53,9 +53,13 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
 
   /** k-hop neighborhood with min hop distance (frontier BFS; the
     * frontier is anti-joined against visited so each hop only expands
-    * new nodes — sparse at every step). */
+    * new nodes — sparse at every step). For k ≤ 2 the edge set stays
+    * lazy (two frontier joins re-scan the statements — cheaper than
+    * materializing the full undirected edge union up front); deeper
+    * expansions checkpoint the edges once and amortize it across
+    * hops. */
   def khop(seeds: DataFrame, k: Int): DataFrame = {
-    val e = edges.localCheckpoint(eager = true)
+    val e = if (k > 2) edges.localCheckpoint(eager = true) else edges
     var visited = seeds.select(col("node")).distinct().withColumn("dist", lit(0))
     var frontier = visited.select("node")
     for (hop <- 1 to k) {
@@ -85,6 +89,15 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     * pattern never contributes columns, exactly MINUS semantics). */
   def minus(left: DataFrame, right: DataFrame, on: Seq[String]): DataFrame =
     left.join(right, on, "left_anti")
+
+  /** MINUS with a predicate on the excluded side — SPARQL
+    * `MINUS { ?x ?p ?v FILTER(REGEX(STR(?v), "…")) }` (the reference's
+    * companions exclusion form): drop rows of `left` whose `on`
+    * columns match any `right` row satisfying `cond`. The predicate is
+    * evaluated codegen'd BEFORE the anti-join, so only matching rows
+    * of the excluded pattern ever shuffle. */
+  def minusWhere(left: DataFrame, right: DataFrame, on: Seq[String], cond: Column): DataFrame =
+    left.join(right.filter(cond), on, "left_anti")
 
   /** Sequence property path `step/closure*`: one step of `step`, then
     * zero-or-more steps over `closurePreds` — SPARQL `p/q*` (e.g. the

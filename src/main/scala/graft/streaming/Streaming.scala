@@ -106,6 +106,17 @@ object Streaming {
 
   private val evSchema = Encoders.product[Ev].schema
 
+  /** Sink directories outlive their replay (the returned DataFrame
+    * reads them lazily), so they cannot be deleted in the replay's
+    * finally block. They are reaped at JVM exit instead — repeated
+    * replays in one process do not grow /tmp beyond the last results,
+    * and nothing survives the process. */
+  private val sinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private lazy val sinkReaper: Unit = {
+    sys.addShutdownHook(sinkDirs.forEach(p => deleteRecursively(p)))
+    ()
+  }
+
   /** Stage the events table + run one file-source replay: write events
     * parquet (distributed), stream-read it, push two late sentinel
     * files to advance the watermark, sink to parquet FILES, and return
@@ -120,6 +131,8 @@ object Streaming {
     val staging = Files.createTempDirectory("graft_stream_src").toString
     val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
     val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
+    sinkReaper
+    sinkDirs.add(java.nio.file.Paths.get(sinkDir))
 
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -149,7 +162,7 @@ object Streaming {
       q.stop()
       deleteRecursively(java.nio.file.Paths.get(staging))
       deleteRecursively(java.nio.file.Paths.get(checkpoint))
-      // sinkDir stays — the returned DataFrame reads it lazily
+      // sinkDir stays for the lazy reader; reaped by the exit hook
     }
     spark.read.parquet(sinkDir)
   }

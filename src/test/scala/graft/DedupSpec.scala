@@ -77,29 +77,73 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, f"multi-probe recall@5 $recall%.3f below floor")
   }
 
+  test("ann-ivf recall@5 >= 0.9 on clustered embeddings (its target workload)") {
+    // plant 16 well-separated clusters: centers are deterministic unit
+    // vectors, members = center + small noise. IVF's contract is high
+    // recall when neighbors share a cell — assert it.
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Array.fill(16)(unit(Array.fill(64)(rnd.nextGaussian())))
+    val vectors = (0L until 400L).map { i =>
+      val c = centers((i % 16).toInt)
+      (i, unit(c.zip(Array.fill(64)(rnd.nextGaussian() * 0.15)).map { case (x, e) => x + e })
+        .map(_.toFloat))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_test").toString
+    vectors.toDF("vec_id", "embedding").write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val truth = Dedup.simTopkBruteforce(spark, tmp)
+      .select("q", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val ivf = Dedup.annIvf(spark, tmp, k = 16, nprobe = 4)
+      .select("q", "neighbor").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      t.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / t.size
+    }
+    val recall = recalls.sum / recalls.size
+    info(f"ivf recall@5 = $recall%.3f over ${recalls.size} queries")
+    assert(recall >= 0.9, f"IVF recall@5 $recall%.3f below 0.9 on clustered data")
+  }
+
   test("simhash pairs equal an independent in-memory recomputation") {
-    // recompute every signature from scratch (same xxhash64 primitive,
-    // different code path) and the full O(n^2) Hamming<=7 pair set;
-    // the pigeonhole-blocked query must return EXACTLY that set
+    // recompute every signature from scratch with plain JVM
+    // MessageDigest md5 (no Spark expression in the loop) and the full
+    // O(n^2) Hamming<=7 pair set; the pigeonhole-blocked query must
+    // return EXACTLY that set
     val sess = spark
     import sess.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
-    val words = docs.flatMap(_._2.split(" ")).distinct.toSeq
-    val hash = words.toDF("w").withColumn("h", xxhash64(col("w")))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    def sig(text: String): Long = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(text: String): (Long, Long) = {
       val counts = text.split(" ").groupBy(identity).view.mapValues(_.length.toLong)
       val v = new Array[Long](64)
-      for ((w, cnt) <- counts; h = hash(w); j <- 0 until 64)
-        v(j) += (if (((h >> j) & 1L) == 1L) cnt else -cnt)
-      (0 until 64).foldLeft(0L)((acc, j) => if (v(j) > 0) acc | (1L << j) else acc)
+      for ((w, cnt) <- counts) {
+        val hex = md5hex(w)
+        val ha = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+        val hb = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+        for (j <- 0 until 64) {
+          val bit = if (j < 32) (ha >> j) & 1L else (hb >> (j - 32)) & 1L
+          v(j) += (if (bit == 1L) cnt else -cnt)
+        }
+      }
+      def half(lo: Int) = (lo until lo + 32)
+        .foldLeft(0L)((acc, j) => if (v(j) > 0) acc | (1L << (j - lo)) else acc)
+      (half(0), half(32))
     }
     val sigs = docs.map { case (id, text) => id -> sig(text) }
     val expected = (for {
       i <- sigs.indices; j <- (i + 1) until sigs.length
-      (ida, sa) = sigs(i); (idb, sb) = sigs(j)
-      d = java.lang.Long.bitCount(sa ^ sb) if d <= 7
+      (ida, (saA, saB)) = sigs(i); (idb, (sbA, sbB)) = sigs(j)
+      d = java.lang.Long.bitCount(saA ^ sbA) + java.lang.Long.bitCount(saB ^ sbB) if d <= 7
     } yield (math.min(ida, idb), math.max(ida, idb), d)).toSet
     val actual = Dedup.dedupSimhash(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

@@ -42,6 +42,23 @@ class KGSpec extends SparkSpec {
     assert(hop1 == expected)
   }
 
+  test("minus_regex: excluded set is exactly the regex-matched customers") {
+    val inN = KGQueries.queries("kg_minus")(spark, sf) // same left side, different exclusion
+    val kept = KGQueries.kgMinusRegex(spark, sf)
+    val matched = Triples.statements(spark, sf)
+      .filter(col("p") === "label" && col("o_val").rlike("(0|5)7$"))
+      .select(col("s").as("c"))
+    // no kept customer matches the exclusion regex…
+    assert(kept.join(matched, Seq("c")).count() == 0)
+    // …and every in-nation customer is either kept or regex-matched
+    val allInN = Triples.statements(spark, sf)
+      .filter(col("p") === "in_nation")
+      .filter(col("s") >= Triples.CUSTOMER * Triples.NS && col("s") < (Triples.CUSTOMER + 1) * Triples.NS)
+      .select(col("s").as("c"))
+    assert(allInN.join(kept.select("c").unionAll(matched), Seq("c"), "left_anti").count() == 0)
+    assert(kept.count() < allInN.count()) // the regex actually excludes someone
+  }
+
   test("DataFrame staticPageRank matches GraphX staticPageRank within 1e-6") {
     import graft.kg.{Components, Graphs, Triples}
     val st = Triples.statements(spark, sf)
