@@ -37,6 +37,14 @@ object Bench {
       System.gc() // nudge ContextCleaner for anything only reachable via GC
     }
 
+    // one untimed JVM warm-up (classloading, codegen, shuffle machinery)
+    // so the first query's cold number measures the QUERY, not the JVM —
+    // without it the suite's first key absorbs ~5 s of one-time init and
+    // per-query colds shift with map iteration order across rounds
+    import org.apache.spark.sql.functions.{col, count}
+    spark.read.parquet(s"$sfDir/region.parquet")
+      .groupBy(col("r_name")).agg(count(col("r_regionkey"))).count()
+
     var failed = List.empty[String]
     def timed(name: String)(body: => Unit): Option[Double] = {
       val t0 = System.nanoTime()

@@ -89,6 +89,49 @@ object Text {
       .select(col("doc_id"), col("fp")).distinct()
   }
 
+  /** text_repetition — repetition-based quality signals (the
+    * Gopher-class "repetitious document" filters, word-level):
+    * duplicate-word fraction and the mass of the single most frequent
+    * word bigram. Documents dominated by one repeated phrase are
+    * boilerplate/spam for LLM training. Shape: one narrow per-row pass
+    * for the word stats + one (doc, bigram) count and one per-doc
+    * aggregate — both map-side-partial groupBys keyed by doc, so the
+    * shuffle volume is bounded by distinct (doc, bigram), never a
+    * cross-doc blowup. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val t0 = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val stats = t0.select(col("doc_id"), size(col("t")).as("n_words"),
+      ((size(col("t")) - size(array_distinct(col("t")))).cast("double") /
+        size(col("t")).cast("double")).as("dup_word_frac"))
+    val bg = t0.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(t)-1), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1)))")).as("g"))
+    val tb = bg.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("cnt")).cast("double") / sum(col("cnt")).cast("double")).as("top_bigram_frac"))
+    stats.join(tb, Seq("doc_id"))
+      .withColumn("keep", col("dup_word_frac") <= 0.5 && col("top_bigram_frac") <= 0.2)
+  }
+
+  /** Scrub pattern: whole-word entity deny-list terms, email
+    * addresses, long digit runs. Java regex and DuckDB RE2 agree on
+    * every construct used (alternation, \b, classes, {m,}). */
+  private[dedup] val scrubPat =
+    "\\b(customer|supplier)\\b|[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}|[0-9]{6,}"
+
+  /** text_scrub — redaction pass (the PII-scrub stage of a
+    * training-data pipeline): replace deny-listed entity terms, email
+    * addresses, and long digit runs with a sentinel token, and count
+    * the redactions per document. Pure codegen'd regexp per row — no
+    * shuffle, streams at scan speed. */
+  def textScrub(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), scrubPat, "<PII>").as("clean_text"),
+        size(regexp_extract_all(col("text"), lit(scrubPat), lit(0))).as("n_redactions"))
+
   /** text_mentions — gazetteer entity-mention extraction: find known
     * entity terms (the part-name noun dictionary) inside document
     * text — the Spark-idiomatic equivalent of the reference's NER
@@ -111,6 +154,8 @@ object Text {
     "text_quality"     -> (textQuality _),
     "text_tokens"      -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
+    "text_repetition"  -> (textRepetition _),
+    "text_scrub"       -> (textScrub _),
     "text_mentions"    -> (textMentions _))
 
   val oracles: Map[String, String] = {
@@ -134,6 +179,26 @@ object Text {
            |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
            |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
            |FROM g""".stripMargin,
+      "text_repetition" ->
+        """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+          |stats AS (
+          |  SELECT doc_id, len(t) AS n_words,
+          |    CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dup_word_frac
+          |  FROM t0 WHERE len(t) >= 2),
+          |bg AS (
+          |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])) AS g
+          |  FROM t0 WHERE len(t) >= 2),
+          |c AS (SELECT doc_id, g, count(*) AS cnt FROM bg GROUP BY 1, 2),
+          |tb AS (SELECT doc_id, CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_bigram_frac
+          |       FROM c GROUP BY 1)
+          |SELECT s.doc_id, CAST(s.n_words AS INTEGER) AS n_words, s.dup_word_frac, tb.top_bigram_frac,
+          |  (s.dup_word_frac <= 0.5 AND tb.top_bigram_frac <= 0.2) AS keep
+          |FROM stats s JOIN tb USING (doc_id)""".stripMargin,
+      "text_scrub" ->
+        s"""SELECT doc_id,
+           |  regexp_replace(text, '$scrubPat', '<PII>', 'g') AS clean_text,
+           |  CAST(len(regexp_extract_all(text, '$scrubPat')) AS INTEGER) AS n_redactions
+           |FROM documents""".stripMargin,
       "text_langid" ->
         s"""WITH t0 AS (SELECT doc_id, lang AS declared_lang, string_split(text,' ') AS t FROM documents),
            |s AS (SELECT doc_id, declared_lang,

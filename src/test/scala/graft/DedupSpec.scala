@@ -201,6 +201,41 @@ class DedupSpec extends SparkSpec {
     assert(loose == exact)
   }
 
+  test("repetition metrics on a planted repetitious doc") {
+    val sess = spark
+    import sess.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rep_test").toString
+    Seq((1L, "a a a a a b", "en"), (2L, "v w x y z q", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Text.textRepetition(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rep = rows(1L)
+    assert(rep.getAs[Int]("n_words") == 6)
+    assert(math.abs(rep.getAs[Double]("dup_word_frac") - 4.0 / 6.0) < 1e-12)
+    assert(math.abs(rep.getAs[Double]("top_bigram_frac") - 4.0 / 5.0) < 1e-12) // "a a" x4 of 5
+    assert(!rep.getAs[Boolean]("keep"))
+    val clean = rows(2L) // all-distinct words: nothing repeats
+    assert(clean.getAs[Double]("dup_word_frac") == 0.0)
+    assert(clean.getAs[Boolean]("keep"))
+  }
+
+  test("scrub redacts planted email, digit run, and deny-listed entity words") {
+    val sess = spark
+    import sess.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scrub_test").toString
+    Seq((1L, "contact john.doe@example.com or customer 12345678 today", "en"),
+        (2L, "nothing to hide here", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val byId = Text.textScrub(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("clean_text") == "contact <PII> or <PII> <PII> today")
+    assert(byId(1L).getAs[Int]("n_redactions") == 3)
+    assert(byId(2L).getAs[String]("clean_text") == "nothing to hide here")
+    assert(byId(2L).getAs[Int]("n_redactions") == 0)
+  }
+
   test("langid prediction is deterministic and scores are consistent") {
     val rows = Text.textLangid(spark, sf).collect()
     rows.foreach { r =>
