@@ -190,6 +190,32 @@ object Streaming {
         col("n_events"),
         exactDouble(col("sum_value_dec")).as("sum_value"))
 
+  /** stream_enrich — stream-static enrichment join + windowed agg:
+    * the canonical production topology (facts stream in; a
+    * slowly-changing dimension sits in the lake). The customer
+    * dimension is read as a plain batch DataFrame on the replay's
+    * cloned session and joined into every micro-batch — Spark plans a
+    * broadcast for the dimension-sized side, so the stream never
+    * shuffles for the join, only for the windowed aggregation.
+    * Sentinel rows (user_id = -1) fall out of the inner join but still
+    * advance the watermark (watermarks track ingested event times, not
+    * join survivors), which is exactly what seals the windows. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    fileReplay(spark, dir) { source =>
+      val dim = Tables.customer(source.sparkSession, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      source.toDF()
+        .withWatermark("ts", "1 hour")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour"), col("segment"))
+        .agg(count(lit(1)).as("n_events"), sum(money(col("value"))).as("sum_value_dec"))
+    }
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("segment"),
+        col("n_events"),
+        exactDouble(col("sum_value_dec")).as("sum_value"))
+
   /** stream_sessionize — custom per-key state via
     * flatMapGroupsWithState: 30-minute-gap sessions per user, emitted
     * when the event-time timeout seals them. Exactly reproduces the
@@ -215,6 +241,7 @@ object Streaming {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_window_agg" -> (streamWindowAgg _),
+    "stream_enrich"     -> (streamEnrich _),
     "stream_sessionize" -> (streamSessionize _))
 
   val oracles: Map[String, String] = Map(
@@ -239,5 +266,11 @@ object Streaming {
       """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS wstart,
         |  event_type, count(*) AS n_events,
         |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin)
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_enrich" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(e.ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  c.c_mktsegment AS segment, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -253,6 +253,20 @@ class DedupSpec extends SparkSpec {
     assert(a.length == spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("stream enrich (stream-static join) equals batch join-aggregation") {
+    val streamed = Streaming.streamEnrich(spark, sf)
+      .select("wstart", "segment", "n_events")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.sources.Tables.events(spark, sf)
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"), col("c_mktsegment"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("stream window agg equals batch computation") {
     val streamed = Streaming.streamWindowAgg(spark, sf)
       .select("wstart", "event_type", "n_events")
