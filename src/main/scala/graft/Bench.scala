@@ -56,7 +56,13 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional args = subset of query names to bench (perf probing a
+    // single query without paying for the whole suite)
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+
+    val results = selected.map { case (name, fn) =>
       sweep()
       val cold = timed(name) { fn(spark, sfDir).count() }
       // warm reps reuse whatever the query itself caches/memoizes —

@@ -24,16 +24,23 @@ object Graphs {
 
   /** Entity graph from the o_id statements (edge attr = predicate).
     * `numPartitions` sizes the Pregel shuffles: per-superstep overhead
-    * scales with partition count, so size it to edge volume (locally a
-    * handful; on a cluster ∝ edge bytes / 128 MB).
+    * scales with partition count, so size it to edge volume on a
+    * cluster (∝ edge bytes / 128 MB). Default (`0`) = clamp the
+    * context's parallelism to [8, 64]: measured at sf0.1 local[32],
+    * matching the core count beats the old hard-coded 8 by ~12% on
+    * PageRank/degrees, and the clamp keeps tiny local runs from
+    * paying per-partition superstep overhead.
     *
     * Callers own the returned graph's storage: call
     * `graph.unpersist()` once results are extracted (the query-facing
     * helpers below do this automatically). */
-  def fromStatements(st: DataFrame, numPartitions: Int = 8): Graph[Unit, String] = {
+  def fromStatements(st: DataFrame, numPartitions: Int = 0): Graph[Unit, String] = {
+    val n =
+      if (numPartitions > 0) numPartitions
+      else math.min(64, math.max(8, st.sparkSession.sparkContext.defaultParallelism))
     val edges = st.filter(col("o_id").isNotNull)
       .select(col("s"), col("o_id"), col("p"))
-      .coalesce(numPartitions)
+      .coalesce(n)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     Graph.fromEdges(edges, ())
   }
