@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BitwiseCount, BitwiseXor, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** cosine_sim(a, b): native Catalyst expression for cosine similarity
   * over `array<double>` — one fused loop computing dot product and both
@@ -31,7 +32,23 @@ case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
 
   // inputs must be array<double>; callers cast explicitly (Spark 4
-  // keeps AbstractDataType private[sql], so no ExpectsInputTypes here)
+  // keeps AbstractDataType private[sql], so no ExpectsInputTypes —
+  // checkInputDataTypes carries the contract instead, at analysis
+  // time with an actionable message rather than a runtime cast error)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isDoubleArray(t: DataType) = t match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (isDoubleArray(left.dataType) && isDoubleArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else
+      TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}; " +
+          "cast float embeddings explicitly, e.g. col(\"embedding\").cast(\"array<double>\")")
+  }
+
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 

@@ -46,6 +46,17 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getInt(1) == 2) // 101 xor 110 = 011
   }
 
+  test("cosine_sim rejects non-double arrays at analysis time with an actionable message") {
+    GraftFunctions.registerAll(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      // float arrays (the raw embeddings type) must be cast explicitly
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .selectExpr("cosine_sim(embedding, embedding)")
+        .collect()
+    }
+    assert(e.getMessage.contains("array<double>"), s"unhelpful message: ${e.getMessage}")
+  }
+
   test("cosine_sim null propagation") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D, 2.0D)) AS c")
