@@ -210,8 +210,14 @@ object KGQueries {
     * checkpoints only when k > 2. */
   def kgKhop(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
-    val fwd = st.filter(col("o_id").isNotNull).select(col("s").as("a"), col("o_id").as("b"))
-    val edges = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
+    // both directions from ONE pass over the statements (explode of a
+    // 2-element struct array), not a union of two scans — halves the
+    // scan count of every hop since the edge set stays lazy
+    val edges = st.filter(col("o_id").isNotNull)
+      .select(explode(array(
+        struct(col("s").as("a"), col("o_id").as("b")),
+        struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
     val seeds = pat(st, "label").filter(col("o_val") === "ASIA")
       .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
       .select(col("s").as("node"))

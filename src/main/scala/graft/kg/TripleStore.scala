@@ -45,11 +45,14 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     pattern("label").filter(col("o_val") === label).select(col("s").as("node"))
 
   /** Undirected entity edges from all o_id statements. */
-  def edges: DataFrame = {
-    val fwd = statements.filter(col("o_id").isNotNull)
-      .select(col("s").as("a"), col("o_id").as("b"))
-    fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
-  }
+  def edges: DataFrame =
+    // both directions from one statements pass (explode), not a
+    // two-scan union — matters because khop keeps this lazy for small k
+    statements.filter(col("o_id").isNotNull)
+      .select(explode(array(
+        struct(col("s").as("a"), col("o_id").as("b")),
+        struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
 
   /** k-hop neighborhood with min hop distance (frontier BFS; the
     * frontier is anti-joined against visited so each hop only expands
