@@ -57,9 +57,61 @@ object Multimodal {
     }.toDF()
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_meta" -> (mmMeta _))
+  final case class MmFrame(doc_id: Long, frame_idx: Int, frame_bytes: Int, frame_sig: String)
 
-  /** [R] rows-only: the decode stub isn't SQL-expressible. */
-  val oracles: Map[String, String] = Map.empty
+  private val frameLen = 200
+  private val maxFrames = 8
+
+  /** mm_framesample — the 1→N multimodal shape (video frame sampling):
+    * each payload fans out to up to [[maxFrames]] fixed-stride frames
+    * via a flatMap-style `mapPartitions` pass with once-per-partition
+    * "decoder" init (here a MessageDigest; a real frame grabber
+    * initializes its codec in the same slot). Complements [[mmMeta]]'s
+    * 1→1 map shape; together they are the two batched-imperative
+    * stages a media pipeline needs.
+    *
+    * Unlike a real decoder, the frame "signature" is md5 of the frame's
+    * byte slice — deliberately, so this imperative stage is still
+    * EXACTLY replayable by the DuckDB oracle (payload = UTF-8 of text,
+    * ASCII ⇒ byte slices == char slices): the plumbing is graded
+    * hash-checked, not rows-only. */
+  def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val records = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("img/"), col("source")).as("fmt"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MmRecord]
+    records.mapPartitions { it =>
+      // once-per-partition decoder init (the real codec goes here)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val n = math.min(maxFrames, 1 + (r.payload.length - 1) / frameLen)
+        (0 until n).iterator.map { i =>
+          val off = i * frameLen
+          val len = math.min(frameLen, r.payload.length - off)
+          md.reset()
+          md.update(r.payload, off, len)
+          MmFrame(r.doc_id, i, len, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }.toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_meta"        -> (mmMeta _),
+    "mm_framesample" -> (mmFrameSample _))
+
+  /** mm_meta is [R] rows-only (the decode stub isn't SQL-expressible);
+    * mm_framesample's md5 frame signatures replay exactly. */
+  val oracles: Map[String, String] = Map(
+    "mm_framesample" ->
+      s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+         |f AS (SELECT doc_id, text, L,
+         |        unnest(range(0, least($maxFrames, 1 + (L-1)//$frameLen))) AS fi
+         |      FROM d)
+         |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+         |  CAST(least($frameLen, L - fi*$frameLen) AS INTEGER) AS frame_bytes,
+         |  md5(substr(text, CAST(fi*$frameLen + 1 AS INTEGER), $frameLen)) AS frame_sig
+         |FROM f""".stripMargin)
 }

@@ -246,6 +246,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("mm_framesample: fan-out count matches payload sizes; sigs recompute in-JVM") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val frames = Multimodal.mmFrameSample(spark, sf).collect()
+    val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, fs) =>
+      val bytes = docs(id).getBytes("UTF-8")
+      val expectedN = math.min(8, 1 + (bytes.length - 1) / 200)
+      assert(fs.length == expectedN, s"doc $id: ${fs.length} frames, expected $expectedN")
+      val f0 = fs.find(_.getAs[Int]("frame_idx") == 0).get
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(bytes, 0, math.min(200, bytes.length))
+      val sig = md.digest().map("%02x".format(_)).mkString
+      assert(f0.getAs[String]("frame_sig") == sig)
+    }
+  }
+
   test("mm_meta: deterministic features, one row per doc") {
     val a = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
     val b = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
