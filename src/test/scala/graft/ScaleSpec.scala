@@ -20,6 +20,24 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == spark.read.parquet(s"$sf/lineitem.parquet").count())
   }
 
+  test("bucketed edge layout serves BFS hops with no exchange on the edge side") {
+    // the production shape kgKhop's scaladoc prescribes: recurring
+    // k-hop expansions read edges bucketed by source, so each hop's
+    // join shuffles ONLY the (tiny) frontier — the 100 TB edge set
+    // never moves
+    val store = graft.kg.TripleStore(spark, graft.kg.Triples.statements(spark, sf))
+    Scale.writeBucketed(store.edges, "b_edges", "a", 8)
+    val frontier = store.byLabel("ASIA").withColumnRenamed("node", "a")
+    val hop = spark.table("b_edges").hint("merge").join(frontier, "a")
+    val plan = hop.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly the frontier-side exchange, got $exchanges:\n$plan")
+    // same rows as the lazy-edge hop
+    val expected = store.edges.join(frontier, "a").count()
+    assert(hop.count() == expected)
+  }
+
   test("salted join is result-identical to the plain join") {
     val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val n = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
