@@ -194,6 +194,28 @@ object Dedup {
       .filter(col("hamming") <= 7)
   }
 
+  /** dedup_clusters — the end-to-end corpus-dedup composition, the
+    * operator a training pipeline actually runs: LSH candidate pairs
+    * ([[dedupMinhashLsh]]) → exact-Jaccard verification ≥ 0.8 on the
+    * candidates → connected components over the verified match graph
+    * ([[graft.kg.Components]], the same large-star/small-star engine
+    * the ER pipeline uses) → one row per document with its canonical
+    * (min-id) representative and a keeper flag. Scale shape: every
+    * stage is the bounded one proven above it — banded candidates,
+    * inverted-index verify, DataFrame CC — composed; nothing new
+    * shuffles beyond those stages. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val cand = dedupMinhashLsh(spark, dir).select(col("a"), col("b"))
+    val verified = ngramJaccard(spark, dir, maxDf = None)
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a"), col("b"))
+      .join(cand, Seq("a", "b"), "left_semi")
+    val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    graft.kg.Components.connectedComponents(verified, docs)
+      .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
+        (col("id") === col("comp")).as("is_keeper"))
+  }
+
   /** dedup_embedding — exact cosine near-dup pairs (the correctness
     * baseline; `sim_ann_lsh` is the scale path). */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
@@ -358,10 +380,28 @@ object Dedup {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
+    "dedup_clusters"      -> (dedupClusters _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh"         -> (simAnnLsh _),
     "sim_ann_ivf"         -> (simAnnIvf _))
+
+  /** Shared MinHash CTE prefix (shingles → md5 words → 64 sig mins →
+    * 32 band keys), used by the minhash oracle and the clusters
+    * oracle. */
+  private lazy val minhashCtes: String = {
+    val sigCols = (0 until 64).map(i => s"min(h1 + $i*h2) AS m$i").mkString(",\n  ")
+    val bandArms = (0 until 32).map(j =>
+      s"SELECT doc_id, $j AS band, md5('$j|'||m${2 * j}::VARCHAR||'|'||m${2 * j + 1}::VARCHAR) AS key FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""sh AS (SELECT doc_id, s FROM $shinglesSql sh0),
+       |h AS (SELECT doc_id, ${hi32Sql("s")} AS h1, ${lo32Sql("s")} AS h2 FROM sh),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h GROUP BY doc_id),
+       |bands AS (
+       |  $bandArms)""".stripMargin
+  }
 
   /** Every signature pipeline — MinHash, SimHash, hyperplane LSH —
     * is replayed exactly by DuckDB (md5-derived hashes / literal
@@ -388,22 +428,35 @@ object Dedup {
          |FROM q JOIN sig t ON q.bucket = t.bucket AND t.vec_id <> q.q
          |QUALIFY rk <= 5""".stripMargin
     },
-    "dedup_minhash_lsh" -> {
-      val sigCols = (0 until 64).map(i => s"min(h1 + $i*h2) AS m$i").mkString(",\n  ")
-      val bandArms = (0 until 32).map(j =>
-        s"SELECT doc_id, $j AS band, md5('$j|'||m${2 * j}::VARCHAR||'|'||m${2 * j + 1}::VARCHAR) AS key FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH sh AS (SELECT doc_id, s FROM $shinglesSql sh0),
-         |h AS (SELECT doc_id, ${hi32Sql("s")} AS h1, ${lo32Sql("s")} AS h2 FROM sh),
-         |sig AS (SELECT doc_id,
-         |  $sigCols
-         |FROM h GROUP BY doc_id),
-         |bands AS (
-         |  $bandArms)
+    "dedup_minhash_lsh" ->
+      s"""WITH $minhashCtes
          |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2""".stripMargin,
+    "dedup_clusters" ->
+      s"""WITH $minhashCtes,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ver AS (
+         |  SELECT common.a, common.b
+         |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+         |    AND EXISTS (SELECT 1 FROM cand WHERE cand.a = common.a AND cand.b = common.b)),
+         |e AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
+         |reach AS (
+         |  WITH RECURSIVE r(src, node) AS (
+         |    SELECT doc_id, doc_id FROM documents
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
+         |  SELECT src, node FROM r)
+         |SELECT src AS doc_id, min(node) AS canonical_id, src = min(node) AS is_keeper
+         |FROM reach GROUP BY src""".stripMargin,
     "dedup_simhash" -> {
       val vCols = (0 until 64).map { j =>
         val word = if (j < 32) "ha" else "hb"

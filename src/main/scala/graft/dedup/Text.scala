@@ -115,6 +115,30 @@ object Text {
       .withColumn("keep", col("dup_word_frac") <= 0.5 && col("top_bigram_frac") <= 0.2)
   }
 
+  /** text_contamination — benchmark decontamination: find corpus
+    * documents whose winnowing fingerprints cover ≥ 50% of an
+    * eval-set document's fingerprints (containment, the asymmetric
+    * overlap decontamination uses — a short benchmark item inside a
+    * long crawl doc must still flag). Eval set = doc_id < 25 here; in
+    * production it is the held-out benchmark corpus. Scale shape: the
+    * eval fingerprint set is benchmark-sized (broadcast side of the
+    * join); the corpus side streams through one inverted-index join on
+    * the fingerprint plus one (doc, eval) aggregate. */
+  def textContamination(spark: SparkSession, dir: String): DataFrame = {
+    val fp = textFingerprint(spark, dir)
+    val evalFp = fp.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("eval_id"), col("fp"))
+    val evalSizes = evalFp.groupBy(col("eval_id")).agg(count(lit(1)).as("ne"))
+    fp.filter(col("doc_id") >= 25)
+      .join(evalFp, Seq("fp"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(evalSizes, Seq("eval_id"))
+      .withColumn("containment", col("n_shared").cast("double") / col("ne").cast("double"))
+      .filter(col("containment") >= 0.5)
+      .select(col("doc_id"), col("eval_id"), col("n_shared"), col("containment"))
+  }
+
   /** Scrub pattern: whole-word entity deny-list terms, email
     * addresses, long digit runs. Java regex and DuckDB RE2 agree on
     * every construct used (alternation, \b, classes, {m,}). */
@@ -156,6 +180,7 @@ object Text {
     "text_fingerprint" -> (textFingerprint _),
     "text_repetition"  -> (textRepetition _),
     "text_scrub"       -> (textScrub _),
+    "text_contamination" -> (textContamination _),
     "text_mentions"    -> (textMentions _))
 
   val oracles: Map[String, String] = {
@@ -166,19 +191,36 @@ object Text {
     val predCase = dicts.map { case (l, _) =>
       s"WHEN s_$l = $best AND $best > 0 THEN '$l'"
     }.mkString("CASE ", " ", " ELSE 'und' END")
+    // shared winnowing-fingerprint CTEs (char 8-grams → 60-bit md5
+    // prefix hash → min over 4-gram windows, distinct per doc)
+    val fpCtes =
+      s"""g0 AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, length(text)-6),
+         |      i -> struct_pack(pos := i,
+         |        h := ${graft.dedup.Md5Bits.p60Sql("substr(text, i, 8)")}))) AS u
+         |  FROM documents WHERE length(text) >= 8),
+         |g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g0),
+         |fps AS (
+         |  SELECT DISTINCT doc_id,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM g)""".stripMargin
     Map(
       "text_fingerprint" ->
-        s"""WITH g0 AS (
-           |  SELECT doc_id,
-           |    unnest(list_transform(range(1, length(text)-6),
-           |      i -> struct_pack(pos := i,
-           |        h := ${graft.dedup.Md5Bits.p60Sql("substr(text, i, 8)")}))) AS u
-           |  FROM documents WHERE length(text) >= 8),
-           |g AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g0)
-           |SELECT DISTINCT doc_id,
-           |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
-           |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-           |FROM g""".stripMargin,
+        s"""WITH $fpCtes
+           |SELECT doc_id, fp FROM fps""".stripMargin,
+      "text_contamination" ->
+        s"""WITH $fpCtes,
+           |esz AS (SELECT doc_id, count(*) AS ne FROM fps WHERE doc_id < 25 GROUP BY 1),
+           |ov AS (
+           |  SELECT c.doc_id, e.doc_id AS eval_id, count(*) AS n_shared
+           |  FROM fps c JOIN fps e ON c.fp = e.fp AND e.doc_id < 25 AND c.doc_id >= 25
+           |  GROUP BY 1, 2)
+           |SELECT ov.doc_id, eval_id, n_shared,
+           |  CAST(n_shared AS DOUBLE) / CAST(esz.ne AS DOUBLE) AS containment
+           |FROM ov JOIN esz ON esz.doc_id = eval_id
+           |WHERE CAST(n_shared AS DOUBLE) / CAST(esz.ne AS DOUBLE) >= 0.5""".stripMargin,
       "text_repetition" ->
         """WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
           |stats AS (

@@ -201,6 +201,39 @@ class DedupSpec extends SparkSpec {
     assert(loose == exact)
   }
 
+  test("dedup_clusters: partition of the corpus, keepers are cluster minima") {
+    val rows = Dedup.dedupClusters(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.length == nDocs) // every doc classified exactly once
+    rows.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id"))
+      assert(r.getAs[Boolean]("is_keeper") == (r.getAs[Long]("doc_id") == r.getAs[Long]("canonical_id")))
+    }
+    // every verified near-dup pair lands in one cluster
+    val comp = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_id")).toMap
+    Dedup.dedupNgramJaccard(spark, sf).filter(col("jaccard") >= 0.8)
+      .select("a", "b").collect()
+      .foreach(r => assert(comp(r.getLong(0)) == comp(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters"))
+  }
+
+  test("contamination: a planted eval copy inside the corpus is flagged") {
+    val sess = spark
+    import sess.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cont_test").toString
+    val evalText = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = Seq(
+      (5L, evalText, "en"),                                   // eval doc (id < 25)
+      (10L, "completely unrelated benchmark text here", "en"), // eval, no copy
+      (100L, s"crawl preamble $evalText crawl postamble", "en"), // contaminated corpus doc
+      (200L, "an innocent corpus document with its own words", "en"))
+    docs.toDF("doc_id", "text", "lang").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val flagged = graft.dedup.Text.textContamination(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("eval_id"))).toSet
+    assert(flagged.contains((100L, 5L)), s"planted contamination not flagged: $flagged")
+    assert(!flagged.exists(_._1 == 200L), s"innocent doc flagged: $flagged")
+  }
+
   test("repetition metrics on a planted repetitious doc") {
     val sess = spark
     import sess.implicits._
