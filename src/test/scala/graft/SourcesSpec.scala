@@ -27,6 +27,22 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("lang=de"))
   }
 
+  test("statements partitioned by p: a triple pattern is a pruned scan") {
+    // the production KG layout the scale notes prescribe: statements
+    // partitioned by predicate, so pattern(p) never reads other
+    // predicates' files
+    val dir = Files.createTempDirectory("graft_stmt_parts").toString
+    Ingest.writeParquet(graft.kg.Triples.statements(spark, sf), dir, Seq("p"))
+    val store = graft.kg.TripleStore(spark, spark.read.parquet(dir))
+    val pattern = store.pattern("in_nation")
+    val expected = graft.kg.Triples.statements(spark, sf)
+      .filter(col("p") === "in_nation").count()
+    assert(pattern.count() == expected)
+    val plan = pattern.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter in:\n$plan")
+    assert(!plan.contains("p=label"), "pattern scan read another predicate's partition")
+  }
+
   test("text source reads raw lines") {
     val dir = Files.createTempDirectory("graft_txt").toString
     Tables.documents(spark, sf).select("text").limit(50)
