@@ -206,10 +206,22 @@ object Dedup {
     * shuffles beyond those stages. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val cand = dedupMinhashLsh(spark, dir).select(col("a"), col("b"))
-    val verified = ngramJaccard(spark, dir, maxDf = None)
-      .filter(col("jaccard") >= 0.8)
+    // CANDIDATE-DRIVEN verify: expand only the candidate pairs to
+    // their shingle sets and count the intersection — cost ∝
+    // |candidates| × doc size, never the all-collision-pairs join of
+    // dedup_ngram_jaccard (which is what LSH exists to avoid)
+    val sh = shingles(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b", "s"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+    val verified = common
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double") >= 0.8)
       .select(col("a"), col("b"))
-      .join(cand, Seq("a", "b"), "left_semi")
     val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
     graft.kg.Components.connectedComponents(verified, docs)
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"),

@@ -39,16 +39,22 @@ object Multimodal {
     (width, height, cs)
   }
 
-  /** mm_meta — binary payload + metadata → per-partition batched
-    * "decode" → typed feature rows. */
-  def mmMeta(spark: SparkSession, dir: String): DataFrame = {
+  /** Staging projection shared by both multimodal operators: binary
+    * payload + typed metadata, one row per media object. */
+  private def records(spark: SparkSession, dir: String) = {
     import spark.implicits._
-    val records = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"),
         concat(lit("img/"), col("source")).as("fmt"),
         encode(col("text"), "UTF-8").as("payload"))
       .as[MmRecord]
-    records.mapPartitions { it =>
+  }
+
+  /** mm_meta — binary payload + metadata → per-partition batched
+    * "decode" → typed feature rows. */
+  def mmMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    records(spark, dir).mapPartitions { it =>
       // real decoder init goes here (once per partition, not per row)
       it.map { r =>
         val (w, h, cs) = fakeDecode(r.payload)
@@ -77,16 +83,15 @@ object Multimodal {
     * hash-checked, not rows-only. */
   def mmFrameSample(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val records = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        concat(lit("img/"), col("source")).as("fmt"),
-        encode(col("text"), "UTF-8").as("payload"))
-      .as[MmRecord]
-    records.mapPartitions { it =>
+    records(spark, dir).mapPartitions { it =>
       // once-per-partition decoder init (the real codec goes here)
       val md = java.security.MessageDigest.getInstance("MD5")
       it.flatMap { r =>
-        val n = math.min(maxFrames, 1 + (r.payload.length - 1) / frameLen)
+        // empty payloads emit no frames (matches the oracle: Java's
+        // (0-1)/frameLen truncates to 0 while SQL floor-division gives
+        // -1, so the guard keeps both engines aligned on the edge)
+        val n = if (r.payload.isEmpty) 0
+          else math.min(maxFrames, 1 + (r.payload.length - 1) / frameLen)
         (0 until n).iterator.map { i =>
           val off = i * frameLen
           val len = math.min(frameLen, r.payload.length - off)

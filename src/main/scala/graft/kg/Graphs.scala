@@ -46,10 +46,12 @@ object Graphs {
   }
 
   /** Materialize `result` (eager localCheckpoint — small: one row per
-    * vertex) then free the graph's cached edge/vertex RDD blocks. */
-  private def extracting(g: Graph[Unit, String])(result: => DataFrame): DataFrame = {
+    * vertex) then free every listed graph's cached edge/vertex RDD
+    * blocks. All entry points route through this so the unpersist
+    * lifecycle lives in exactly one place. */
+  private def extracting(gs: Graph[_, _]*)(result: => DataFrame): DataFrame = {
     val out = result.localCheckpoint(eager = true)
-    g.unpersist(blocking = false)
+    gs.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -57,10 +59,7 @@ object Graphs {
     val sess = spark; import sess.implicits._
     val g = fromStatements(st)
     val cc = g.connectedComponents()
-    val out = cc.vertices.toDF("id", "comp").localCheckpoint(eager = true)
-    cc.unpersist(blocking = false)
-    g.unpersist(blocking = false)
-    out
+    extracting(cc, g) { cc.vertices.toDF("id", "comp") }
   }
 
   def degrees(spark: SparkSession, st: DataFrame): DataFrame = {
@@ -73,10 +72,7 @@ object Graphs {
     val sess = spark; import sess.implicits._
     val g = fromStatements(st)
     val rg = g.pageRank(tol)
-    val out = rg.vertices.toDF("id", "rank").localCheckpoint(eager = true)
-    rg.unpersist(blocking = false)
-    g.unpersist(blocking = false)
-    out
+    extracting(rg, g) { rg.vertices.toDF("id", "rank") }
   }
 
   /** Fixed-iteration PageRank: deterministic step count (no
@@ -86,9 +82,6 @@ object Graphs {
     val sess = spark; import sess.implicits._
     val g = fromStatements(st)
     val rg = g.staticPageRank(numIter)
-    val out = rg.vertices.toDF("id", "rank").localCheckpoint(eager = true)
-    rg.unpersist(blocking = false)
-    g.unpersist(blocking = false)
-    out
+    extracting(rg, g) { rg.vertices.toDF("id", "rank") }
   }
 }

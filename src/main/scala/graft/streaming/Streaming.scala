@@ -108,12 +108,15 @@ object Streaming {
 
   /** Sink directories outlive their replay (the returned DataFrame
     * reads them lazily), so they cannot be deleted in the replay's
-    * finally block. They are reaped at JVM exit instead — repeated
-    * replays in one process do not grow /tmp beyond the last results,
-    * and nothing survives the process. */
-  private val sinkDirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+    * finally block. Instead, each query key holds at most ONE live
+    * sink dir: starting a new replay of the same query reaps the
+    * previous replay's dir (invalidating any still-unread DataFrame
+    * from it — last-results-only is the contract), and a JVM exit
+    * hook reaps whatever is left. /tmp usage is bounded by one sink
+    * per distinct query, not one per replay. */
+  private val sinkDirs = new java.util.concurrent.ConcurrentHashMap[String, Path]()
   private lazy val sinkReaper: Unit = {
-    sys.addShutdownHook(sinkDirs.forEach(p => deleteRecursively(p)))
+    sys.addShutdownHook(sinkDirs.values.forEach(p => deleteRecursively(p)))
     ()
   }
 
@@ -124,7 +127,7 @@ object Streaming {
     * input nor output ever funnels through the driver (the round-1
     * memory-sink read carried ~8 MiB per task at sf0.1).
     * `build` maps the watermarked streaming Dataset to its output. */
-  private def fileReplay(outer: SparkSession, dir: String)(
+  private def fileReplay(outer: SparkSession, dir: String, key: String)(
       build: Dataset[Ev] => DataFrame): DataFrame = {
     val spark = outer.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -132,7 +135,8 @@ object Streaming {
     val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
     val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
     sinkReaper
-    sinkDirs.add(java.nio.file.Paths.get(sinkDir))
+    val prev = sinkDirs.put(key, java.nio.file.Paths.get(sinkDir))
+    if (prev != null) deleteRecursively(prev)
 
     val events = Tables.events(spark, dir)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
@@ -177,7 +181,7 @@ object Streaming {
 
   /** stream_window_agg — 1-hour tumbling windows per event_type. */
   def streamWindowAgg(spark: SparkSession, dir: String): DataFrame =
-    fileReplay(spark, dir) { source =>
+    fileReplay(spark, dir, "stream_window_agg") { source =>
       source.toDF()
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -201,7 +205,7 @@ object Streaming {
     * advance the watermark (watermarks track ingested event times, not
     * join survivors), which is exactly what seals the windows. */
   def streamEnrich(spark: SparkSession, dir: String): DataFrame =
-    fileReplay(spark, dir) { source =>
+    fileReplay(spark, dir, "stream_enrich") { source =>
       val dim = Tables.customer(source.sparkSession, dir)
         .select(col("c_custkey"), col("c_mktsegment").as("segment"))
       source.toDF()
@@ -229,7 +233,7 @@ object Streaming {
     */
   def streamSessionize(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    fileReplay(spark, dir) { source =>
+    fileReplay(spark, dir, "stream_sessionize") { source =>
       source
         .withWatermark("ts", "1 hour")
         .groupByKey(_.user_id)(Encoders.scalaLong)

@@ -285,10 +285,12 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     val frames = Multimodal.mmFrameSample(spark, sf).collect()
     val byDoc = frames.groupBy(_.getAs[Long]("doc_id"))
-    assert(byDoc.keySet == docs.keySet)
+    // empty payloads emit zero frames (and so no key), matching the oracle
+    assert(byDoc.keySet == docs.filter(_._2.nonEmpty).keySet)
     byDoc.foreach { case (id, fs) =>
       val bytes = docs(id).getBytes("UTF-8")
-      val expectedN = math.min(8, 1 + (bytes.length - 1) / 200)
+      val expectedN =
+        if (bytes.isEmpty) 0 else math.min(8, 1 + (bytes.length - 1) / 200)
       assert(fs.length == expectedN, s"doc $id: ${fs.length} frames, expected $expectedN")
       val f0 = fs.find(_.getAs[Int]("frame_idx") == 0).get
       val md = java.security.MessageDigest.getInstance("MD5")

@@ -43,7 +43,6 @@ class KGSpec extends SparkSpec {
   }
 
   test("minus_regex: excluded set is exactly the regex-matched customers") {
-    val inN = KGQueries.queries("kg_minus")(spark, sf) // same left side, different exclusion
     val kept = KGQueries.kgMinusRegex(spark, sf)
     val matched = Triples.statements(spark, sf)
       .filter(col("p") === "label" && col("o_val").rlike("(0|5)7$"))
