@@ -123,13 +123,17 @@ object Text {
     * production it is the held-out benchmark corpus. Scale shape: the
     * eval fingerprint set is benchmark-sized (broadcast side of the
     * join); the corpus side streams through one inverted-index join on
-    * the fingerprint plus one (doc, eval) aggregate. */
+    * the fingerprint plus one (doc, eval) aggregate. The winnowing
+    * scan is the expensive part, and three consumers hang off it
+    * (corpus side, eval side, eval sizes) — it is materialized ONCE
+    * via localCheckpoint and freed after the (tiny) flagged-pair
+    * result is computed: one corpus pass, not three. */
   def textContamination(spark: SparkSession, dir: String): DataFrame = {
-    val fp = textFingerprint(spark, dir)
+    val fp = textFingerprint(spark, dir).localCheckpoint(eager = true)
     val evalFp = fp.filter(col("doc_id") < 25)
       .select(col("doc_id").as("eval_id"), col("fp"))
     val evalSizes = evalFp.groupBy(col("eval_id")).agg(count(lit(1)).as("ne"))
-    fp.filter(col("doc_id") >= 25)
+    val flagged = fp.filter(col("doc_id") >= 25)
       .join(evalFp, Seq("fp"))
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared"))
@@ -137,6 +141,9 @@ object Text {
       .withColumn("containment", col("n_shared").cast("double") / col("ne").cast("double"))
       .filter(col("containment") >= 0.5)
       .select(col("doc_id"), col("eval_id"), col("n_shared"), col("containment"))
+      .localCheckpoint(eager = true) // flagged pairs only — tiny
+    graft.util.Checkpoints.free(fp)
+    flagged
   }
 
   /** Scrub pattern: whole-word entity deny-list terms, email

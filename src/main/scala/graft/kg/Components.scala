@@ -66,7 +66,9 @@ object Components {
     * universe `vertices` `(id)`. Returns `(id, comp)` with
     * comp = min id of the component; vertices with no edge map to
     * themselves. Each round localCheckpoints (bounded lineage) — the
-    * fixpoint loop never re-executes upstream plans. */
+    * fixpoint loop never re-executes upstream plans — and unpersists
+    * the superseded round's checkpoint once its successor is
+    * materialized, so live blocks stay O(edges), not O(edges × rounds). */
   def connectedComponents(edges: DataFrame, vertices: DataFrame): DataFrame = {
     var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -79,6 +81,7 @@ object Components {
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
+      graft.util.Checkpoints.free(e) // superseded round
       e = next
     }
     // fixpoint edges are stars (child -> min-id root); roots and
@@ -120,10 +123,14 @@ object Components {
     for (_ <- 0 until numIter) {
       val msgs = weighted.join(ranks, col("src") === col("id"))
         .groupBy(col("dst")).agg(sum(col("rank") * col("w")).as("msg"))
-      ranks = vertices.join(msgs, col("id") === col("dst"), "left_outer")
+      val stepped = vertices.join(msgs, col("id") === col("dst"), "left_outer")
         .select(col("id"),
           (lit(resetProb) + lit(1 - resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
         .localCheckpoint(eager = true)
+      // free the superseded iteration (no-op on the initial derived
+      // frame — Checkpoints.free only touches bare checkpoint roots)
+      graft.util.Checkpoints.free(ranks)
+      ranks = stepped
     }
     // GraphX (Spark 3+) normalizes the final rank sum to the vertex
     // count, restoring the mass lost through dangling vertices —

@@ -97,8 +97,11 @@ object KGQueries {
     * never an exceptAll re-aggregation of the whole closure — and the
     * emptiness check is a count on the already-materialized
     * checkpoint, not a separate plan execution. localCheckpoint per
-    * hop bounds lineage. */
+    * hop bounds lineage; superseded checkpoints are unpersisted as
+    * soon as their successor is materialized, so live blocks stay
+    * O(closure) across rounds and across repeated calls. */
   def kgPropertyPath(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.Checkpoints.free
     val st = Triples.statements(spark, dir)
     val edges = st.filter(col("p").isin("in_nation", "in_region"))
       .select(col("s").as("a"), col("o_id").as("b"))
@@ -115,13 +118,17 @@ object KGQueries {
         .join(closure, Seq("a", "b"), "left_anti")
         .localCheckpoint(eager = true)
       growing = next.count() > 0
+      if (!(frontier eq closure) && !(frontier eq edges)) free(frontier)
       if (growing) {
         // next is disjoint from closure (anti-joined) and internally
         // distinct, so the union needs no re-distinct
-        closure = closure.unionAll(next).localCheckpoint(eager = true)
+        val grown = closure.unionAll(next).localCheckpoint(eager = true)
+        if (!(closure eq edges)) free(closure)
+        closure = grown
         frontier = next
-      }
+      } else free(next)
     }
+    if (!(closure eq edges)) free(edges)
     closure.select(col("a").as("s"), col("b").as("reach"))
   }
 
@@ -189,12 +196,18 @@ object KGQueries {
   }
 
   /** kg_label_join — label service: resolve placed_by edges to labels
-    * via a broadcast id→label dimension (SPARQL label service shape). */
+    * (SPARQL label service shape). The label set is one row per
+    * labeled entity — it GROWS with the graph, so it carries no
+    * broadcast hint: AQE broadcasts it while it fits the threshold and
+    * degrades to a shuffle join (not a driver OOM) at scale. The
+    * production answer for a hot label service is the co-bucketed
+    * label layout ([[graft.util.Scale.writeBucketed]], plan-asserted
+    * zero-exchange in ScaleSpec). */
   def kgLabelJoin(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
     val labels = pat(st, "label").select(col("s").as("id"), col("o_val").as("lbl"))
     val placed = pat(st, "placed_by").select(col("s").as("o"), col("o_id").as("c"))
-    placed.join(broadcast(labels), col("c") === col("id"))
+    placed.join(labels, col("c") === col("id"))
       .select(col("o").as("order_id"), col("c").as("customer_id"), col("lbl").as("customer_label"))
   }
 

@@ -26,17 +26,22 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
   def inNamespace(c: Column, ns: Int): Column =
     c >= lit(ns.toLong * Triples.NS) && c < lit((ns + 1).toLong * Triples.NS)
 
-  /** The id→label dimension (broadcastable). */
+  /** The id→label relation (one row per labeled entity — grows with
+    * the graph; never force-broadcast it). */
   def labels: DataFrame =
     pattern("label").select(col("s").as("id"), col("o_val").as("label"))
 
   /** Label-service join: resolve `idCol` of `df` to labels. The label
     * frame is aliased and referenced qualified, so `df` may itself
     * carry an `id` column (e.g. labeling a degree table) without
-    * ambiguity. */
+    * ambiguity. No broadcast hint — the label side scales with the
+    * graph, so AQE decides (broadcast under the threshold, shuffle
+    * above); at scale store labels co-bucketed on id
+    * ([[graft.util.Scale.writeBucketed]]) so the join is exchange-free
+    * on the label side. */
   def labeled(df: DataFrame, idCol: String): DataFrame = {
     val lbl = labels.alias("_graft_lbl")
-    df.join(broadcast(lbl), df(idCol) === col("_graft_lbl.id"))
+    df.join(lbl, df(idCol) === col("_graft_lbl.id"))
       .drop(col("_graft_lbl.id"))
   }
 
@@ -148,8 +153,18 @@ object TripleStore {
     * start pairs `seed` (defaults to the edges themselves). Semi-naive:
     * per hop, only the frontier joins the edge set; dedup is a
     * left-anti against the materialized closure; emptiness is a count
-    * on the eager checkpoint. Shared by `closure` and `path`. */
+    * on the eager checkpoint. Shared by `closure` and `path`.
+    *
+    * Checkpoint lifecycle: each round's union copies the closure into
+    * a NEW checkpoint, so the superseded closure snapshot and the
+    * consumed frontier are unpersisted as soon as their successor is
+    * materialized ([[graft.util.Checkpoints.free]]) — live blocks stay
+    * O(closure), not O(closure × rounds), across a long-running
+    * session. Only the returned closure (and, when it IS the result,
+    * the edge checkpoint) outlives the call; callers that loop should
+    * free the result once consumed. */
   private[kg] def fixpoint(edges: DataFrame, seed: Option[DataFrame] = None): DataFrame = {
+    import graft.util.Checkpoints.free
     val e = edges.distinct().localCheckpoint(eager = true)
     var acc = seed.map(_.distinct().localCheckpoint(eager = true)).getOrElse(e)
     var frontier = acc
@@ -162,11 +177,16 @@ object TripleStore {
         .join(acc, Seq("a", "b"), "left_anti")
         .localCheckpoint(eager = true)
       growing = next.count() > 0
+      // the old frontier is fully consumed once `next` is materialized
+      if (!(frontier eq acc) && !(frontier eq e)) free(frontier)
       if (growing) {
-        acc = acc.unionAll(next).localCheckpoint(eager = true)
+        val grown = acc.unionAll(next).localCheckpoint(eager = true)
+        if (!(acc eq e)) free(acc) // superseded closure snapshot
+        acc = grown
         frontier = next
-      }
+      } else free(next) // empty last frontier
     }
+    if (!(acc eq e)) free(e) // the result no longer references the edge set
     acc
   }
 

@@ -36,9 +36,11 @@ object Relational {
     val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     val o = Tables.orders(spark, dir).filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir).filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
-    // customer is dim-sized → broadcast; orders⋈lineitem shuffles on orderkey.
+    // orders⋈lineitem shuffles on orderkey; customer GROWS with SF
+    // (not a bounded dimension), so no forced hint — AQE broadcasts
+    // the filtered side while it fits and shuffles at scale.
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(revenue(col("l_extendedprice"), col("l_discount")).as("rev"))
       .select(
@@ -50,7 +52,10 @@ object Relational {
       .limit(10)
   }
 
-  /** TPC-H Q5-class 6-way star join; dims broadcast, facts co-shuffled. */
+  /** TPC-H Q5-class 6-way star join. Only the BOUNDED domains
+    * (region/nation) carry broadcast hints; customer and supplier grow
+    * linearly with SF, so their joins are left to AQE (broadcast under
+    * the threshold, shuffle at scale — never a driver OOM). */
   def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val n = Tables.nation(spark, dir)
@@ -61,8 +66,8 @@ object Relational {
       .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     val l = Tables.lineitem(spark, dir)
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.kg.{Components, KGQueries, TripleStore}
+import graft.util.Checkpoints
+
+/** Checkpoint lifecycle: the fixpoint loops (closure / property path /
+  * connected components) unpersist superseded round checkpoints, so a
+  * long-running session issuing many closures keeps a bounded set of
+  * live RDD blocks instead of accumulating one per round per call. */
+class CheckpointsSpec extends SparkSpec {
+
+  private def live: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("repeated closure calls keep persistent RDD blocks bounded") {
+    val store = TripleStore(spark, sf)
+    def once(): Long = {
+      val r = store.closure(Seq("in_nation", "in_region"))
+      val n = r.count()
+      Checkpoints.freeAll(r) // caller frees the result once consumed
+      n
+    }
+    val first = once() // settle any lazy one-time state
+    val baseline = live
+    val counts = (1 to 4).map(_ => once())
+    assert(counts.forall(_ == first))
+    assert(live <= baseline,
+      s"persistent RDD count grew across closures: $baseline -> $live")
+  }
+
+  test("repeated property-path and CC calls keep blocks bounded") {
+    def path(): Unit = Checkpoints.freeAll(
+      { val r = KGQueries.kgPropertyPath(spark, sf); r.count(); r })
+    def cc(): Unit = {
+      val st = TripleStore(spark, sf)
+      val e = st.edges.filter(col("a") % 7 === 0)
+      val r = Components.connectedComponents(e, e.select(col("a").as("id")).distinct())
+      r.count()
+      Checkpoints.freeAll(r) // frees the final fixpoint edge checkpoint
+    }
+    path(); cc()
+    val baseline = live
+    (1 to 3).foreach { _ => path(); cc() }
+    assert(live <= baseline,
+      s"persistent RDD count grew: $baseline -> $live")
+  }
+
+  test("free is a no-op on derived frames and only frees checkpoint roots") {
+    val sess = spark; import sess.implicits._
+    val cp = (1 to 100).toDF("x").localCheckpoint(eager = true)
+    val before = live
+    Checkpoints.free(cp.select(col("x") * 2)) // derived — must not free cp
+    assert(live == before)
+    assert(cp.count() == 100) // still readable
+    Checkpoints.free(cp)
+    assert(live == before - 1)
+  }
+}
