@@ -262,7 +262,10 @@ object Dedup {
     annLsh(spark, dir, probeRadius = 2)
 
   /** The 6 ±1 hyperplanes as PRECOMPUTED literal weight arrays (md5
-    * parity of "lsh|plane|dim" — any deterministic source works). As
+    * parity of the seed string "lsh2|j|d" — any deterministic source
+    * works, but reproducing the plane set and its measured recall
+    * requires this exact seed; "lsh"/"lsh1" seeds measured below the
+    * 0.5 recall floor). As
     * literals they are embedded identically in the Spark plan and the
     * DuckDB oracle SQL, which is what lets the whole ANN pipeline be
     * hash-checked: both engines compute sign(dot(v, w_j)) with the
@@ -452,14 +455,18 @@ object Dedup {
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
          |common AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  -- candidate-driven, mirroring the Spark verify: the shingle
+         |  -- intersection is counted only for LSH candidate pairs
+         |  -- (cost grows with |cand|, never the quadratic self-join)
+         |  SELECT cand.a, cand.b, count(*) AS c
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = cand.a
+         |  JOIN sh sb ON sb.doc_id = cand.b AND sb.s = sa.s
          |  GROUP BY 1, 2),
          |ver AS (
          |  SELECT common.a, common.b
          |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
-         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
-         |    AND EXISTS (SELECT 1 FROM cand WHERE cand.a = common.a AND cand.b = common.b)),
+         |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
          |e AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
          |reach AS (
          |  WITH RECURSIVE r(src, node) AS (

@@ -108,10 +108,17 @@ object Multimodal {
     "mm_framesample" -> (mmFrameSample _))
 
   /** mm_meta is [R] rows-only (the decode stub isn't SQL-expressible);
-    * mm_framesample's md5 frame signatures replay exactly. */
+    * mm_framesample's md5 frame signatures replay exactly. The oracle
+    * slices text by CHARACTERS while the Spark side slices the UTF-8
+    * BYTE payload — equal only for ASCII, so the oracle ENFORCES that
+    * assumption: a non-ASCII document raises a loud error() instead of
+    * silently hash-mismatching the gate. */
   val oracles: Map[String, String] = Map(
     "mm_framesample" ->
-      s"""WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents),
+      s"""WITH d AS (SELECT doc_id,
+         |        CASE WHEN strlen(text) = length(text) THEN text
+         |             ELSE error('mm_framesample oracle assumes ASCII text (byte slices == char slices); non-ASCII doc_id ' || doc_id) END AS text,
+         |        strlen(text) AS L FROM documents),
          |f AS (SELECT doc_id, text, L,
          |        unnest(range(0, least($maxFrames, 1 + (L-1)//$frameLen))) AS fi
          |      FROM d)

@@ -113,7 +113,15 @@ object Streaming {
     * previous replay's dir (invalidating any still-unread DataFrame
     * from it — last-results-only is the contract), and a JVM exit
     * hook reaps whatever is left. /tmp usage is bounded by one sink
-    * per distinct query, not one per replay. */
+    * per distinct query, not one per replay.
+    *
+    * Concurrency: last-results-only is safe SINGLE-THREADED per query
+    * key (Bench/Verify/the test suites run queries sequentially —
+    * build.sbt forks one test JVM). Two concurrent replays of the SAME
+    * key would let one delete a sink dir the other's returned
+    * DataFrame is still lazily reading (FileNotFoundException); if
+    * parallel replays are ever needed, key sinkDirs by (session,
+    * query) and reap per session instead. */
   private val sinkDirs = new java.util.concurrent.ConcurrentHashMap[String, Path]()
   private lazy val sinkReaper: Unit = {
     sys.addShutdownHook(sinkDirs.values.forEach(p => deleteRecursively(p)))
