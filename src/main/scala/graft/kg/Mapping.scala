@@ -1,0 +1,139 @@
+package graft.kg
+
+/** Declarative mapping front-end: parse an RML-lite mapping document
+  * into [[Triples.Rule]]s — the user-facing twin of the reference's
+  * YAML mapping (`data-modeling/mappings/kg_v1.yml`, consumed by
+  * `data-modeling/create-rdf.py:22`). A reference user ports their
+  * mapping by editing a config file, not Scala; the engine half is
+  * [[Triples.mapped]].
+  *
+  * Supported YAML subset (hand-rolled — the runtime ships no YAML
+  * library, and the mapping needs nothing more):
+  *
+  * {{{
+  * # namespaces give each entity class a long-id prefix
+  * namespaces:
+  *   region: 1
+  *   nation: 2
+  * mappings:
+  *   - table: nation          # source table
+  *     s: n_nationkey         # subject key column
+  *     ns: nation             # subject namespace
+  *     po:                    # predicate/object pairs
+  *       - {p: in_region, o: n_regionkey, ns: region}   # entity edge
+  *       - {p: label, o: n_name}                        # literal
+  *       - {p: has_part, o: l_partkey, ns: part, distinct: true}
+  * }}}
+  *
+  * Comments (`#`), blank lines, and single/double-quoted scalars are
+  * accepted; anything else fails loudly with a line number — a
+  * mapping config silently misread is a wrong graph.
+  */
+object Mapping {
+
+  /** Parse a mapping document. Throws `IllegalArgumentException` with
+    * a line number on malformed input, unknown namespace references,
+    * or missing required keys. */
+  def parse(text: String): Seq[Triples.Rule] = {
+    // strip comments + blanks, keep (content, lineNo, indent)
+    val lines = text.linesIterator.zipWithIndex.flatMap { case (raw, i) =>
+      val noComment = raw.takeWhile(_ != '#')
+      val t = noComment.trim
+      if (t.isEmpty) None
+      else Some((t, i + 1, noComment.indexWhere(!_.isWhitespace)))
+    }.toList
+
+    def fail(lineNo: Int, msg: String): Nothing =
+      throw new IllegalArgumentException(s"mapping config line $lineNo: $msg")
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    def kv(s: String, lineNo: Int): (String, String) = s.indexOf(':') match {
+      case -1 => fail(lineNo, s"expected 'key: value', got '$s'")
+      case i  => (s.take(i).trim, unquote(s.drop(i + 1)))
+    }
+
+    val namespaces = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def nsId(name: String, lineNo: Int): Int =
+      namespaces.getOrElse(name, fail(lineNo, s"unknown namespace '$name' (declared: ${namespaces.keys.mkString(", ")})"))
+
+    final class Item(val lineNo: Int) {
+      var table: Option[String] = None
+      var sKey: Option[String] = None
+      var sNs: Option[String] = None
+      val po = scala.collection.mutable.ListBuffer[(Map[String, String], Int)]()
+      def rules: Seq[Triples.Rule] = {
+        val t = table.getOrElse(fail(lineNo, "mapping item missing 'table'"))
+        val s = sKey.getOrElse(fail(lineNo, s"mapping for '$t' missing 's'"))
+        val n = nsId(sNs.getOrElse(fail(lineNo, s"mapping for '$t' missing 'ns'")), lineNo)
+        if (po.isEmpty) fail(lineNo, s"mapping for '$t' has no 'po' entries")
+        po.toSeq.map { case (m, ln) =>
+          val p = m.getOrElse("p", fail(ln, "po entry missing 'p'"))
+          val o = m.getOrElse("o", fail(ln, "po entry missing 'o'"))
+          val oNs = m.get("ns").map(nsId(_, ln))
+          val distinct = m.get("distinct") match {
+            case None | Some("false") => false
+            case Some("true")         => true
+            case Some(x)              => fail(ln, s"distinct must be true/false, got '$x'")
+          }
+          m.keySet.diff(Set("p", "o", "ns", "distinct")).foreach(k => fail(ln, s"unknown po key '$k'"))
+          Triples.Rule(t, s, n, p, o, oNs, distinct)
+        }
+      }
+    }
+
+    var section: String = ""
+    var inPo = false
+    val items = scala.collection.mutable.ListBuffer[Item]()
+    lines.foreach { case (content, lineNo, _) =>
+      content match {
+        case "namespaces:" => section = "namespaces"; inPo = false
+        case "mappings:"   => section = "mappings"; inPo = false
+        case _ => section match {
+          case "namespaces" =>
+            val (k, v) = kv(content, lineNo)
+            namespaces(k) = try v.toInt catch {
+              case _: NumberFormatException => fail(lineNo, s"namespace '$k' needs an integer id, got '$v'")
+            }
+          case "mappings" if content.startsWith("- {") || content.startsWith("-{") =>
+            // inline-map po entry: - {p: x, o: y, ns: z}
+            if (!inPo || items.isEmpty) fail(lineNo, "po entry outside a 'po:' block")
+            val body = content.dropWhile(_ != '{').stripPrefix("{").reverse.dropWhile(_ != '}').tail.reverse
+            val m = body.split(',').filter(_.trim.nonEmpty).map(kv(_, lineNo)).toMap
+            items.last.po += ((m, lineNo))
+          case "mappings" if content.startsWith("- ") =>
+            // new mapping item, first key on the dash line: - table: x
+            val item = new Item(lineNo)
+            items += item
+            inPo = false
+            val (k, v) = kv(content.stripPrefix("- "), lineNo)
+            if (k != "table") fail(lineNo, s"mapping item must start with 'table', got '$k'")
+            item.table = Some(v)
+          case "mappings" =>
+            if (items.isEmpty) fail(lineNo, "key outside a mapping item")
+            if (content == "po:") { inPo = true }
+            else {
+              val (k, v) = kv(content, lineNo)
+              k match {
+                case "s"  => items.last.sKey = Some(v); inPo = false
+                case "ns" => items.last.sNs = Some(v); inPo = false
+                case x    => fail(lineNo, s"unknown mapping key '$x' (expected s/ns/po)")
+              }
+            }
+          case _ => fail(lineNo, s"'$content' outside a section (expected 'namespaces:' or 'mappings:')")
+        }
+      }
+    }
+    if (namespaces.isEmpty) throw new IllegalArgumentException("mapping config: no namespaces declared")
+    val rules = items.toSeq.flatMap(_.rules)
+    if (rules.isEmpty) throw new IllegalArgumentException("mapping config: no mapping rules")
+    rules
+  }
+
+  /** Parse a mapping config file from disk. */
+  def load(path: String): Seq[Triples.Rule] =
+    parse(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+}

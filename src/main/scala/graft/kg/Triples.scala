@@ -35,12 +35,18 @@ object Triples {
   /** Namespaced entity id as a SQL fragment (DuckDB). */
   def idSql(ns: Int, key: String): String = s"(${ns.toLong * NS} + CAST($key AS BIGINT))"
 
-  /** One mapping rule: either an entity edge (oNs set) or a literal. */
-  private final case class Rule(
+  /** One mapping rule: either an entity edge (oNs set) or a literal.
+    * Public — [[Mapping]] parses a declarative config document into
+    * these, so a reference user ports their RML mapping by editing
+    * config, not Scala. */
+  final case class Rule(
       table: String, sKey: String, sNs: Int, p: String,
       oCol: String, oNs: Option[Int], distinct: Boolean = false)
 
-  private val rules: Seq[Rule] = Seq(
+  /** The test star schema's built-in mapping (the hard-coded twin of
+    * the config [[Mapping]] accepts — MappingSpec proves a config
+    * round-trips to exactly these rules). */
+  val rules: Seq[Rule] = Seq(
     // ---- entity edges --------------------------------------------------
     Rule("nation",   "n_nationkey", NATION,   "in_region",   "n_regionkey", Some(REGION)),
     Rule("customer", "c_custkey",   CUSTOMER, "in_nation",   "c_nationkey", Some(NATION)),
@@ -71,9 +77,12 @@ object Triples {
   private def langOf(r: Rule): Option[String] =
     if (r.oNs.isEmpty && r.p == "label") Some("en") else None
 
-  /** The full statements DataFrame: `(s, p, o_id, o_val, lang)`. */
-  def statements(spark: SparkSession, dir: String): DataFrame = {
-    val base = rules.map { r =>
+  /** Statements from an explicit rule set — the execution half of the
+    * mapping front-end (rules come from [[rules]] or from a parsed
+    * [[Mapping]] config). Pure projection+union, no shuffle except the
+    * DISTINCT branches. */
+  def mapped(spark: SparkSession, dir: String, mappingRules: Seq[Rule]): DataFrame =
+    mappingRules.map { r =>
       val row = Tables.load(spark, dir, r.table).select(
         id(r.sNs, col(r.sKey)).as("s"),
         lit(r.p).as("p"),
@@ -88,6 +97,10 @@ object Triples {
         langOf(r).map(lit(_)).getOrElse(lit(null)).cast("string").as("lang"))
       if (r.distinct) row.distinct() else row
     }.reduce(_ unionAll _)
+
+  /** The full statements DataFrame: `(s, p, o_id, o_val, lang)`. */
+  def statements(spark: SparkSession, dir: String): DataFrame = {
+    val base = mapped(spark, dir, rules)
     val de = Tables.customer(spark, dir)
       .filter(col("c_custkey") % 3 === 0)
       .select(
