@@ -331,10 +331,11 @@ object Dedup {
   }
 
   /** sim_ann_ivf — IVF (inverted-file) ANN: see [[annIvf]]. Default
-    * 16 coarse cells, probe the 4 nearest — the clustered-embedding
-    * production path beside the hyperplane LSH. */
+    * 16 coarse cells, probe the 4 nearest, quantizer fitted on a 25%
+    * sample — the clustered-embedding production path beside the
+    * hyperplane LSH. */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
-    annIvf(spark, dir, k = 16, nprobe = 4)
+    annIvf(spark, dir, k = 16, nprobe = 4, trainFraction = 0.25)
 
   /** IVF-style ANN: a k-means coarse quantizer (Spark MLlib, fixed
     * seed → deterministic) assigns every vector to its nearest
@@ -355,9 +356,16 @@ object Dedup {
     * the data (contrast ER round-1's fact broadcasts). List assignment
     * is one model.transform map; the probe is an equi-join on the
     * list id, cost ∝ probed fraction (nprobe/k) of the table per query
-    * batch. At 100 TB: train the quantizer on a sample, write the
-    * table bucketed by list id, and the probe join prunes buckets. */
-  def annIvf(spark: SparkSession, dir: String, k: Int, nprobe: Int): DataFrame = {
+    * batch. At 100 TB: the quantizer is fitted on a seeded SAMPLE
+    * (`trainFraction` — cluster geometry needs a sketch of the
+    * distribution, not every row; the k-means passes are the dominant
+    * cost and scale with the training set), the full table is assigned
+    * with the fitted model in one transform pass, and the production
+    * layout writes the table bucketed by list id so the probe join
+    * prunes buckets. A sample that lands under 4·k points falls back
+    * to the full table (quantizer quality over speed at toy sizes). */
+  def annIvf(spark: SparkSession, dir: String, k: Int, nprobe: Int,
+             trainFraction: Double = 1.0): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val sess = spark; import sess.implicits._
@@ -366,7 +374,15 @@ object Dedup {
       .filter(col("nrm") > 0) // zero vectors have no direction — excluded from the index
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
     val feat = unit.withColumn("features", array_to_vector(col("u")))
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(8).fit(feat)
+    val train = if (trainFraction >= 1.0) feat
+      else {
+        // materialized once: the fit iterates maxIter times over it
+        val t = feat.sample(withReplacement = false, trainFraction, seed = 11L)
+          .localCheckpoint(eager = true)
+        if (t.count() >= 4L * k) t else { graft.util.Checkpoints.free(t); feat }
+      }
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(8).fit(train)
+    if (!(train eq feat)) graft.util.Checkpoints.free(train) // consumed by the fit
     val assigned = model.transform(feat).withColumnRenamed("prediction", "list")
     val t = assigned.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("list"))
     val centers = model.clusterCenters.zipWithIndex

@@ -99,16 +99,24 @@ class DedupSpec extends SparkSpec {
       .select("q", "neighbor").collect()
       .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
       .view.mapValues(_.map(_._2).toSet).toMap
-    val ivf = Dedup.annIvf(spark, tmp, k = 16, nprobe = 4)
-      .select("q", "neighbor").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-      .view.mapValues(_.map(_._2).toSet).toMap
-    val recalls = truth.map { case (q, t) =>
-      t.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / t.size
+    def recallOf(trainFraction: Double): Double = {
+      val ivf = Dedup.annIvf(spark, tmp, k = 16, nprobe = 4, trainFraction)
+        .select("q", "neighbor").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      val recalls = truth.map { case (q, t) =>
+        t.intersect(ivf.getOrElse(q, Set.empty)).size.toDouble / t.size
+      }
+      recalls.sum / recalls.size
     }
-    val recall = recalls.sum / recalls.size
-    info(f"ivf recall@5 = $recall%.3f over ${recalls.size} queries")
+    val recall = recallOf(1.0)
+    info(f"ivf recall@5 = $recall%.3f over ${truth.size} queries")
     assert(recall >= 0.9, f"IVF recall@5 $recall%.3f below 0.9 on clustered data")
+    // the 100 TB path: quantizer fitted on a 25% sample, full table
+    // assigned with the fitted model — recall must hold
+    val sampled = recallOf(0.25)
+    info(f"ivf (sample-trained) recall@5 = $sampled%.3f")
+    assert(sampled >= 0.9, f"sample-trained IVF recall@5 $sampled%.3f below 0.9")
   }
 
   test("simhash pairs equal an independent in-memory recomputation") {
