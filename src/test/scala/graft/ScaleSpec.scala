@@ -38,6 +38,24 @@ class ScaleSpec extends SparkSpec {
     assert(hop.count() == expected)
   }
 
+  test("bucketed label layout serves the label service with no exchange") {
+    // the production story behind kgLabelJoin / TripleStore.labeled
+    // dropping their broadcast hints: the label relation grows with
+    // the graph, so the hot label service stores BOTH sides bucketed
+    // on the entity id — the recurring label join then runs with zero
+    // exchange (nothing shuffles, nothing is driver-collected)
+    val store = graft.kg.TripleStore(spark, graft.kg.Triples.statements(spark, sf))
+    Scale.writeBucketed(store.labels, "b_labels", "id", 8)
+    Scale.writeBucketed(
+      store.pattern("placed_by").select(col("s").as("order_id"), col("o_id").as("id")),
+      "b_placed", "id", 8)
+    val joined = Scale.colocatedJoin(spark, "b_placed", "b_labels", "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"), s"label join must not shuffle:\n$plan")
+    assert(joined.count() == graft.kg.KGQueries.kgLabelJoin(spark, sf).count())
+  }
+
   test("salted join is result-identical to the plain join") {
     val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val n = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
