@@ -149,15 +149,40 @@ object ER {
 
   /** er_fuzzy_match — Levenshtein ≤ 2 on blocked candidate pairs.
     * Result-preserving optimizations (the oracle is unchanged):
-    * length-difference ≤ 2 is NECESSARY for lev ≤ 2, and it's a cheap
-    * codegen'd predicate evaluated before the expensive one; the
-    * thresholded `levenshtein(a, b, 2)` runs a banded DP that exits
-    * early (returns -1 above the threshold). */
+    *
+    *   - EXACT-DUP COLLAPSE: `levenshtein(a, b)` depends only on the
+    *     strings, and mention pools are heavily duplicated (the same
+    *     label recurs across entities), so the expensive comparison
+    *     runs once per DISTINCT within-block `(norm_a, norm_b)` pair —
+    *     the salted block self-join pairs the distinct-norm frame, and
+    *     matches expand back to id pairs through two equi-joins
+    *     (identical-norm id pairs ride along as the dist-0 diagonal).
+    *     Comparisons collapse from Σ block n² over mentions to
+    *     Σ block n² over distinct strings; the expansion cost is
+    *     ∝ |matching id pairs|, which is the output size — at any
+    *     scale this is never worse than pairing raw ids.
+    *   - length-difference ≤ 2 is NECESSARY for lev ≤ 2, and it's a
+    *     cheap codegen'd predicate evaluated before the expensive one;
+    *     the thresholded `levenshtein(a, b, 2)` runs a banded DP that
+    *     exits early (returns -1 above the threshold). */
   def erFuzzyMatch(spark: SparkSession, dir: String): DataFrame = {
-    candidatePairs(spark, dir)
+    val p = blockedParts(spark, dir)
+    val d = p.select(col("blk"), col("norm")).distinct()
+      .withColumn("len", length(col("norm")))
+    val a = d.select(col("blk"), col("norm").as("norm_a"), col("len").as("len_a"))
+    val b = d.select(col("blk"), col("norm").as("norm_b"), col("len").as("len_b"))
+    // all ordered distinct-norm pairs per block, self-pairs included —
+    // the id filter below needs both orientations available
+    val normPairs = Scale.saltedJoin(a, b, "blk", pairSalts, saltOn = col("norm_a"))
       .filter(abs(col("len_a") - col("len_b")) <= 2)
       .withColumn("dist", levenshtein(col("norm_a"), col("norm_b"), 2))
       .filter(col("dist") >= 0)
+      .select(col("norm_a"), col("norm_b"), col("dist"))
+    val left = p.select(col("id").as("id_a"), col("norm").as("norm_a"))
+    val right = p.select(col("id").as("id_b"), col("norm").as("norm_b"))
+    left.join(normPairs, Seq("norm_a"))
+      .join(right, Seq("norm_b"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("norm_a"), col("norm_b"), col("dist"))
   }
 
