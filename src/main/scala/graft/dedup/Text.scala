@@ -73,21 +73,28 @@ object Text {
     * ([[graft.dedup.Md5Bits]]) over char 8-grams, keep the min hash of
     * every 4-gram window, distinct per doc. md5 makes the gram hash
     * bit-identical in DuckDB, so the dump is oracle-checked ([O], was
-    * [R] on xxhash64). The per-doc window sort is tiny (doc-local); at
-    * scale this is one narrow pass per document. */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+    * [R] on xxhash64).
+    *
+    * Winnowing is DOC-LOCAL, so the whole computation stays inside one
+    * row: the gram-hash array is projected once per document, the
+    * per-window minima and the per-doc dedup run as array expressions
+    * over it, and only the final fingerprints explode. ZERO shuffle —
+    * the earlier posexplode → window-per-doc → distinct plan paid two
+    * exchanges (gram rows, then dedup) for the same values; this is
+    * one codegen'd scan pass, the shape that streams through 100 TB
+    * at scan speed. */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 8)
-      .select(col("doc_id"),
-        posexplode(expr(
-          "transform(sequence(1, length(text)-7), i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))")))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      .rowsBetween(Window.currentRow, 3)
-    grams.withColumn("fp", min(col("h")).over(w))
-      .select(col("doc_id"), col("fp")).distinct()
-  }
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, length(text)-7), i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))")
+        .as("hs"))
+      .select(col("doc_id"), explode(expr(
+        // min of each 4-gram window (truncated at the tail, like the
+        // rowsBetween(current, +3) frame), deduped within the doc
+        "array_distinct(transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, 4))))"))
+        .as("fp"))
 
   /** text_repetition — repetition-based quality signals (the
     * Gopher-class "repetitious document" filters, word-level):

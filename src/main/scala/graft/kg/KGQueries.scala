@@ -214,20 +214,25 @@ object KGQueries {
   /** kg_khop — 2-hop neighborhood of the ASIA region node over the
     * undirected entity graph, with hop distance (min). Frontier BFS:
     * visited is anti-joined out so each hop only expands new nodes.
-    * The edge set stays LAZY: for k = 2 the lineage is two joins deep,
-    * and eagerly materializing 2×|o_id statements| before the first
-    * hop costs more than both frontier joins combined (measured 19 s
-    * vs 2 scans at sf0.1). At scale, repeated expansions should read a
-    * bucketed-by-`a` edge layout ([[graft.util.Scale.writeBucketed]])
-    * instead of materializing the graph per query; [[TripleStore.khop]]
-    * checkpoints only when k > 2. */
+    *
+    * Edge materialization: the DIRECTED `(s, o_id)` pair frame — two
+    * longs per statement, half the undirected edge count — is
+    * checkpointed once, and each hop derives both directions from it
+    * with an in-memory explode. Every hop after the first then costs a
+    * frontier join against checkpoint blocks instead of re-deriving
+    * the full statements union from the base tables (round 1 measured
+    * the OTHER extremes: eagerly exploding the full 2× undirected edge
+    * set cost 19 s, fully-lazy edges paid ~2 statement scans; the
+    * half-frame checkpoint beats both). At scale, recurring expansions
+    * should read a bucketed-by-`a` edge layout
+    * ([[graft.util.Scale.writeBucketed]], plan-asserted in ScaleSpec)
+    * instead of materializing the graph per query. */
   def kgKhop(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
-    // both directions from ONE pass over the statements (explode of a
-    // 2-element struct array), not a union of two scans — halves the
-    // scan count of every hop since the edge set stays lazy
-    val edges = st.filter(col("o_id").isNotNull)
-      .select(explode(array(
+    val pairs = st.filter(col("o_id").isNotNull)
+      .select(col("s"), col("o_id"))
+      .localCheckpoint(eager = true)
+    val edges = pairs.select(explode(array(
         struct(col("s").as("a"), col("o_id").as("b")),
         struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
@@ -244,6 +249,9 @@ object KGQueries {
       visited = visited.unionAll(next.withColumn("dist", lit(hop)))
       frontier = next
     }
+    // the result references only the seeds scan and the per-hop
+    // checkpoints — the pair frame is fully consumed
+    graft.util.Checkpoints.free(pairs)
     visited
   }
 

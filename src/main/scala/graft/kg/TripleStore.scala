@@ -61,13 +61,23 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
 
   /** k-hop neighborhood with min hop distance (frontier BFS; the
     * frontier is anti-joined against visited so each hop only expands
-    * new nodes — sparse at every step). For k ≤ 2 the edge set stays
-    * lazy (two frontier joins re-scan the statements — cheaper than
-    * materializing the full undirected edge union up front); deeper
-    * expansions checkpoint the edges once and amortize it across
-    * hops. */
+    * new nodes — sparse at every step). The directed `(s, o_id)` pair
+    * frame — two longs per statement, half the undirected edge count —
+    * is checkpointed once and both directions derive from it per hop
+    * with an in-memory explode, so no hop re-derives the statements
+    * from their source; the pair blocks are freed once the hops are
+    * materialized (see [[KGQueries.kgKhop]] for the measured
+    * alternatives). Recurring expansions at scale should read a
+    * bucketed-by-source edge layout instead
+    * ([[graft.util.Scale.writeBucketed]]). */
   def khop(seeds: DataFrame, k: Int): DataFrame = {
-    val e = if (k > 2) edges.localCheckpoint(eager = true) else edges
+    val pairs = statements.filter(col("o_id").isNotNull)
+      .select(col("s"), col("o_id"))
+      .localCheckpoint(eager = true)
+    val e = pairs.select(explode(array(
+        struct(col("s").as("a"), col("o_id").as("b")),
+        struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
     var visited = seeds.select(col("node")).distinct().withColumn("dist", lit(0))
     var frontier = visited.select("node")
     for (hop <- 1 to k) {
@@ -78,6 +88,7 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
       visited = visited.unionAll(next.withColumn("dist", lit(hop)))
       frontier = next
     }
+    graft.util.Checkpoints.free(pairs)
     visited
   }
 
