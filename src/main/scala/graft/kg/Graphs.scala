@@ -84,4 +84,41 @@ object Graphs {
     val rg = g.staticPageRank(numIter)
     extracting(rg, g) { rg.vertices.toDF("id", "rank") }
   }
+
+  /** Edge-centric transitive closure (SPARQL `p+` for DEEP graphs):
+    * every vertex accumulates the set of vertices reachable from it;
+    * each superstep, a vertex pushes `{self} ∪ reach(self)` backwards
+    * along in-edges to sources that don't know it yet, until no set
+    * grows. Result-identical to the DataFrame fixpoint
+    * ([[TripleStore.closure]], spec-checked on the test graph).
+    *
+    * When to prefer which (measured in GraphsSpec, SURVEY §5): both
+    * need O(depth) rounds, but a Pregel superstep is one co-partitioned
+    * message shuffle over cached RDDs while a fixpoint round is a
+    * join + distinct + anti-join + checkpoint + count — so on deep
+    * skinny hierarchies (depth ≫ per-vertex reach) Pregel's cheaper
+    * round wins, while on shallow/bushy graphs (the common KG shape,
+    * depth ≤ ~4) the DataFrame fixpoint wins on setup cost and keeps
+    * Catalyst/AQE. The per-vertex SET state also means Pregel degrades
+    * when reach sets approach graph size — the fixpoint's flat pair
+    * table is the safe shape there. */
+  def closure(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val eRdd = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
+    val g = Graph.fromEdges[Set[Long], Unit](eRdd, Set.empty[Long])
+    val done = g.pregel(Set.empty[Long])(
+      (_, attr, msg) => attr ++ msg,
+      triplet => {
+        val want = triplet.dstAttr + triplet.dstId
+        if (want.subsetOf(triplet.srcAttr)) Iterator.empty
+        else Iterator((triplet.srcId, want))
+      },
+      _ ++ _)
+    extracting(done, g) {
+      done.vertices
+        .flatMap { case (id, rs) => rs.iterator.map(r => (id, r)) }
+        .toDF("s", "reach")
+    }
+  }
 }

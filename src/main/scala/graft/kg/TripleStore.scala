@@ -201,6 +201,13 @@ object TripleStore {
     acc
   }
 
+  /** Transitive closure of an arbitrary `(a, b)` edge frame — the
+    * DataFrame fixpoint behind `closure`/`path`, exposed for closures
+    * over non-statement edge sets (and for racing it against the
+    * Pregel engine, [[Graphs.closure]]). */
+  def closureOf(edges: DataFrame): DataFrame =
+    fixpoint(edges).select(col("a").as("s"), col("b").as("reach"))
+
   /** Store over the test star schema's RML-lite mapping. */
   def apply(spark: SparkSession, dir: String): TripleStore =
     new TripleStore(spark, Triples.statements(spark, dir))
