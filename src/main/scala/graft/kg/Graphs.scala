@@ -104,7 +104,12 @@ object Graphs {
     * table is the safe shape there. */
   def closure(spark: SparkSession, edges: DataFrame): DataFrame = {
     val sess = spark; import sess.implicits._
+    // same partition clamp as fromStatements: per-superstep scheduling
+    // overhead scales with partition count, and closure pays O(depth)
+    // supersteps — exactly the workload the clamp exists for
+    val n = math.min(64, math.max(8, spark.sparkContext.defaultParallelism))
     val eRdd = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .coalesce(n)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = Graph.fromEdges[Set[Long], Unit](eRdd, Set.empty[Long])
     val done = g.pregel(Set.empty[Long])(

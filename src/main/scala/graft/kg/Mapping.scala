@@ -55,6 +55,11 @@ object Mapping {
       case -1 => fail(lineNo, s"expected 'key: value', got '$s'")
       case i  => (s.take(i).trim, unquote(s.drop(i + 1)))
     }
+    def kvMap(pairs: Seq[(String, String)], lineNo: Int): Map[String, String] = {
+      pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+        .headOption.foreach(k => fail(lineNo, s"duplicate key '$k'"))
+      pairs.toMap
+    }
 
     val namespaces = scala.collection.mutable.LinkedHashMap[String, Int]()
     def nsId(name: String, lineNo: Int): Int =
@@ -95,14 +100,21 @@ object Mapping {
         case _ => section match {
           case "namespaces" =>
             val (k, v) = kv(content, lineNo)
+            if (namespaces.contains(k)) fail(lineNo, s"namespace '$k' declared twice")
             namespaces(k) = try v.toInt catch {
               case _: NumberFormatException => fail(lineNo, s"namespace '$k' needs an integer id, got '$v'")
             }
           case "mappings" if content.startsWith("- {") || content.startsWith("-{") =>
-            // inline-map po entry: - {p: x, o: y, ns: z}
+            // inline-map po entry: - {p: x, o: y, ns: z} — the braces
+            // must wrap the WHOLE entry (trailing text would otherwise
+            // be dropped silently, and a missing '}' misparsed)
             if (!inPo || items.isEmpty) fail(lineNo, "po entry outside a 'po:' block")
-            val body = content.dropWhile(_ != '{').stripPrefix("{").reverse.dropWhile(_ != '}').tail.reverse
-            val m = body.split(',').filter(_.trim.nonEmpty).map(kv(_, lineNo)).toMap
+            val t = content.stripPrefix("-").trim
+            if (!t.endsWith("}")) fail(lineNo, s"po entry must end with '}', got '$content'")
+            val body = t.stripPrefix("{").stripSuffix("}")
+            if (body.contains('{') || body.contains('}'))
+              fail(lineNo, s"nested braces in po entry '$content'")
+            val m = kvMap(body.split(',').filter(_.trim.nonEmpty).toSeq.map(kv(_, lineNo)), lineNo)
             items.last.po += ((m, lineNo))
           case "mappings" if content.startsWith("- ") =>
             // new mapping item, first key on the dash line: - table: x
@@ -117,9 +129,13 @@ object Mapping {
             if (content == "po:") { inPo = true }
             else {
               val (k, v) = kv(content, lineNo)
+              def setOnce(slot: Option[String]): Option[String] = {
+                if (slot.isDefined) fail(lineNo, s"'$k' set twice for table '${items.last.table.getOrElse("?")}'")
+                Some(v)
+              }
               k match {
-                case "s"  => items.last.sKey = Some(v); inPo = false
-                case "ns" => items.last.sNs = Some(v); inPo = false
+                case "s"  => items.last.sKey = setOnce(items.last.sKey); inPo = false
+                case "ns" => items.last.sNs = setOnce(items.last.sNs); inPo = false
                 case x    => fail(lineNo, s"unknown mapping key '$x' (expected s/ns/po)")
               }
             }
