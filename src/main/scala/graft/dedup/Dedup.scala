@@ -31,19 +31,21 @@ import graft.sources.Tables
   *     buckets at runtime, and the production knob is a doc-frequency
   *     cap on shingles (drop shingles appearing in > maxDf docs).
   */
-/** Portable hash words from md5 hex — the same bits in Spark
-  * (`conv(substr(md5(x),…),16,10)`) and DuckDB
+/** Portable hash words from md5 — the same bits in Spark and DuckDB
   * (`('0x'||substr(md5(x),…))::BIGINT`), so signature operators built
-  * on them are exactly replayable by the SQL oracle. All values are
+  * on them are exactly replayable by the SQL oracle. The Spark side
+  * uses the native [[graft.functions.Md5Long]] expression (digest
+  * bytes → long, no per-gram hex-string allocation + conv re-parse;
+  * spec-proven identical to the hex composition). All values are
   * < 2^32 (word) or < 2^60 (prefix) — no signed-overflow edge. */
 object Md5Bits {
-  import org.apache.spark.sql.functions.{conv, md5, substring}
+  import org.apache.spark.sql.functions.call_function
   /** First 32-bit word of md5(c), as a non-negative long. */
-  def hi32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hi32(c: Column): Column = call_function("md5_hi32", c)
   /** Second 32-bit word of md5(c). */
-  def lo32(c: Column): Column = conv(substring(md5(c), 9, 8), 16, 10).cast("long")
+  def lo32(c: Column): Column = call_function("md5_lo32", c)
   /** 60-bit value from the 15-hex-char md5 prefix (fits a signed 64). */
-  def p60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  def p60(c: Column): Column = call_function("md5_p60", c)
   def hi32Sql(e: String): String = s"('0x'||substr(md5($e),1,8))::BIGINT"
   def lo32Sql(e: String): String = s"('0x'||substr(md5($e),9,8))::BIGINT"
   def p60Sql(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"
@@ -137,6 +139,7 @@ object Dedup {
     * md5 strings of the band's signature words, so the DuckDB oracle
     * replays the whole pipeline exactly ([O], was [R] in round 2). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
     val sh = shingles(spark, dir)
       .select(col("doc_id"), hi32(col("s")).as("h1"), lo32(col("s")).as("h2"))
     val sigCols = (0 until 64).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
@@ -161,6 +164,7 @@ object Dedup {
     * DuckDB, so the full pipeline is oracle-replayed ([O], was [R]).
     * Hamming distance = popcount(xor) summed over the halves. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
     val words = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))

@@ -83,18 +83,20 @@ object Text {
     * exchanges (gram rows, then dedup) for the same values; this is
     * one codegen'd scan pass, the shape that streams through 100 TB
     * at scan speed. */
-  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // md5_p60
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), expr(
-        "transform(sequence(1, length(text)-7), i -> cast(conv(substring(md5(substring(text, i, 8)), 1, 15), 16, 10) as bigint))")
+        "transform(sequence(1, length(text)-7), i -> md5_p60(substring(text, i, 8)))")
         .as("hs"))
       .select(col("doc_id"), explode(expr(
         // min of each 4-gram window (truncated at the tail, like the
         // rowsBetween(current, +3) frame), deduped within the doc
         "array_distinct(transform(sequence(1, size(hs)), j -> array_min(slice(hs, j, 4))))"))
         .as("fp"))
+  }
 
   /** text_repetition — repetition-based quality signals (the
     * Gopher-class "repetitious document" filters, word-level):

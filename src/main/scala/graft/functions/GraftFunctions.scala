@@ -3,10 +3,11 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BitwiseCount, BitwiseXor, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, BitwiseCount, BitwiseXor, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** cosine_sim(a, b): native Catalyst expression for cosine similarity
   * over `array<double>` — one fused loop computing dot product and both
@@ -86,6 +87,64 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** md5_hi32/md5_lo32/md5_p60(s): native md5 hash words — the same
+  * values as `conv(substring(md5(s), …), 16, 10)` (and DuckDB's
+  * `('0x'||substr(md5(s),…))::BIGINT`), computed directly from the
+  * digest bytes. This is the hot scalar of every signature pipeline
+  * (winnowing fingerprints, MinHash, SimHash): the hex-string
+  * composition allocates a 32-char string per gram and re-parses it
+  * through conv; this expression reuses a thread-local MessageDigest
+  * and does two shifts. Bit-identical by construction (hex chars 1–8 =
+  * digest bytes 0–3; 9–16 = bytes 4–7; 1–15 = the first 60 bits), so
+  * the DuckDB oracle replay is unchanged — FunctionsSpec asserts
+  * equality against the conv composition.
+  *
+  * `mode`: 0 = hi32 (bytes 0–3), 1 = lo32 (bytes 4–7), 2 = p60
+  * (first 60 bits — fits a signed long, never negative). */
+case class Md5Long(child: Expression, mode: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5 word functions require a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    Md5Long.word(input.asInstanceOf[UTF8String], mode)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Long$$.MODULE$$.word($c, $mode)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Long =
+    copy(child = newChild)
+}
+
+object Md5Long {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** The selected word of md5(UTF-8 bytes of `s`); see [[Md5Long]]. */
+  def word(s: UTF8String, mode: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    def be(from: Int, to: Int): Long = {
+      var v = 0L; var i = from
+      while (i < to) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v
+    }
+    mode match {
+      case 0 => be(0, 4)        // hex chars 1–8
+      case 1 => be(4, 8)        // hex chars 9–16
+      case _ => be(0, 8) >>> 4  // hex chars 1–15 = first 60 bits
+    }
+  }
+}
+
 /** SQL-function registry for the graft native expressions. Register
   * once per session; all queries reach them via `expr("cosine_sim(...)")`
   * or plain SQL. `hamming64` composes existing codegen'd nodes
@@ -106,16 +165,25 @@ object GraftFunctions {
     info("hamming64", "hamming64(a, b) - hamming distance between two 64-bit signatures"),
     (children: Seq[Expression]) => BitwiseCount(BitwiseXor(children(0), children(1))))
 
+  private def md5Word(name: String, mode: Int) = (
+    FunctionIdentifier(name),
+    info(name, s"$name(s) - md5 hash word of a string (native, hex-composition-identical)"),
+    (children: Seq[Expression]) => Md5Long(children.head, mode))
+
+  private val all = Seq(
+    cosineSim, hamming64,
+    md5Word("md5_hi32", 0), md5Word("md5_lo32", 1), md5Word("md5_p60", 2))
+
   /** Imperative registration into an existing session. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq(cosineSim, hamming64).foreach { case (id, fi, b) => reg.registerFunction(id, fi, b) }
+    all.foreach { case (id, fi, b) => reg.registerFunction(id, fi, b) }
   }
 
   /** Extension-point registration (builder.withExtensions /
     * spark.sql.extensions=graft.functions.GraftExtensions). */
   def inject(ext: SparkSessionExtensions): Unit =
-    Seq(cosineSim, hamming64).foreach(ext.injectFunction)
+    all.foreach(ext.injectFunction)
 }
 
 /** `SparkSessionExtensions` hook: makes the graft native functions part

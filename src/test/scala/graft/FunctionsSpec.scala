@@ -29,6 +29,30 @@ class FunctionsSpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("md5 word functions equal the hex-substring/conv composition") {
+    GraftFunctions.registerAll(spark)
+    val sess = spark; import sess.implicits._
+    // cover: empty, 1-char, ascii, spaces, punctuation, non-ascii
+    val docs = Seq("", "a", "hello world", "  spaced  ", "x|y|z", "héllo ünïcode", "0123456789abcdef")
+      .toDF("s")
+      .unionAll(spark.read.parquet(s"$sf/documents.parquet")
+        .select(substring(col("text"), 1, 40).as("s")).limit(200))
+    val checked = docs.select(
+      call_function("md5_hi32", col("s")).as("n_hi"),
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long").as("c_hi"),
+      call_function("md5_lo32", col("s")).as("n_lo"),
+      conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long").as("c_lo"),
+      call_function("md5_p60", col("s")).as("n_p"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("c_p"))
+    assert(checked.filter(
+      col("n_hi") =!= col("c_hi") || col("n_lo") =!= col("c_lo") || col("n_p") =!= col("c_p"))
+      .count() == 0)
+    // null propagation matches the composition (null in, null out)
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(call_function("md5_p60", col("s")).as("v")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("hamming64 equals bit_count(xor)") {
     GraftFunctions.registerAll(spark)
     val df = spark.range(1000).selectExpr("id", "xxhash64(id) AS a", "xxhash64(id + 7) AS b")
