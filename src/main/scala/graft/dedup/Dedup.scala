@@ -40,12 +40,19 @@ import graft.sources.Tables
   * < 2^32 (word) or < 2^60 (prefix) — no signed-overflow edge. */
 object Md5Bits {
   import org.apache.spark.sql.functions.call_function
+  // the helpers self-register the native functions into the thread's
+  // active session (idempotent), so they work in ANY session — not
+  // just ones built through GraftSession's extension injection
+  private def named(name: String, c: Column): Column = {
+    SparkSession.getActiveSession.foreach(graft.functions.GraftFunctions.registerAll)
+    call_function(name, c)
+  }
   /** First 32-bit word of md5(c), as a non-negative long. */
-  def hi32(c: Column): Column = call_function("md5_hi32", c)
+  def hi32(c: Column): Column = named("md5_hi32", c)
   /** Second 32-bit word of md5(c). */
-  def lo32(c: Column): Column = call_function("md5_lo32", c)
+  def lo32(c: Column): Column = named("md5_lo32", c)
   /** 60-bit value from the 15-hex-char md5 prefix (fits a signed 64). */
-  def p60(c: Column): Column = call_function("md5_p60", c)
+  def p60(c: Column): Column = named("md5_p60", c)
   def hi32Sql(e: String): String = s"('0x'||substr(md5($e),1,8))::BIGINT"
   def lo32Sql(e: String): String = s"('0x'||substr(md5($e),9,8))::BIGINT"
   def p60Sql(e: String): String = s"('0x'||substr(md5($e),1,15))::BIGINT"

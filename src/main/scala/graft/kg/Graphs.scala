@@ -109,15 +109,19 @@ object Graphs {
     // supersteps — exactly the workload the clamp exists for
     val n = math.min(64, math.max(8, spark.sparkContext.defaultParallelism))
     val eRdd = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a").isNotNull && col("b").isNotNull) // same contract as fromStatements
       .coalesce(n)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = Graph.fromEdges[Set[Long], Unit](eRdd, Set.empty[Long])
     val done = g.pregel(Set.empty[Long])(
       (_, attr, msg) => attr ++ msg,
       triplet => {
-        val want = triplet.dstAttr + triplet.dstId
-        if (want.subsetOf(triplet.srcAttr)) Iterator.empty
-        else Iterator((triplet.srcId, want))
+        // ship only the elements the source doesn't know yet — vprog
+        // merges with ++, so this is result-identical and keeps the
+        // per-superstep message volume ∝ NEW facts, not full sets
+        val fresh = (triplet.dstAttr + triplet.dstId) -- triplet.srcAttr
+        if (fresh.isEmpty) Iterator.empty
+        else Iterator((triplet.srcId, fresh))
       },
       _ ++ _)
     extracting(done, g) {

@@ -226,33 +226,16 @@ object KGQueries {
     * half-frame checkpoint beats both). At scale, recurring expansions
     * should read a bucketed-by-`a` edge layout
     * ([[graft.util.Scale.writeBucketed]], plan-asserted in ScaleSpec)
-    * instead of materializing the graph per query. */
+    * instead of materializing the graph per query.
+    *
+    * Delegates to [[TripleStore.khop]] so the pair-checkpoint
+    * lifecycle lives in exactly one place. */
   def kgKhop(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
-    val pairs = st.filter(col("o_id").isNotNull)
-      .select(col("s"), col("o_id"))
-      .localCheckpoint(eager = true)
-    val edges = pairs.select(explode(array(
-        struct(col("s").as("a"), col("o_id").as("b")),
-        struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
     val seeds = pat(st, "label").filter(col("o_val") === "ASIA")
       .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
       .select(col("s").as("node"))
-    var visited = seeds.withColumn("dist", lit(0))
-    var frontier = seeds
-    for (hop <- 1 to 2) {
-      val next = frontier.join(edges, col("node") === col("a"))
-        .select(col("b").as("node")).distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
-      visited = visited.unionAll(next.withColumn("dist", lit(hop)))
-      frontier = next
-    }
-    // the result references only the seeds scan and the per-hop
-    // checkpoints — the pair frame is fully consumed
-    graft.util.Checkpoints.free(pairs)
-    visited
+    TripleStore(spark, st).khop(seeds, k = 2)
   }
 
   /** kg_cooccur — companions network (apps/companions): part pairs

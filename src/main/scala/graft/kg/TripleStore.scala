@@ -52,7 +52,9 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
   /** Undirected entity edges from all o_id statements. */
   def edges: DataFrame =
     // both directions from one statements pass (explode), not a
-    // two-scan union — matters because khop keeps this lazy for small k
+    // two-scan union — any consumer that leaves this lazy pays one
+    // statements scan per use, never two (khop builds its own
+    // checkpointed pair frame instead of using this)
     statements.filter(col("o_id").isNotNull)
       .select(explode(array(
         struct(col("s").as("a"), col("o_id").as("b")),
@@ -67,13 +69,15 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     * with an in-memory explode, so no hop re-derives the statements
     * from their source; the pair blocks are freed once the hops are
     * materialized (see [[KGQueries.kgKhop]] for the measured
-    * alternatives). Recurring expansions at scale should read a
-    * bucketed-by-source edge layout instead
-    * ([[graft.util.Scale.writeBucketed]]). */
+    * alternatives). The checkpoint only pays when ≥ 2 hops reuse it —
+    * for k ≤ 1 the single consumer keeps the pair frame lazy.
+    * Recurring expansions at scale should read a bucketed-by-source
+    * edge layout instead ([[graft.util.Scale.writeBucketed]]). */
   def khop(seeds: DataFrame, k: Int): DataFrame = {
-    val pairs = statements.filter(col("o_id").isNotNull)
+    val basePairs = statements.filter(col("o_id").isNotNull)
       .select(col("s"), col("o_id"))
-      .localCheckpoint(eager = true)
+    val pairs =
+      if (k >= 2) basePairs.localCheckpoint(eager = true) else basePairs
     val e = pairs.select(explode(array(
         struct(col("s").as("a"), col("o_id").as("b")),
         struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
@@ -88,7 +92,7 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
       visited = visited.unionAll(next.withColumn("dist", lit(hop)))
       frontier = next
     }
-    graft.util.Checkpoints.free(pairs)
+    graft.util.Checkpoints.free(pairs) // no-op when pairs stayed lazy
     visited
   }
 
