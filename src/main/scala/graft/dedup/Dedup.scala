@@ -145,10 +145,11 @@ object Dedup {
     * near-dup detection: candidates ∝ band collisions. Band keys are
     * md5 strings of the band's signature words, so the DuckDB oracle
     * replays the whole pipeline exactly ([O], was [R] in round 2). */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
-    val sh = shingles(spark, dir)
-      .select(col("doc_id"), hi32(col("s")).as("h1"), lo32(col("s")).as("h2"))
+  /** MinHash band-collision pairs from a `(doc_id, s)` shingle frame —
+    * shared by [[dedupMinhashLsh]] (lazy shingles) and
+    * [[dedupClusters]] (checkpointed shingles reused across stages). */
+  private def minhashPairs(sh0: DataFrame): DataFrame = {
+    val sh = sh0.select(col("doc_id"), hi32(col("s")).as("h1"), lo32(col("s")).as("h2"))
     val sigCols = (0 until 64).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until 32).map(j =>
@@ -160,6 +161,11 @@ object Dedup {
       .join(exploded.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
+    minhashPairs(shingles(spark, dir))
   }
 
   /** dedup_simhash — 64-bit SimHash (count-weighted word hashes) +
@@ -214,14 +220,24 @@ object Dedup {
     * (min-id) representative and a keeper flag. Scale shape: every
     * stage is the bounded one proven above it — banded candidates,
     * inverted-index verify, DataFrame CC — composed; nothing new
-    * shuffles beyond those stages. */
+    * shuffles beyond those stages. The shingle explosion (the one
+    * corpus-wide scan) is checkpointed ONCE and feeds the MinHash
+    * signatures, the size table, and both verify join sides — four
+    * consumers, one pass — then freed once the component fixpoint has
+    * materialized the match graph. Scale dial: the checkpoint stores
+    * the exploded shingle strings (≈ 3× corpus bytes, spilling via
+    * MEMORY_AND_DISK); if storage is tighter than scan bandwidth at
+    * the target scale, drop the checkpoint and let the four consumers
+    * re-run the codegen'd scan — both shapes are one-pass per
+    * consumer, the knob trades storage for read amplification. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val cand = dedupMinhashLsh(spark, dir).select(col("a"), col("b"))
+    graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
+    val sh = shingles(spark, dir).localCheckpoint(eager = true)
+    val cand = minhashPairs(sh).select(col("a"), col("b"))
     // CANDIDATE-DRIVEN verify: expand only the candidate pairs to
     // their shingle sets and count the intersection — cost ∝
     // |candidates| × doc size, never the all-collision-pairs join of
     // dedup_ngram_jaccard (which is what LSH exists to avoid)
-    val sh = shingles(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand
       .join(sh.select(col("doc_id").as("a"), col("s")), Seq("a"))
@@ -234,9 +250,13 @@ object Dedup {
         (col("na") + col("nb") - col("common")).cast("double") >= 0.8)
       .select(col("a"), col("b"))
     val docs = Tables.documents(spark, dir).select(col("doc_id").as("id"))
-    graft.kg.Components.connectedComponents(verified, docs)
+    // connectedComponents eagerly checkpoints its edge input, so the
+    // shingle checkpoint is fully consumed once it returns
+    val out = graft.kg.Components.connectedComponents(verified, docs)
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
         (col("id") === col("comp")).as("is_keeper"))
+    graft.util.Checkpoints.free(sh)
+    out
   }
 
   /** dedup_embedding — exact cosine near-dup pairs (the correctness
