@@ -320,13 +320,16 @@ object KGQueries {
         .when(col("p") === "mktsegment" && col("s") % 13 === 0, lit("NA"))
         .otherwise(col("o_val")).as("o_val"))
     val ids = Triples.entityIds(spark, dir).distinct()
-    val litOk = raw.filter(col("o_id").isNull)
-      .withColumn("valid", col("o_val").isNotNull && col("o_val") =!= "" && col("o_val") =!= "NA")
-    val edgeOk = raw.filter(col("o_id").isNotNull)
-      .join(ids, col("o_id") === col("id"), "left_outer")
-      .withColumn("valid", col("id").isNotNull)
-      .select(litOk.columns.map(col).toIndexedSeq: _*)
-    litOk.unionAll(edgeOk)
+    // ONE pass over the statements union: a null o_id never matches
+    // the join key, so literal rows flow through the left join
+    // unmatched and the validity rule dispatches on o_id — splitting
+    // into a literal side and an edge side would build the (17-branch)
+    // statements union twice for the same rows
+    raw.join(ids, col("o_id") === col("id"), "left_outer")
+      .withColumn("valid",
+        when(col("o_id").isNull,
+          col("o_val").isNotNull && col("o_val") =!= "" && col("o_val") =!= "NA")
+          .otherwise(col("id").isNotNull))
       .groupBy(col("p"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("valid"), 1L).otherwise(0L)).as("n_valid"))
