@@ -13,6 +13,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
+      graft.queries.Temporal.queries ++
       graft.kg.KGQueries.queries ++
       graft.er.ER.queries ++
       graft.dedup.Dedup.queries ++
@@ -24,6 +25,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys → driver rows-only check. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+      graft.queries.Temporal.oracles ++
       graft.kg.KGQueries.oracles ++
       graft.er.ER.oracles ++
       graft.dedup.Dedup.oracles ++

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Exact._
+
+/** Temporal joins (SURVEY §2.C) — the two event-time join shapes Spark
+  * has no built-in operator for, composed from sort/window/equi-join
+  * primitives so Catalyst still owns the physical plan. Both run over
+  * the `events` stream (the only table with sub-second time), keyed by
+  * user — the attribution topology of a production event pipeline.
+  *
+  * Scale notes (100 TB):
+  * - The as-of join is the UNION + sorted carry-forward shape: one
+  *   shuffle on the join key, each row visited once by the window —
+  *   never the naive join-then-argmax, whose intermediate is
+  *   |right| × (left rows per user) and whose per-key top-1 repeats
+  *   per right row. This is how a merge-based as-of engine
+  *   distributes: co-partition both inputs, interleave by time,
+  *   carry state forward.
+  * - The range join is BANDED: each anchor row expands to the fixed
+  *   number of day buckets its window can overlap (2 for a 24 h
+  *   window — bounded fan-out via `explode(sequence(...))`), probe
+  *   rows carry their own day bucket, and the join is an equi-join on
+  *   (user, bucket) with the exact µs range predicate on top. Without
+  *   the band key a time-range join degenerates to
+  *   BroadcastNestedLoop/cartesian; with it, candidates are bounded
+  *   by true matches × band width. Every true pair shares exactly one
+  *   bucket (the probe row's own day), so banding introduces no
+  *   duplicates and needs no post-dedup.
+  */
+object Temporal {
+
+  private val DayUs = 86400000000L
+
+  /** Exact long floor-division (µs epoch → UTC day bucket). Stays in
+    * SQL `div`: `Column./` is double division, and at 2^50-scale epoch
+    * values a round-to-nearest quotient can cross an integer boundary
+    * before the truncating cast. */
+  private def dayBucket(usExpr: String): Column =
+    expr(s"($usExpr) div ${DayUs}L")
+
+  /** q_asof_join — last-touch attribution: for every `purchase` event,
+    * the same user's latest `click` or `view` at or before the
+    * purchase time (backward as-of; ties broken by max event_id;
+    * purchases with no prior interaction keep nulls).
+    *
+    * Implementation: union the interaction stream (kind 0) with the
+    * purchase stream (kind 1) on the user key, sort each user's
+    * timeline by (ts, kind, event_id), and carry the last non-null
+    * interaction fields forward with `last(_, ignoreNulls = true)`
+    * over the running frame. Interactions sort before purchases at
+    * the same µs, so an interaction AT the purchase time is visible
+    * to it (<= semantics); among equal-ts interactions the max
+    * event_id sorts last and wins. Purchase rows contribute only
+    * nulls, so simultaneous purchases cannot affect what is carried —
+    * the output is deterministic at any parallelism. */
+  def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val src = ev.filter(col("event_type").isin("click", "view")).select(
+      col("user_id").as("u"), col("ts"), lit(0).as("kind"),
+      col("event_id").as("src_event_id"), col("event_type").as("src_event_type"),
+      col("ts").as("src_ts"),
+      lit(null).cast("long").as("purchase_id"))
+    val buy = ev.filter(col("event_type") === "purchase").select(
+      col("user_id").as("u"), col("ts"), lit(1).as("kind"),
+      lit(null).cast("long").as("src_event_id"), lit(null).cast("string").as("src_event_type"),
+      lit(null).cast("timestamp").as("src_ts"),
+      col("event_id").as("purchase_id"))
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("ts"), col("kind"), col("src_event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    src.unionAll(buy)
+      .select(col("u"), col("ts"), col("kind"), col("purchase_id"),
+        last(col("src_event_id"), ignoreNulls = true).over(w).as("attr_event_id"),
+        last(col("src_event_type"), ignoreNulls = true).over(w).as("attr_event_type"),
+        last(col("src_ts"), ignoreNulls = true).over(w).as("attr_ts"))
+      .filter(col("kind") === 1)
+      .select(
+        col("purchase_id"),
+        col("u").as("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("attr_event_id"),
+        col("attr_event_type"),
+        date_format(col("attr_ts"), "yyyy-MM-dd HH:mm:ss").as("attr_ts"))
+  }
+
+  /** q_range_join — first-day activity: for every `signup` event, the
+    * same user's events with time in [signup, signup + 24 h), counted
+    * and value-summed (exact decimal). The signup itself falls in its
+    * own window, so every signup emits a row (n_events ≥ 1). */
+  def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = DayUs // 24-hour window
+    val ev = Tables.events(spark, dir)
+    val probe = ev.select(
+      col("user_id"), col("ts"), col("value"),
+      dayBucket("unix_micros(ts)").as("bucket"))
+    val anchor = ev.filter(col("event_type") === "signup").select(
+      col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("signup_ts"),
+      explode(sequence(
+        dayBucket("unix_micros(ts)"),
+        dayBucket(s"unix_micros(ts) + ${winUs}L - 1"))).as("bucket"))
+    val lo = unix_micros(col("signup_ts"))
+    anchor.join(probe, col("su") === col("user_id") && probe("bucket") === anchor("bucket"))
+      .filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < lo + lit(winUs))
+      .groupBy(col("signup_id"), col("su"), col("signup_ts"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(col("signup_id"), col("su").as("user_id"),
+        date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
+        col("n_events"), col("sum_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_join"  -> (qAsofJoin _),
+    "q_range_join" -> (qRangeJoin _))
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH src AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |), buy AS (
+        |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'purchase'
+        |), ranked AS (
+        |  SELECT buy.event_id AS purchase_id, src.event_id, src.event_type, src.ts,
+        |    row_number() OVER (PARTITION BY buy.event_id
+        |                       ORDER BY src.ts DESC, src.event_id DESC) AS rn
+        |  FROM buy JOIN src ON src.user_id = buy.user_id AND src.ts <= buy.ts
+        |)
+        |SELECT buy.event_id AS purchase_id, buy.user_id,
+        |  strftime(buy.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  b.event_id AS attr_event_id, b.event_type AS attr_event_type,
+        |  strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS attr_ts
+        |FROM buy LEFT JOIN (SELECT * FROM ranked WHERE rn = 1) b
+        |  ON b.purchase_id = buy.event_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT s.event_id AS signup_id, s.user_id,
+        |  strftime(CAST(s.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS signup_ts,
+        |  count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_value
+        |FROM events s JOIN events e
+        |  ON e.user_id = s.user_id
+        | AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(CAST(s.ts AS TIMESTAMP))
+        | AND epoch_us(CAST(e.ts AS TIMESTAMP)) < epoch_us(CAST(s.ts AS TIMESTAMP)) + 86400000000
+        |WHERE s.event_type = 'signup'
+        |GROUP BY 1, 2, 3""".stripMargin)
+}
