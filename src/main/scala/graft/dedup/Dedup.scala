@@ -437,8 +437,40 @@ object Dedup {
       .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
   }
 
+  /** dedup_substring — exact repeated-substring detection ACROSS
+    * documents: every word 8-gram span occurring in ≥ 2 distinct docs,
+    * with its document frequency, total occurrence count, and the
+    * lowest containing doc id. The cross-doc twin of
+    * [[graft.dedup.Text.textRepetition]] (within-doc repetition) and
+    * the span-level complement of whole-doc near-dup: downstream
+    * removal joins a doc's span hashes back against this frame and
+    * cuts the flagged windows (the distributed shape of exact
+    * substring training-data dedup — a suffix array is single-node;
+    * fixed-width span fingerprints shard by hash).
+    *
+    * Scale shape: one codegen'd scan projects each doc's span-hash
+    * array (no join), one explode, one map-side-partial groupBy on the
+    * span hash. Ubiquitous boilerplate spans concentrate under single
+    * hash keys — the same hot-key class as shingle posting lists; AQE
+    * splits them at runtime and a df-cap knob (as in [[ngramJaccard]])
+    * is the production guard. Span id is the md5 hex of the span text,
+    * so the DuckDB oracle replays the pipeline exactly. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 8,
+          expr("transform(sequence(1, size(t)-7), i -> md5(concat_ws(' ', slice(t, i, 8))))"))
+          .otherwise(array())).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact"         -> (dedupExact _),
+    "dedup_substring"     -> (dedupSubstring _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
@@ -548,6 +580,16 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)-6),
+        |      i -> md5(array_to_string(w[i:i+7], ' ')))) AS span_hash
+        |  FROM t WHERE len(w) >= 8)
+        |SELECT span_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |  min(doc_id) AS first_doc
+        |FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "dedup_ngram_jaccard" ->
       s"""WITH sh AS (SELECT doc_id, s FROM $shinglesSql sh0),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

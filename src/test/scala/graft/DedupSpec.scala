@@ -19,6 +19,31 @@ class DedupSpec extends SparkSpec {
     assert(n == spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("dedup_substring flags exactly the spans an in-memory scan finds duplicated") {
+    // independent O(corpus) recomputation: every word 8-gram span of
+    // every doc, duplicated = present in >= 2 distinct docs
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val expected = docs.flatMap { case (id, w) =>
+        w.sliding(8).filter(_.length == 8).map(sp => (sp.mkString(" "), id))
+      }
+      .groupBy(_._1).view
+      .mapValues(occ => (occ.map(_._2).distinct.length.toLong, occ.length.toLong, occ.map(_._2).min))
+      .filter(_._2._1 >= 2)
+    val got = Dedup.dedupSubstring(spark, sf).collect()
+      .map(r => r.getAs[String]("span_hash") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"), r.getAs[Long]("first_doc"))))
+      .toMap
+    assert(got.size == expected.size,
+      s"span count mismatch: got ${got.size}, expected ${expected.size}")
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    expected.foreach { case (span, stats) =>
+      val h = md5.digest(span.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got.get(h).contains(stats), s"span '$span' stats ${got.get(h)} != $stats")
+    }
+  }
+
   test("ngram jaccard pairs are the planted near-dups (sim in [0.5, 1])") {
     val rows = Dedup.dedupNgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)
