@@ -17,6 +17,7 @@ object SparkEntry {
       graft.kg.KGQueries.queries ++
       graft.er.ER.queries ++
       graft.dedup.Dedup.queries ++
+      graft.dedup.Corpus.queries ++
       graft.dedup.Text.queries ++
       graft.dedup.Multimodal.queries ++
       graft.streaming.Streaming.queries
@@ -29,6 +30,7 @@ object SparkEntry {
       graft.kg.KGQueries.oracles ++
       graft.er.ER.oracles ++
       graft.dedup.Dedup.oracles ++
+      graft.dedup.Corpus.oracles ++
       graft.dedup.Text.oracles ++
       graft.dedup.Multimodal.oracles ++
       graft.streaming.Streaming.oracles

@@ -1,0 +1,105 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus management (SURVEY §2.D): the two steps between scoring and
+  * training — mixing (deterministic stratified sampling) and sharding
+  * (token-budget packing). Both are thin declarative plans over
+  * `documents`, and both are REPRODUCIBLE BY CONSTRUCTION: selection
+  * and placement derive from content keys (md5 of the doc id, the doc
+  * id ordering), never from `rand()` or partition iteration order —
+  * rerunning the pipeline on any cluster layout yields byte-identical
+  * corpora, which is what makes training-data builds auditable.
+  *
+  * Scale notes (100 TB):
+  * - corpus_sample is a pure per-row filter (codegen'd md5 + integer
+  *   compare against a bounded per-language threshold map): streams at
+  *   scan speed, no shuffle at all.
+  * - corpus_pack cumsums WITHIN language partitions
+  *   (`Window.partitionBy(lang)`) — the global-cumsum version would
+  *   serialize on one task, the per-stratum version shuffles once and
+  *   packs each language in parallel, which is also the real layout
+  *   (shards are per-source/language so mixing weights apply at the
+  *   shard level). A stratum too large for one task gets a composite
+  *   key (lang, doc_id div N) — same two-level prefix-sum shape.
+  */
+object Corpus {
+  import Md5Bits._
+
+  /** Per-language keep rates (numerator of rate × 2^60, exact):
+    * downsample the dominant languages, keep the tail. A literal map —
+    * the mixing spec a pipeline would load from config. */
+  private val Scale60 = 1L << 60
+  private val rates: Seq[(String, Long)] = Seq(
+    "en" -> Scale60 / 4, // keep 25 %
+    "de" -> Scale60 / 2) // keep 50 %
+  private val defaultRate = Scale60 // keep all
+
+  /** corpus_sample — deterministic stratified sampling for corpus
+    * mixing: keep a doc iff the 60-bit md5 of its id falls under its
+    * language's threshold. Exact integer compare (rate × 2^60), no
+    * floating point, no RNG — the sample is a pure function of
+    * (doc_id, lang) and replays bit-identically in DuckDB. */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
+    val thr: Column = rates.foldRight(lit(defaultRate)) { case ((l, r), acc) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        p60(col("doc_id").cast("string")).as("sample_key"))
+      .filter(col("sample_key") < thr)
+  }
+
+  /** corpus_pack — greedy token-budget shard packing: docs are laid
+    * out in deterministic (doc_id) order within each language, and a
+    * doc lands in the shard where its token window STARTS
+    * (shard = prefix-tokens-before-it div budget). Shards overflow by
+    * at most one document — the standard greedy packing contract —
+    * and placement is a pure function of the ordered token census. */
+  def corpusPack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("shard_idx", expr(s"(cum - n_tokens) div ${budget}L"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard_idx"),
+        concat_ws("-", col("lang"), col("shard_idx")).as("shard"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample" -> (corpusSample _),
+    "corpus_pack"   -> (corpusPack _))
+
+  val oracles: Map[String, String] = {
+    val thrSql = rates.foldRight(defaultRate.toString) { case ((l, r), acc) =>
+      s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
+    }
+    Map(
+      "corpus_sample" ->
+        s"""SELECT doc_id, lang, source,
+           |  ${p60Sql("doc_id::VARCHAR")} AS sample_key
+           |FROM documents
+           |WHERE ${p60Sql("doc_id::VARCHAR")} < $thrSql""".stripMargin,
+      "corpus_pack" ->
+        """WITH t AS (
+          |  SELECT doc_id, lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          |  FROM documents
+          |), c AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          |  FROM t)
+          |SELECT doc_id, lang, n_tokens,
+          |  CAST((cum - n_tokens) // 2000 AS BIGINT) AS shard_idx,
+          |  lang || '-' || CAST((cum - n_tokens) // 2000 AS BIGINT)::VARCHAR AS shard
+          |FROM c""".stripMargin)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Corpus
+
+class CorpusSpec extends SparkSpec {
+
+  private def md5p60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.take(15), 16)
+  }
+
+  test("every corpus query runs, has rows, and a matching oracle") {
+    Corpus.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(Corpus.oracles.contains(name), s"$name missing oracle SQL")
+    }
+  }
+
+  test("corpus_sample selects exactly the md5-threshold set (exact replay)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val thr = Map("en" -> (1L << 60) / 4, "de" -> (1L << 60) / 2)
+    val expected = docs.filter { case (id, lang) =>
+      md5p60(id.toString) < thr.getOrElse(lang, 1L << 60)
+    }.map(_._1).toSet
+    val got = Corpus.corpusSample(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"sample mismatch: extra=${got.diff(expected)}, missing=${expected.diff(got)}")
+    // strata actually differ: en is downsampled, the tail is kept whole
+    val keptByLang = Corpus.corpusSample(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalByLang = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(keptByLang("en") < totalByLang("en"), "en stratum was not downsampled")
+  }
+
+  test("corpus_sample is a pure function of the input (rerun-identical)") {
+    val a = Corpus.corpusSample(spark, sf).collect().toSet
+    val b = Corpus.corpusSample(spark, sf).collect().toSet
+    assert(a == b)
+  }
+
+  test("corpus_pack places every doc where its token window starts") {
+    val budget = 2000L
+    val rows = Corpus.corpusPack(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("shard_idx"), r.getAs[String]("shard")))
+    assert(rows.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, _, n, shardIdx, shard) =>
+        assert(shardIdx == cum / budget, s"doc $id: shard $shardIdx != ${cum / budget}")
+        assert(shard == s"$lang-$shardIdx")
+        cum += n
+      }
+      // greedy contract: shard indexes are contiguous from 0
+      val idxs = docs.map(_._4).distinct.sorted.toSeq
+      assert(idxs == (0L until idxs.length.toLong),
+        s"non-contiguous shards in $lang: $idxs")
+    }
+  }
+
+  test("corpus_pack shards overflow by at most one document") {
+    val budget = 2000L
+    val byShard = Corpus.corpusPack(spark, sf).collect()
+      .map(r => (r.getAs[String]("shard"), r.getAs[Long]("n_tokens")))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byShard.foreach { case (shard, toks) =>
+      assert(toks.sum - toks.max < budget,
+        s"$shard holds ${toks.sum} tokens; removing its largest doc still exceeds $budget")
+    }
+  }
+}
