@@ -43,45 +43,63 @@ object Temporal {
   private def dayBucket(usExpr: String): Column =
     expr(s"($usExpr) div ${DayUs}L")
 
+  /** Generic backward as-of join — the library operator behind
+    * [[qAsofJoin]]: for every probe row, attach the build row with the
+    * greatest (time, payload) not after the probe's time within the
+    * same key group; probe rows with no eligible build row keep nulls.
+    *
+    * - `key`/`time` name columns present in BOTH frames (the equi key
+    *   and the event-time ordering column — any orderable type:
+    *   timestamp, long, ...).
+    * - `payload` names the build columns to attach. Ties on `time`
+    *   resolve to the LARGEST payload struct (field-lexicographic), so
+    *   lead with a unique id column for fully deterministic output.
+    * - Probe columns pass through unchanged; payload names must not
+    *   collide with them (rename before the call).
+    *
+    * Plan shape: union both sides, one hash shuffle on `key`, one
+    * window sort, `last(_, ignoreNulls)` carry-forward — never the
+    * probe × build-rows-per-key pair explosion of join+argmax. */
+  def asofJoin(probe: DataFrame, build: DataFrame,
+      key: String, time: String, payload: Seq[String]): DataFrame = {
+    val payStruct = struct(payload.map(col): _*)
+    val payType = build.select(payStruct).schema.head.dataType
+    val rowType = probe.select(struct(probe.columns.map(col): _*)).schema.head.dataType
+    val b = build.select(col(key).as("__k"), col(time).as("__t"), lit(0).as("__kind"),
+      payStruct.as("__pay"), lit(null).cast(rowType).as("__row"))
+    val p = probe.select(col(key).as("__k"), col(time).as("__t"), lit(1).as("__kind"),
+      lit(null).cast(payType).as("__pay"), struct(probe.columns.map(col): _*).as("__row"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__kind"), col("__pay"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.unionAll(p)
+      .select(col("__kind"), col("__row"),
+        last(col("__pay"), ignoreNulls = true).over(w).as("__m"))
+      .filter(col("__kind") === 1)
+      .select(probe.columns.map(c => col(s"__row.$c").as(c)) ++
+        payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
   /** q_asof_join — last-touch attribution: for every `purchase` event,
     * the same user's latest `click` or `view` at or before the
-    * purchase time (backward as-of; ties broken by max event_id;
-    * purchases with no prior interaction keep nulls).
-    *
-    * Implementation: union the interaction stream (kind 0) with the
-    * purchase stream (kind 1) on the user key, sort each user's
-    * timeline by (ts, kind, event_id), and carry the last non-null
-    * interaction fields forward with `last(_, ignoreNulls = true)`
-    * over the running frame. Interactions sort before purchases at
-    * the same µs, so an interaction AT the purchase time is visible
-    * to it (<= semantics); among equal-ts interactions the max
-    * event_id sorts last and wins. Purchase rows contribute only
-    * nulls, so simultaneous purchases cannot affect what is carried —
-    * the output is deterministic at any parallelism. */
+    * purchase time (backward as-of; ties broken by max event_id —
+    * the payload struct leads with it; purchases with no prior
+    * interaction keep nulls). Delegates to [[asofJoin]]; an
+    * interaction AT the purchase µs is visible to it (<= semantics)
+    * because build rows sort before probe rows at equal time. */
   def qAsofJoin(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val src = ev.filter(col("event_type").isin("click", "view")).select(
-      col("user_id").as("u"), col("ts"), lit(0).as("kind"),
-      col("event_id").as("src_event_id"), col("event_type").as("src_event_type"),
-      col("ts").as("src_ts"),
-      lit(null).cast("long").as("purchase_id"))
+      col("user_id"), col("ts"),
+      col("event_id").as("attr_event_id"), col("event_type").as("attr_event_type"),
+      col("ts").as("attr_ts"))
     val buy = ev.filter(col("event_type") === "purchase").select(
-      col("user_id").as("u"), col("ts"), lit(1).as("kind"),
-      lit(null).cast("long").as("src_event_id"), lit(null).cast("string").as("src_event_type"),
-      lit(null).cast("timestamp").as("src_ts"),
-      col("event_id").as("purchase_id"))
-    val w = Window.partitionBy(col("u"))
-      .orderBy(col("ts"), col("kind"), col("src_event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    src.unionAll(buy)
-      .select(col("u"), col("ts"), col("kind"), col("purchase_id"),
-        last(col("src_event_id"), ignoreNulls = true).over(w).as("attr_event_id"),
-        last(col("src_event_type"), ignoreNulls = true).over(w).as("attr_event_type"),
-        last(col("src_ts"), ignoreNulls = true).over(w).as("attr_ts"))
-      .filter(col("kind") === 1)
+      col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    asofJoin(buy, src, key = "user_id", time = "ts",
+      payload = Seq("attr_event_id", "attr_event_type", "attr_ts"))
       .select(
         col("purchase_id"),
-        col("u").as("user_id"),
+        col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
         col("attr_event_id"),
         col("attr_event_type"),

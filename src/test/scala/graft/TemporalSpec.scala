@@ -68,6 +68,38 @@ class TemporalSpec extends SparkSpec {
     assert(got.filter(col("n_events") < 1).count() == 0)
   }
 
+  test("asofJoin equals the naive definition on random tie-heavy data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sess = spark
+    import sess.implicits._
+    // tiny key/time domains force the edge cases the real data rarely
+    // hits: equal-time ties (build-build and build-probe), keys with
+    // no build rows, keys with no probe rows, empty sides
+    val gen = for {
+      nb <- Gen.choose(0, 25)
+      np <- Gen.choose(1, 25)
+      build <- Gen.listOfN(nb, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 6L)))
+      probe <- Gen.listOfN(np, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 6L)))
+    } yield (build.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      probe.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) })
+    val prop = Prop.forAllNoShrink(gen) { case (build, probe) =>
+      val b = build.toDF("k", "t", "bid")
+      val p = probe.toDF("k", "t", "pid")
+      val got = Temporal.asofJoin(p, b, key = "k", time = "t", payload = Seq("bid"))
+        .collect().map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long])))
+        .toSet
+      val expected = probe.map { case (k, t, pid) =>
+        val eligible = build.filter { case (bk, bt, _) => bk == k && bt <= t }
+        (pid, if (eligible.isEmpty) None
+              else Some(eligible.map { case (_, bt, bid) => (bt, bid) }.max._2))
+      }.toSet
+      got == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15).withInitialSeed(7L), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
+
   test("q_range_join plan is an equi-join, not a nested-loop join") {
     val plan = Temporal.qRangeJoin(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
