@@ -39,20 +39,31 @@ object Corpus {
     "de" -> Scale60 / 2) // keep 50 %
   private val defaultRate = Scale60 // keep all
 
-  /** corpus_sample — deterministic stratified sampling for corpus
-    * mixing: keep a doc iff the 60-bit md5 of its id falls under its
-    * language's threshold. Exact integer compare (rate × 2^60), no
-    * floating point, no RNG — the sample is a pure function of
-    * (doc_id, lang) and replays bit-identically in DuckDB. */
-  def corpusSample(spark: SparkSession, dir: String): DataFrame = {
-    val thr: Column = rates.foldRight(lit(defaultRate)) { case ((l, r), acc) =>
-      when(col("lang") === l, lit(r)).otherwise(acc)
+  /** Generic deterministic stratified sampler — the library operator
+    * behind [[corpusSample]]: keep a row iff the 60-bit md5 of its
+    * `id` column (stringified) falls under its stratum's threshold
+    * (rate numerators are exact `rate × 2^60` longs — integer
+    * compare, no floating point, no RNG). The sample is a pure
+    * function of (id, stratum): rerun-identical on any cluster
+    * layout, and any engine with md5 replays it bit-for-bit. The
+    * selection column `sample_key` is kept for auditability. */
+  def stratifiedSample(df: DataFrame, stratum: String, id: Column,
+      rateNums: Seq[(String, Long)], defaultNum: Long): DataFrame = {
+    val thr: Column = rateNums.foldRight(lit(defaultNum)) { case ((l, r), acc) =>
+      when(col(stratum) === l, lit(r)).otherwise(acc)
     }
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("source"),
-        p60(col("doc_id").cast("string")).as("sample_key"))
+    df.withColumn("sample_key", p60(id.cast("string")))
       .filter(col("sample_key") < thr)
   }
+
+  /** corpus_sample — deterministic stratified sampling for corpus
+    * mixing over `documents`: downsample en to 25 %, de to 50 %, keep
+    * the long tail whole. [[stratifiedSample]] instantiated on
+    * (lang, doc_id). */
+  def corpusSample(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(
+      Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("source")),
+      stratum = "lang", id = col("doc_id"), rateNums = rates, defaultNum = defaultRate)
 
   /** corpus_pack — greedy token-budget shard packing: docs are laid
     * out in deterministic (doc_id) order within each language, and a

@@ -45,6 +45,17 @@ class CorpusSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("stratifiedSample on an arbitrary frame: rate 0 drops all, full rate keeps all") {
+    val sess = spark
+    import sess.implicits._
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "grp")
+    val kept = Corpus.stratifiedSample(df, "grp", col("id"),
+      rateNums = Seq("a" -> 0L), defaultNum = 1L << 60)
+    val got = kept.select("grp").distinct().collect().map(_.getString(0)).toSet
+    assert(got == Set("b"), s"rate-0 stratum leaked: $got")
+    assert(kept.count() == 100L, "full-rate stratum must keep every row")
+  }
+
   test("corpus_pack places every doc where its token window starts") {
     val budget = 2000L
     val rows = Corpus.corpusPack(spark, sf).collect()
