@@ -28,14 +28,24 @@ object Multimodal {
       width: Int, height: Int, checksum: Long)
 
   /** Deterministic decoder stub — replace with the real JNI/library
-    * call; signature (bytes in, fixed-shape features out) is what a
-    * real decoder satisfies. */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Long) = {
-    var cs = 1125899906842597L
+    * call; signature (digest context + bytes in, fixed-shape features
+    * out) is what a real decoder satisfies. Features derive from the
+    * 60-bit md5 prefix of the payload (the same word
+    * [[graft.functions.Md5Long]] exposes to SQL, non-negative by
+    * construction), so unlike a real decode the stub is EXACTLY
+    * replayable by the DuckDB oracle — and since md5 hashes the raw
+    * bytes and `payload` is the UTF-8 encoding of `text`, the replay
+    * holds for ANY text, no ASCII assumption. */
+  private def fakeDecode(md: java.security.MessageDigest,
+      payload: Array[Byte]): (Int, Int, Long) = {
+    md.reset()
+    val d = md.digest(payload)
+    var cs = 0L
     var i = 0
-    while (i < payload.length) { cs = cs * 31 + (payload(i) & 0xff); i += 1 }
-    val width = 320 + (math.abs(cs) % 1601).toInt
-    val height = 240 + (math.abs(cs / 7) % 841).toInt
+    while (i < 8) { cs = (cs << 8) | (d(i) & 0xffL); i += 1 }
+    cs >>>= 4 // first 60 bits of the digest: md5_p60(payload)
+    val width = 320 + (cs % 1601).toInt
+    val height = 240 + ((cs / 7) % 841).toInt
     (width, height, cs)
   }
 
@@ -55,9 +65,10 @@ object Multimodal {
   def mmMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     records(spark, dir).mapPartitions { it =>
-      // real decoder init goes here (once per partition, not per row)
+      // once-per-partition decoder init (the real codec goes here)
+      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { r =>
-        val (w, h, cs) = fakeDecode(r.payload)
+        val (w, h, cs) = fakeDecode(md, r.payload)
         MmFeature(r.doc_id, r.fmt, r.payload.length, w, h, cs)
       }
     }.toDF()
@@ -107,13 +118,25 @@ object Multimodal {
     "mm_meta"        -> (mmMeta _),
     "mm_framesample" -> (mmFrameSample _))
 
-  /** mm_meta is [R] rows-only (the decode stub isn't SQL-expressible);
-    * mm_framesample's md5 frame signatures replay exactly. The oracle
-    * slices text by CHARACTERS while the Spark side slices the UTF-8
-    * BYTE payload — equal only for ASCII, so the oracle ENFORCES that
-    * assumption: a non-ASCII document raises a loud error() instead of
-    * silently hash-mismatching the gate. */
+  /** Both multimodal stages replay exactly in DuckDB. mm_meta's stub
+    * features derive from md5_p60 of the payload — md5 hashes raw
+    * bytes, and DuckDB's md5(text) hashes the same UTF-8 bytes the
+    * Spark side encodes, so no charset assumption is needed there.
+    * mm_framesample's oracle DOES slice text by CHARACTERS while the
+    * Spark side slices the UTF-8 BYTE payload — equal only for ASCII,
+    * so that oracle ENFORCES the assumption: a non-ASCII document
+    * raises a loud error() instead of silently hash-mismatching the
+    * gate. */
   val oracles: Map[String, String] = Map(
+    "mm_meta" -> {
+      val p60 = "('0x'||substr(md5(text),1,15))::BIGINT"
+      s"""SELECT doc_id, 'img/' || source AS fmt,
+         |  CAST(strlen(text) AS INTEGER) AS n_bytes,
+         |  CAST(320 + $p60 % 1601 AS INTEGER) AS width,
+         |  CAST(240 + ($p60 // 7) % 841 AS INTEGER) AS height,
+         |  $p60 AS checksum
+         |FROM documents""".stripMargin
+    },
     "mm_framesample" ->
       s"""WITH d AS (SELECT doc_id,
          |        CASE WHEN strlen(text) = length(text) THEN text

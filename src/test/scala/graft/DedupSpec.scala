@@ -333,11 +333,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("mm_meta: deterministic features, one row per doc") {
+  test("mm_meta: deterministic features, one row per doc, stub recomputes in-JVM") {
     val a = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
     val b = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
     assert(a.sameElements(b))
-    assert(a.length == spark.read.parquet(s"$sf/documents.parquet").count())
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.length == docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    a.foreach { r =>
+      val d = md.digest(docs(r.getAs[Long]("doc_id")).getBytes("UTF-8"))
+      val cs = (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(i) & 0xffL)) >>> 4
+      assert(r.getAs[Long]("checksum") == cs)
+      assert(r.getAs[Int]("width") == 320 + (cs % 1601).toInt)
+      assert(r.getAs[Int]("height") == 240 + ((cs / 7) % 841).toInt)
+    }
   }
 
   test("stream enrich (stream-static join) equals batch join-aggregation") {
