@@ -106,27 +106,50 @@ object Temporal {
         date_format(col("attr_ts"), "yyyy-MM-dd HH:mm:ss").as("attr_ts"))
   }
 
+  /** Generic banded time-range join — the library operator behind
+    * [[qRangeJoin]]: every (anchor, probe) pair sharing `key` with
+    * `probe.timeUs` in `[anchor.timeUs, anchor.timeUs + windowUs)`.
+    * Both frames carry an epoch-µs long column named by `time`
+    * (probe columns otherwise pass through; names must not collide).
+    *
+    * Plan shape: anchors explode to the `⌈windowUs/DayUs⌉ + 1` day
+    * buckets their window can overlap (bounded fan-out), probes carry
+    * their own bucket, and the join is the equi-join on (key, bucket)
+    * with the exact µs predicate on top — never a
+    * BroadcastNestedLoop/cartesian. A true pair shares exactly one
+    * bucket (the probe's own day), so banding needs no post-dedup. */
+  def bandedRangeJoin(anchor: DataFrame, probe: DataFrame,
+      key: String, time: String, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    val a = anchor.select(anchor.columns.map(c => col(c).as(s"__a_$c")): _*)
+      .withColumn("__bucket", explode(sequence(
+        dayBucket(s"__a_$time"),
+        dayBucket(s"__a_$time + ${windowUs}L - 1"))))
+    val p = probe.withColumn("__bucket", dayBucket(time))
+    a.join(p, col(s"__a_$key") === col(key) && p("__bucket") === a("__bucket"))
+      .filter(col(time) >= col(s"__a_$time") &&
+        col(time) < col(s"__a_$time") + lit(windowUs))
+      .drop("__bucket")
+      .select(anchor.columns.map(c => col(s"__a_$c").as(c)) ++
+        probe.columns.filterNot(c => c == key || c == time)
+          .map(c => col(c)): _*)
+  }
+
   /** q_range_join — first-day activity: for every `signup` event, the
     * same user's events with time in [signup, signup + 24 h), counted
     * and value-summed (exact decimal). The signup itself falls in its
-    * own window, so every signup emits a row (n_events ≥ 1). */
+    * own window, so every signup emits a row (n_events ≥ 1).
+    * [[bandedRangeJoin]] instantiated on (user_id, epoch-µs ts). */
   def qRangeJoin(spark: SparkSession, dir: String): DataFrame = {
-    val winUs = DayUs // 24-hour window
     val ev = Tables.events(spark, dir)
-    val probe = ev.select(
-      col("user_id"), col("ts"), col("value"),
-      dayBucket("unix_micros(ts)").as("bucket"))
     val anchor = ev.filter(col("event_type") === "signup").select(
-      col("event_id").as("signup_id"), col("user_id").as("su"), col("ts").as("signup_ts"),
-      explode(sequence(
-        dayBucket("unix_micros(ts)"),
-        dayBucket(s"unix_micros(ts) + ${winUs}L - 1"))).as("bucket"))
-    val lo = unix_micros(col("signup_ts"))
-    anchor.join(probe, col("su") === col("user_id") && probe("bucket") === anchor("bucket"))
-      .filter(unix_micros(col("ts")) >= lo && unix_micros(col("ts")) < lo + lit(winUs))
-      .groupBy(col("signup_id"), col("su"), col("signup_ts"))
+      col("event_id").as("signup_id"), col("user_id"),
+      unix_micros(col("ts")).as("t_us"), col("ts").as("signup_ts"))
+    val probe = ev.select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+    bandedRangeJoin(anchor, probe, key = "user_id", time = "t_us", windowUs = DayUs)
+      .groupBy(col("signup_id"), col("user_id"), col("signup_ts"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
-      .select(col("signup_id"), col("su").as("user_id"),
+      .select(col("signup_id"), col("user_id"),
         date_format(col("signup_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"),
         col("n_events"), col("sum_value"))
   }

@@ -100,6 +100,40 @@ class TemporalSpec extends SparkSpec {
     assert(result.passed, s"property failed: ${result.status}")
   }
 
+  test("bandedRangeJoin equals the naive definition on random data (incl. negative times)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sess = spark
+    import sess.implicits._
+    val day = 86400000000L
+    // times straddle zero and day boundaries: SQL div truncates toward
+    // zero (not floor), which is safe because div is monotonic — this
+    // generator would catch any misuse of that property
+    val genT = Gen.choose(-3L * day, 3L * day)
+    val gen = for {
+      na <- Gen.choose(0, 15)
+      np <- Gen.choose(0, 25)
+      anchors <- Gen.listOfN(na, Gen.zip(Gen.choose(0L, 2L), genT))
+      probes <- Gen.listOfN(np, Gen.zip(Gen.choose(0L, 2L), genT))
+      win <- Gen.oneOf(1L, day / 2, day, 2L * day + 12345L)
+    } yield (anchors.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+      probes.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }, win)
+    val prop = Prop.forAllNoShrink(gen) { case (anchors, probes, win) =>
+      val a = anchors.toDF("aid", "k", "t")
+      val p = probes.toDF("k", "t", "pid")
+      val got = Temporal.bandedRangeJoin(a, p, key = "k", time = "t", windowUs = win)
+        .select("aid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (aid, ak, at) <- anchors
+        (pk, pt, pid) <- probes
+        if pk == ak && pt >= at && pt < at + win
+      } yield (aid, pid)).toSet
+      got == expected
+    }
+    val result = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15).withInitialSeed(11L), prop)
+    assert(result.passed, s"property failed: ${result.status}")
+  }
+
   test("q_range_join plan is an equi-join, not a nested-loop join") {
     val plan = Temporal.qRangeJoin(spark, sf).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
