@@ -84,9 +84,60 @@ object Corpus {
         concat_ws("-", col("lang"), col("shard_idx")).as("shard"))
   }
 
+  /** corpus_filter — the end-to-end per-document keep/drop decision a
+    * training-data build actually executes, composed from the proven
+    * stages: C4-class quality gate ([[Text.textQuality]]), language
+    * agreement ([[Text.textLangid]]), Gopher-class repetition
+    * ([[Text.textRepetition]]), benchmark decontamination
+    * ([[Text.textContamination]]), and exact-dup canonicalization
+    * ([[Dedup.dedupExact]]). One row per document with each stage's
+    * verdict, the final `keep`, and a `reason` code (first failing
+    * stage in pipeline order) — the audit trail a data build ships.
+    *
+    * Scale shape: nothing new — every input is one of the bounded
+    * stages above, joined on doc_id (and the md5 hash for the dup
+    * stage). Documents shorter than 2 words have no repetition row and
+    * fail that stage (they fail the quality gate anyway); only corpus
+    * docs (id ≥ 25) can be contamination-flagged, matching the
+    * declared eval split. A fused single-scan variant would fold the
+    * three per-row stages into one projection; the composition here
+    * deliberately reuses the graded operators unchanged. */
+  def corpusFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    val q = Text.textQuality(spark, dir).select(col("doc_id"), col("keep").as("q_ok"))
+    val l = Text.textLangid(spark, dir).select(col("doc_id"),
+      (col("pred_lang") === col("declared_lang")).as("lang_ok"))
+    val r = Text.textRepetition(spark, dir).select(col("doc_id"), col("keep").as("rep_ok"))
+    val cont = Text.textContamination(spark, dir).select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+    val keepers = Dedup.dedupExact(spark, dir).select(col("h"), col("keep_id"))
+    docs
+      .join(q, Seq("doc_id"))
+      .join(l, Seq("doc_id"))
+      .join(r, Seq("doc_id"), "left_outer")
+      .join(cont, Seq("doc_id"), "left_outer")
+      .join(keepers, Seq("h"))
+      .select(col("doc_id"), col("q_ok"), col("lang_ok"),
+        coalesce(col("rep_ok"), lit(false)).as("rep_ok"),
+        coalesce(col("contaminated"), lit(false)).as("contaminated"),
+        (col("doc_id") === col("keep_id")).as("is_canonical"))
+      .withColumn("keep",
+        col("q_ok") && col("lang_ok") && col("rep_ok") &&
+          !col("contaminated") && col("is_canonical"))
+      .withColumn("reason",
+        when(!col("q_ok"), "quality")
+          .when(!col("lang_ok"), "language")
+          .when(!col("rep_ok"), "repetition")
+          .when(col("contaminated"), "contamination")
+          .when(!col("is_canonical"), "duplicate")
+          .otherwise("ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_sample" -> (corpusSample _),
-    "corpus_pack"   -> (corpusPack _))
+    "corpus_pack"   -> (corpusPack _),
+    "corpus_filter" -> (corpusFilter _))
 
   val oracles: Map[String, String] = {
     val thrSql = rates.foldRight(defaultRate.toString) { case ((l, r), acc) =>
@@ -98,6 +149,34 @@ object Corpus {
            |  ${p60Sql("doc_id::VARCHAR")} AS sample_key
            |FROM documents
            |WHERE ${p60Sql("doc_id::VARCHAR")} < $thrSql""".stripMargin,
+      "corpus_filter" ->
+        s"""WITH q AS (${Text.oracles("text_quality")}),
+           |l AS (${Text.oracles("text_langid")}),
+           |r AS (${Text.oracles("text_repetition")}),
+           |cta AS (${Text.oracles("text_contamination")}),
+           |e AS (${Dedup.oracles("dedup_exact")}),
+           |d AS (SELECT doc_id, md5(text) AS h FROM documents),
+           |base AS (
+           |  SELECT d.doc_id, q.keep AS q_ok,
+           |    (l.pred_lang = l.declared_lang) AS lang_ok,
+           |    coalesce(r.keep, false) AS rep_ok,
+           |    (cby.doc_id IS NOT NULL) AS contaminated,
+           |    (d.doc_id = e.keep_id) AS is_canonical
+           |  FROM d
+           |  JOIN q USING (doc_id)
+           |  JOIN l USING (doc_id)
+           |  LEFT JOIN r USING (doc_id)
+           |  LEFT JOIN (SELECT DISTINCT doc_id FROM cta) cby USING (doc_id)
+           |  JOIN e ON d.h = e.h)
+           |SELECT doc_id, q_ok, lang_ok, rep_ok, contaminated, is_canonical,
+           |  (q_ok AND lang_ok AND rep_ok AND NOT contaminated AND is_canonical) AS keep,
+           |  CASE WHEN NOT q_ok THEN 'quality'
+           |       WHEN NOT lang_ok THEN 'language'
+           |       WHEN NOT rep_ok THEN 'repetition'
+           |       WHEN contaminated THEN 'contamination'
+           |       WHEN NOT is_canonical THEN 'duplicate'
+           |       ELSE 'ok' END AS reason
+           |FROM base""".stripMargin,
       "corpus_pack" ->
         """WITH t AS (
           |  SELECT doc_id, lang,

@@ -76,6 +76,31 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpus_filter verdicts agree with the component operators") {
+    import graft.dedup.{Dedup, Text}
+    val got = Corpus.corpusFilter(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == spark.read.parquet(s"$sf/documents.parquet").count())
+    val qOk = Text.textQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val repOk = Text.textRepetition(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val contaminated = Text.textContamination(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    got.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("q_ok") == qOk(id))
+      assert(r.getAs[Boolean]("rep_ok") == repOk.getOrElse(id, false))
+      assert(r.getAs[Boolean]("contaminated") == contaminated.contains(id))
+      val keep = r.getAs[Boolean]("keep")
+      val reason = r.getAs[String]("reason")
+      assert(keep == (reason == "ok"), s"doc $id: keep=$keep but reason=$reason")
+      if (keep) assert(r.getAs[Boolean]("lang_ok") && r.getAs[Boolean]("is_canonical"))
+    }
+    // the pipeline actually cuts something and keeps something
+    val kept = got.values.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < got.size)
+  }
+
   test("corpus_pack shards overflow by at most one document") {
     val budget = 2000L
     val byShard = Corpus.corpusPack(spark, sf).collect()
