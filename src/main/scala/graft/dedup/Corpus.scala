@@ -49,6 +49,12 @@ object Corpus {
     * selection column `sample_key` is kept for auditability. */
   def stratifiedSample(df: DataFrame, stratum: String, id: Column,
       rateNums: Seq[(String, Long)], defaultNum: Long): DataFrame = {
+    require(!df.columns.contains("sample_key"),
+      "stratifiedSample reserves the output column name 'sample_key'; rename it on the input frame")
+    // register into the FRAME's session, not the thread's active one —
+    // a caller on a custom thread pool or a newSession() clone has no
+    // usable active-session registry
+    graft.functions.GraftFunctions.registerAll(df.sparkSession)
     val thr: Column = rateNums.foldRight(lit(defaultNum)) { case ((l, r), acc) =>
       when(col(stratum) === l, lit(r)).otherwise(acc)
     }

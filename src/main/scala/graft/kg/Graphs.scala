@@ -34,10 +34,16 @@ object Graphs {
     * Callers own the returned graph's storage: call
     * `graph.unpersist()` once results are extracted (the query-facing
     * helpers below do this automatically). */
+  /** Pregel edge-partition clamp: per-superstep scheduling overhead
+    * scales with partition count, so track core count within [8, 64]
+    * (one tuning site for every GraphX entry point). */
+  private def clampPartitions(sc: org.apache.spark.SparkContext): Int =
+    math.min(64, math.max(8, sc.defaultParallelism))
+
   def fromStatements(st: DataFrame, numPartitions: Int = 0): Graph[Unit, String] = {
     val n =
       if (numPartitions > 0) numPartitions
-      else math.min(64, math.max(8, st.sparkSession.sparkContext.defaultParallelism))
+      else clampPartitions(st.sparkSession.sparkContext)
     val edges = st.filter(col("o_id").isNotNull)
       .select(col("s"), col("o_id"), col("p"))
       .coalesce(n)
@@ -104,10 +110,9 @@ object Graphs {
     * table is the safe shape there. */
   def closure(spark: SparkSession, edges: DataFrame): DataFrame = {
     val sess = spark; import sess.implicits._
-    // same partition clamp as fromStatements: per-superstep scheduling
-    // overhead scales with partition count, and closure pays O(depth)
-    // supersteps — exactly the workload the clamp exists for
-    val n = math.min(64, math.max(8, spark.sparkContext.defaultParallelism))
+    // closure pays O(depth) supersteps — exactly the workload the
+    // shared clamp exists for
+    val n = clampPartitions(spark.sparkContext)
     val eRdd = edges.select(col("a").cast("long"), col("b").cast("long"))
       .filter(col("a").isNotNull && col("b").isNotNull) // same contract as fromStatements
       .coalesce(n)

@@ -35,9 +35,24 @@ object Mapping {
     * a line number on malformed input, unknown namespace references,
     * or missing required keys. */
   def parse(text: String): Seq[Triples.Rule] = {
-    // strip comments + blanks, keep (content, lineNo, indent)
+    // strip comments + blanks, keep (content, lineNo, indent). A '#'
+    // inside a quoted scalar is content, not a comment — stripping
+    // before quote parsing would silently truncate the value, exactly
+    // the misread this parser promises to fail loudly on.
+    def stripComment(raw: String): String = {
+      var quote: Char = 0
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (quote != 0) { if (c == quote) quote = 0 }
+        else if (c == '"' || c == '\'') quote = c
+        else if (c == '#') return raw.take(i)
+        i += 1
+      }
+      raw
+    }
     val lines = text.linesIterator.zipWithIndex.flatMap { case (raw, i) =>
-      val noComment = raw.takeWhile(_ != '#')
+      val noComment = stripComment(raw)
       val t = noComment.trim
       if (t.isEmpty) None
       else Some((t, i + 1, noComment.indexWhere(!_.isWhitespace)))

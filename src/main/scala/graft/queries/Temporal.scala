@@ -121,6 +121,10 @@ object Temporal {
   def bandedRangeJoin(anchor: DataFrame, probe: DataFrame,
       key: String, time: String, windowUs: Long): DataFrame = {
     require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(!probe.columns.contains("__bucket") && !anchor.columns.contains("__bucket"),
+      "bandedRangeJoin reserves the column name '__bucket'; rename it on the input frames")
+    require(!anchor.columns.exists(_.startsWith("__a_")),
+      "bandedRangeJoin reserves the '__a_' column-name prefix on the anchor frame")
     val a = anchor.select(anchor.columns.map(c => col(c).as(s"__a_$c")): _*)
       .withColumn("__bucket", explode(sequence(
         dayBucket(s"__a_$time"),

@@ -106,4 +106,21 @@ class MappingSpec extends SparkSpec {
     assert(err("namespaces:\n  r: 1\nmappings:\n  - table: t\n    s: k\n    s: k2\n")
       .contains("set twice"))
   }
+
+  test("a '#' inside a quoted scalar is content, not a comment") {
+    val cfg =
+      """namespaces:
+        |  r: 1
+        |mappings:
+        |  - table: t
+        |    s: "col#1"   # this trailing comment IS stripped
+        |    ns: r
+        |    po:
+        |      - {p: label, o: 'x#y'}
+        |""".stripMargin
+    val rules = Mapping.parse(cfg)
+    assert(rules.size == 1)
+    assert(rules.head.sKey == "col#1", s"quoted '#' truncated: ${rules.head.sKey}")
+    assert(rules.head.oCol == "x#y")
+  }
 }
