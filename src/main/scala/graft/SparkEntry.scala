@@ -17,6 +17,8 @@ object SparkEntry {
       graft.kg.KGQueries.queries ++
       graft.er.ER.queries ++
       graft.dedup.Dedup.queries ++
+      graft.dedup.Embed.queries ++
+      graft.dedup.Search.queries ++
       graft.dedup.Corpus.queries ++
       graft.dedup.Text.queries ++
       graft.dedup.Multimodal.queries ++
@@ -30,6 +32,8 @@ object SparkEntry {
       graft.kg.KGQueries.oracles ++
       graft.er.ER.oracles ++
       graft.dedup.Dedup.oracles ++
+      graft.dedup.Embed.oracles ++
+      graft.dedup.Search.oracles ++
       graft.dedup.Corpus.oracles ++
       graft.dedup.Text.oracles ++
       graft.dedup.Multimodal.oracles ++

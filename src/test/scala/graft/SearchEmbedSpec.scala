@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, Embed, Search}
+
+class SearchEmbedSpec extends SparkSpec {
+
+  test("every search/embed query runs and has rows") {
+    (Search.queries ++ Embed.queries).foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("search_vocab matches an in-memory census (counts, ranks, share)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val n = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val df = docs.flatMap { case (id, ws) => ws.distinct.map(w => (w, id)) }
+      .groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val total = n.values.sum
+    val expected = n.keys.toSeq
+      .sortBy(t => (-n(t), t)).take(100).zipWithIndex
+      .map { case (t, i) => (t, (n(t), df(t), i + 1, n(t).toDouble / total.toDouble)) }
+      .toMap
+    val got = Search.searchVocab(spark, sf).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("df"), r.getAs[Int]("rank"), r.getAs[Double]("share"))))
+      .toMap
+    assert(got == expected)
+  }
+
+  test("search_bm25 ranks by the documented score: rare term dominates, scores descend") {
+    val rows = Search.searchBm25(spark, sf).collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores not descending")
+    // every hit matched at least one query term
+    rows.foreach { r =>
+      val tfSum = Search.bm25Terms.map(q => r.getAs[Int](s"tf_$q")).sum
+      assert(tfSum > 0)
+    }
+    // the rare injected marker ('dup') has far higher idf than the two
+    // common terms, so every doc containing it must outrank every doc
+    // that only matched common terms
+    val (withRare, without) = rows.partition(_.getAs[Int]("tf_dup") > 0)
+    if (withRare.nonEmpty && without.nonEmpty) {
+      val minRare = withRare.map(_.getAs[Double]("score")).min
+      val maxCommon = without.map(_.getAs[Double]("score")).max
+      assert(minRare > maxCommon, s"rare-term docs should dominate: $minRare <= $maxCommon")
+    }
+  }
+
+  test("embed_quantize is a faithful int8 code: |qv| <= 127, exact norm, dequant within half-step") {
+    val rows = Embed.embedQuantize(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Int]("qv")) <= 127)
+    }
+    // per-vector: norm_sq equals the sum of squares of its codes, and
+    // dequantized values sit within half a quantization step of the
+    // original (the defining property of round-to-nearest)
+    val orig = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Seq[Float]]("embedding").map(_.toDouble))
+      .toMap
+    rows.groupBy(_.getAs[Long]("vec_id")).foreach { case (id, rs) =>
+      val bySq = rs.map(r => r.getAs[Int]("qv").toLong).map(q => q * q).sum
+      assert(rs.head.getAs[Long]("norm_sq") == bySq)
+      val scale = rs.head.getAs[Double]("scale")
+      rs.foreach { r =>
+        val x = orig(id)(r.getAs[Int]("pos"))
+        assert(math.abs(r.getAs[Int]("qv") - x * scale) <= 0.5 + 1e-9)
+      }
+    }
+  }
+
+  test("sim_topk_int8 agrees with the exact bruteforce top-5 on most neighbors") {
+    val exact = Dedup.simTopkBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor")).toSet).toMap
+    val quant = Embed.simTopkInt8(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor")).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    // int8 on 64-dim unit-scale vectors: expect >= 3/5 overlap per
+    // query on average (measured ~4.6/5; the bound leaves slack for
+    // near-tie flips, which is exactly the quantization error the
+    // two-stage design re-ranks away)
+    val avgOverlap = quant.keys.toSeq.map(q => (quant(q) & exact(q)).size).sum.toDouble / quant.size
+    assert(avgOverlap >= 3.0, s"avg quantized/exact overlap $avgOverlap < 3.0")
+  }
+}
