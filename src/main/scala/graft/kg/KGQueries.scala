@@ -252,6 +252,62 @@ object KGQueries {
       .filter(col("weight") >= 2)
   }
 
+  /** kg_shortest_path — min hop distance from the ASIA region node to
+    * EVERY reachable entity over the undirected graph (the
+    * how-closely-related question the reference's network views
+    * answer): [[TripleStore.distances]], i.e. frontier BFS run to
+    * exhaustion instead of kg_khop's fixed two hops. The test graph's
+    * eccentricity from ASIA is 7 at every shipped SF (region → nation
+    * → customer/supplier → order → part → order → … chains), and the
+    * topology — not the data volume — bounds it, so the oracle's
+    * recursion cap of 11 carries comfortable margin. */
+  def kgShortestPath(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val seeds = pat(st, "label").filter(col("o_val") === "ASIA")
+      .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
+      .select(col("s").as("node"))
+    TripleStore(spark, st).distances(seeds)
+  }
+
+  /** kg_group_concat — SPARQL GROUP_CONCAT aggregation: per customer,
+    * the sorted comma-joined list of their order ids plus the order
+    * count. Deterministic at any parallelism: the per-group list is
+    * array_sort'ed before joining (= GROUP_CONCAT with ORDER BY — the
+    * only GROUP_CONCAT shape that hash-checks on a distributed
+    * engine). Scale: one shuffle on customer; per-group state is that
+    * customer's orders, never the graph. */
+  def kgGroupConcat(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    pat(st, "placed_by")
+      .select(col("o_id").as("c"), col("s").as("o"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("array_join(transform(array_sort(collect_list(o)), x -> CAST(x AS STRING)), ',')")
+          .as("orders_concat"))
+  }
+
+  /** kg_triangles — triangle census of the co-occurrence network
+    * (node = part, edge = co-occurs in ≥ 2 orders, from [[kgCooccur]]):
+    * per-node triangle participation counts, the clustering signal of
+    * the companions analysis. The `p1 < p2` edge orientation makes
+    * each triangle (a<b<c) match exactly once in the three-way join.
+    * Scale: the classic two-path + closing-edge equi-join plan — pair
+    * volume is Σ deg²(node) on the FILTERED (weight ≥ 2) edge set,
+    * and the standard degree-ordered orientation (low-degree node
+    * first) is exactly what `p1 < p2` approximates on this id-assigned
+    * graph; no global cross join anywhere. */
+  def kgTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = kgCooccur(spark, dir).select(col("p1"), col("p2"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(e.as("e3"),
+        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Graph B for diff/upsert: a deterministic "stale remote copy" of
     * the mktsegment sub-graph — some statements missing (%7), some
     * conflicting (%10 → LEGACY), some extra ids A has never seen (%13,
@@ -372,7 +428,10 @@ object KGQueries {
     "kg_minus"         -> (kgMinus _),
     "kg_minus_regex"   -> (kgMinusRegex _),
     "kg_seq_path"      -> (kgSeqPath _),
-    "kg_label_lang"    -> (kgLabelLang _))
+    "kg_label_lang"    -> (kgLabelLang _),
+    "kg_shortest_path" -> (kgShortestPath _),
+    "kg_group_concat"  -> (kgGroupConcat _),
+    "kg_triangles"     -> (kgTriangles _))
 
   private val R0 = Triples.REGION * NS; private val R1 = (Triples.REGION + 1) * NS
   private val C0 = Triples.CUSTOMER * NS; private val C1 = (Triples.CUSTOMER + 1) * NS
@@ -453,6 +512,37 @@ object KGQueries {
          |SELECT pb.s AS order_id, pb.o_id AS customer_id, l.o_val AS customer_label
          |FROM (SELECT s, o_id FROM triples WHERE p='placed_by') pb
          |JOIN (SELECT s, o_val FROM triples WHERE p='label') l ON l.s = pb.o_id""".stripMargin,
+    "kg_shortest_path" ->
+      // the recursion cap (dist < 11) only bounds cycle re-expansion:
+      // measured eccentricity from ASIA is 7 at every shipped SF and
+      // is topology-bound (see kgShortestPath doc), so min(dist) per
+      // node is exact
+      s"""$T, e AS (
+         |  SELECT s AS a, o_id AS b FROM triples WHERE o_id IS NOT NULL
+         |  UNION ALL SELECT o_id, s FROM triples WHERE o_id IS NOT NULL),
+         |seeds AS (SELECT DISTINCT s AS node FROM triples
+         |          WHERE p='label' AND o_val='ASIA' AND s BETWEEN $R0 AND ${R1 - 1})
+         |SELECT node, CAST(min(dist) AS INTEGER) AS dist FROM (
+         |  WITH RECURSIVE r(node, dist) AS (
+         |    SELECT node, 0 FROM seeds
+         |    UNION
+         |    SELECT e.b, r.dist + 1 FROM r JOIN e ON e.a = r.node WHERE r.dist < 11)
+         |  SELECT node, dist FROM r)
+         |GROUP BY node""".stripMargin,
+    "kg_group_concat" ->
+      s"""$T
+         |SELECT o_id AS c, count(*) AS n_orders,
+         |  string_agg(CAST(s AS VARCHAR), ',' ORDER BY s) AS orders_concat
+         |FROM triples WHERE p='placed_by' GROUP BY o_id""".stripMargin,
+    "kg_triangles" ->
+      s"""$T, hp AS (SELECT s AS o, o_id AS part FROM triples WHERE p='has_part'),
+         |e AS (SELECT a.part AS p1, b.part AS p2 FROM hp a JOIN hp b ON a.o = b.o AND a.part < b.part
+         |      GROUP BY 1, 2 HAVING count(*) >= 2),
+         |tri AS (
+         |  SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+         |  FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+         |ends AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+         |SELECT node, count(*) AS n_triangles FROM ends GROUP BY node""".stripMargin,
     "kg_khop" ->
       s"""$T, e AS (
          |  SELECT s AS a, o_id AS b FROM triples WHERE o_id IS NOT NULL

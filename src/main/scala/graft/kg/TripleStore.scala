@@ -96,6 +96,48 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     visited
   }
 
+  /** Single-source (or multi-seed) shortest-path distances over the
+    * undirected entity graph: [[khop]] run to exhaustion — the loop
+    * stops when a hop adds no new node, so the result carries the true
+    * min hop distance for every REACHABLE node (BFS = shortest path on
+    * an unweighted graph). Same frontier/anti-join/checkpoint
+    * lifecycle as khop: each hop expands only the new frontier, and
+    * superseded visited snapshots are freed as soon as their successor
+    * is materialized, so live blocks stay O(result) across hops. */
+  def distances(seeds: DataFrame): DataFrame = {
+    import graft.util.Checkpoints.free
+    val pairs = statements.filter(col("o_id").isNotNull)
+      .select(col("s"), col("o_id"))
+      .localCheckpoint(eager = true)
+    val e = pairs.select(explode(array(
+        struct(col("s").as("a"), col("o_id").as("b")),
+        struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0)).localCheckpoint(eager = true)
+    var frontier = visited.select("node")
+    var hop = 1
+    var growing = true
+    while (growing) {
+      val next = frontier.join(e, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .localCheckpoint(eager = true)
+      growing = next.count() > 0
+      if (!(frontier eq visited)) free(frontier)
+      if (growing) {
+        val grown = visited.unionAll(next.withColumn("dist", lit(hop)))
+          .localCheckpoint(eager = true)
+        free(visited)
+        visited = grown
+        frontier = next
+        hop += 1
+      } else free(next)
+    }
+    free(pairs)
+    visited
+  }
+
   /** Transitive closure over a predicate alternation — SPARQL
     * `(p1|p2)+`. Semi-naive iterative fixpoint: each hop joins only
     * the frontier, dedups new pairs with a left-anti join against the

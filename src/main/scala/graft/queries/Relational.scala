@@ -129,6 +129,23 @@ object Relational {
       .orderBy("region", "nation")
   }
 
+  /** GROUP BY CUBE over priority × status: all four grouping sets in
+    * one pass (Spark expands the cube BEFORE the shuffle — partial
+    * aggregation still applies per grouping set). `grouping_id` tags
+    * which set a row belongs to; both engines use the same bit order
+    * (first column = most significant bit — verified empirically). */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid"), col("n_orders"), col("sum_price"))
+      .orderBy("gid", "priority", "status")
+  }
+
   /** Pivot: orders count per priority × status (conditional agg → no shuffle beyond one groupBy). */
   def qPivot(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -175,6 +192,7 @@ object Relational {
     "q_topk_group"  -> (qTopkGroup _),
     "q_semi_anti"   -> (qSemiAnti _),
     "q_rollup"      -> (qRollup _),
+    "q_cube"        -> (qCube _),
     "q_pivot"       -> (qPivot _),
     "q_sessionize"  -> (qSessionize _),
     "q_percentile"  -> (qPercentile _))
@@ -240,6 +258,15 @@ object Relational {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+        |  coalesce(o_orderstatus, 'ALL') AS status,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS INTEGER) AS gid,
+        |  count(*) AS n_orders,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority, status""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,

@@ -42,6 +42,54 @@ class KGSpec extends SparkSpec {
     assert(hop1 == expected)
   }
 
+  test("shortest_path: agrees with khop on dist <= 2 and with an in-memory BFS everywhere") {
+    val got = KGQueries.kgShortestPath(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val near = KGQueries.kgKhop(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    near.foreach { case (node, d) =>
+      assert(got(node) == d, s"node $node: shortest_path ${got(node)} != khop $d")
+    }
+    // independent O(V+E) recomputation
+    val edges = Triples.statements(spark, sf).filter(col("o_id").isNotNull)
+      .select("s", "o_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = got.collectFirst { case (n, 0) => n }.get
+    val dist = scala.collection.mutable.Map(seed -> 0)
+    val q = scala.collection.mutable.Queue(seed)
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      adj.getOrElse(u, Array.empty[Long]).foreach { v =>
+        if (!dist.contains(v)) { dist(v) = dist(u) + 1; q.enqueue(v) }
+      }
+    }
+    assert(got == dist.toMap)
+  }
+
+  test("group_concat: per-customer order list is sorted, complete, and counted") {
+    val rows = KGQueries.kgGroupConcat(spark, sf).collect()
+    val placed = Triples.statements(spark, sf).filter(col("p") === "placed_by")
+      .select("o_id", "s").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = placed.groupBy(_._1).view
+      .mapValues(os => (os.length.toLong, os.map(_._2).sorted.mkString(","))).toMap
+    val got = rows.map(r =>
+      r.getAs[Long]("c") -> ((r.getAs[Long]("n_orders"), r.getAs[String]("orders_concat")))).toMap
+    assert(got == expected)
+  }
+
+  test("triangles: per-node counts match an in-memory census of the cooccur graph") {
+    val e = KGQueries.kgCooccur(spark, sf).select("p1", "p2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eset = e.toSet
+    val expected = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((a, b) <- e; (b2, c) <- e if b2 == b && eset((a, c))) {
+      expected(a) += 1; expected(b) += 1; expected(c) += 1
+    }
+    val got = KGQueries.kgTriangles(spark, sf).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("n_triangles")).toMap
+    assert(got == expected.toMap)
+  }
+
   test("minus_regex: excluded set is exactly the regex-matched customers") {
     val kept = KGQueries.kgMinusRegex(spark, sf)
     val matched = Triples.statements(spark, sf)

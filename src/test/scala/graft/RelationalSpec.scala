@@ -37,6 +37,24 @@ class RelationalSpec extends SparkSpec {
     assert(n == spark.read.parquet(s"$sf/events.parquet").count())
   }
 
+  test("q_cube: grouping sets are mutually consistent") {
+    val rows = Relational.qCube(spark, sf).collect()
+    def tot(gid: Int) = rows.filter(_.getAs[Int]("gid") == gid)
+      .map(_.getAs[Long]("n_orders")).sum
+    val grand = tot(3)
+    assert(grand == spark.read.parquet(s"$sf/orders.parquet").count())
+    // every partial grouping set re-partitions the same universe
+    assert(tot(0) == grand && tot(1) == grand && tot(2) == grand)
+    val gidOf = rows.map(r => (r.getAs[String]("priority"), r.getAs[String]("status")) ->
+      r.getAs[Int]("gid")).toMap
+    assert(gidOf(("ALL", "ALL")) == 3)
+    rows.foreach { r =>
+      val expect = (if (r.getAs[String]("priority") == "ALL") 2 else 0) +
+        (if (r.getAs[String]("status") == "ALL") 1 else 0)
+      assert(r.getAs[Int]("gid") == expect)
+    }
+  }
+
   test("q_semi_anti: semi + full-anti partitions customers") {
     val rows = Relational.qSemiAnti(spark, sf).collect()
     val kinds = rows.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap
