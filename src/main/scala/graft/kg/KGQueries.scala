@@ -255,18 +255,28 @@ object KGQueries {
   /** kg_shortest_path — min hop distance from the ASIA region node to
     * EVERY reachable entity over the undirected graph (the
     * how-closely-related question the reference's network views
-    * answer): [[TripleStore.distances]], i.e. frontier BFS run to
-    * exhaustion instead of kg_khop's fixed two hops. The test graph's
-    * eccentricity from ASIA is 7 at every shipped SF (region → nation
-    * → customer/supplier → order → part → order → … chains), and the
-    * topology — not the data volume — bounds it, so the oracle's
-    * recursion cap of 11 carries comfortable margin. */
+    * answer): BFS run to exhaustion instead of kg_khop's fixed two
+    * hops. The test graph's eccentricity from ASIA is 7 at every
+    * shipped SF (region → nation → customer/supplier → order → part →
+    * order → … chains), and the topology — not the data volume —
+    * bounds it, so the oracle's recursion cap of 11 carries
+    * comfortable margin.
+    *
+    * Engine choice, measured at sf0.1 (both implementations kept and
+    * spec-proven identical): eccentricity-many rounds make this the
+    * deep-iteration case — Pregel [[Graphs.distances]] 5.8 s warm vs
+    * the DataFrame fixpoint [[TripleStore.distances]] 11.9 s (even
+    * with the edge set checkpointed pre-partitioned on the join key),
+    * because a superstep is one message shuffle while a fixpoint hop
+    * is join + distinct + anti-join + checkpoint + count. Same
+    * crossover logic as kg_pagerank (iterations favor Pregel) vs
+    * er_connected_components (few rounds favor DataFrame). */
   def kgShortestPath(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
     val seeds = pat(st, "label").filter(col("o_val") === "ASIA")
       .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
       .select(col("s").as("node"))
-    TripleStore(spark, st).distances(seeds)
+    Graphs.distances(spark, st, seeds)
   }
 
   /** kg_group_concat — SPARQL GROUP_CONCAT aggregation: per customer,
@@ -297,15 +307,22 @@ object KGQueries {
     * first) is exactly what `p1 < p2` approximates on this id-assigned
     * graph; no global cross join anywhere. */
   def kgTriangles(spark: SparkSession, dir: String): DataFrame = {
+    // the edge set feeds all three join legs — materialize the
+    // cooccur aggregation ONCE (it is itself a join + groupBy over
+    // has_part) instead of letting each leg re-run that plan
     val e = kgCooccur(spark, dir).select(col("p1"), col("p2"))
+      .localCheckpoint(eager = true)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
       .join(e.as("e3"),
         col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
       .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val out = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(eager = true) // node census only — small
+    graft.util.Checkpoints.free(e)
+    out
   }
 
   /** Graph B for diff/upsert: a deterministic "stale remote copy" of

@@ -45,6 +45,15 @@ class KGSpec extends SparkSpec {
   test("shortest_path: agrees with khop on dist <= 2 and with an in-memory BFS everywhere") {
     val got = KGQueries.kgShortestPath(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // both engines stay result-identical (the Pregel one is the
+    // measured winner and serves the query; the DataFrame fixpoint is
+    // the co-partitioned-layout shape kept for shallow/bushy graphs)
+    val st = Triples.statements(spark, sf)
+    val seeds = st.filter(col("p") === "label").filter(col("o_val") === "ASIA")
+      .select(col("s").as("node"))
+    val dfEngine = graft.kg.TripleStore(spark, st).distances(seeds).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(dfEngine == got)
     val near = KGQueries.kgKhop(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     near.foreach { case (node, d) =>
