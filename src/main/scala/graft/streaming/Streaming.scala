@@ -277,10 +277,68 @@ object Streaming {
     }.filter(col("user_id") >= 0)
   }
 
+  /** stream_dedup — exactly-once aggregation over an at-least-once
+    * stream: a deterministic subset of events (event_id % 7 = 0) is
+    * re-published as byte-identical copies (a self-union of the file
+    * source — the redelivery a real broker produces), and
+    * `dropDuplicates` keyed on (event_id, event-time) collapses them
+    * before the windowed aggregate. Keying the dedup on the
+    * WATERMARKED event-time column is what bounds the state store: a
+    * key is evicted once the watermark passes its event time — dedup
+    * state is delivery-window-sized, never stream-lifetime-sized.
+    * Redelivered rows are identical bytes, so the deduped result is
+    * independent of arrival order (what makes it hash-checkable).
+    * The oracle is the plain batch aggregate over the ORIGINAL events:
+    * equality holds only if every duplicate was dropped (DedupSpec
+    * asserts the un-deduped count is actually larger). */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame =
+    fileReplay(spark, dir, "stream_dedup") { source =>
+      val redelivered = source.toDF().filter(col("event_id") % 7 === 0)
+      source.toDF().unionAll(redelivered)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("event_id", "ts")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(money(col("value"))).as("sum_value_dec"))
+    }
+      .filter(col("event_type") =!= "sentinel")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"),
+        col("n_events"),
+        exactDouble(col("sum_value_dec")).as("sum_value"))
+
+  /** stream_stream_join — watermarked stream-stream interval join:
+    * click→purchase attribution within one hour, both sides streaming
+    * (the streaming twin of q_range_join). The event-time range
+    * condition on two watermarked columns is what lets Spark evict
+    * join state (a click older than watermark − 1 h can never match
+    * again); without it, stream-stream join state grows unboundedly.
+    * Inner joins emit on match, so results don't wait on the
+    * watermark — the sentinels (filtered out by the event_type
+    * predicates) only matter for state cleanup, not output. */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame =
+    fileReplay(spark, dir, "stream_stream_join") { source =>
+      val clicks = source.toDF().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = source.toDF().filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+      clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("click_id"), col("purchase_id"), col("user_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "stream_window_agg" -> (streamWindowAgg _),
-    "stream_enrich"     -> (streamEnrich _),
-    "stream_sessionize" -> (streamSessionize _))
+    "stream_window_agg"  -> (streamWindowAgg _),
+    "stream_enrich"      -> (streamEnrich _),
+    "stream_sessionize"  -> (streamSessionize _),
+    "stream_dedup"       -> (streamDedup _),
+    "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
     "stream_sessionize" ->
@@ -310,5 +368,20 @@ object Streaming {
         |  c.c_mktsegment AS segment, count(*) AS n_events,
         |  CAST(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    // equality vs the ORIGINAL events is the dedup check: any surviving
+    // redelivered copy would inflate a window's n_events
+    "stream_dedup" ->
+      """SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, count(*) AS n_events,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(25,4)) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        | AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 1 HOUR""".stripMargin)
 }

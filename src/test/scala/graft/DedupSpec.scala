@@ -376,4 +376,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
   }
+
+  test("stream dedup drops every redelivered copy (totals equal the original stream)") {
+    val events = graft.sources.Tables.events(spark, sf)
+    // the redelivery is real: a nonempty subset was published twice
+    assert(events.filter(col("event_id") % 7 === 0).count() > 0)
+    val dedupedTotal = Streaming.streamDedup(spark, sf)
+      .agg(sum("n_events")).first().getLong(0)
+    assert(dedupedTotal == events.count(),
+      s"deduped total $dedupedTotal != original ${events.count()} — a copy survived")
+  }
+
+  test("stream-stream join emits exactly the batch interval-join pairs") {
+    val streamed = Streaming.streamStreamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val e = graft.sources.Tables.events(spark, sf)
+    val batch = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .join(e.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id").as("pu"), col("ts").as("pts")),
+        col("user_id") === col("pu") &&
+          col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        (unix_micros(col("pts")) - unix_micros(col("cts"))).as("gap_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
