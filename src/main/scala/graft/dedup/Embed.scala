@@ -62,7 +62,38 @@ object Embed {
     * ranking is the cheap first stage; its disagreement vs the exact
     * [[Dedup.simTopkBruteforce]] ranking is the quantization error
     * (spec-measured overlap ≥ 4 of 5 in EmbedSpec). */
-  def simTopkInt8(spark: SparkSession, dir: String): DataFrame = {
+  def simTopkInt8(spark: SparkSession, dir: String): DataFrame =
+    simTopkInt8Width(spark, dir, width = 5)
+
+  /** sim_rerank — the two-stage retrieval composition end-to-end: the
+    * int8 scan shortlists top-20 per query (cheap: quarter-width reads,
+    * integer arithmetic), then ONLY those ≤ 20×|queries| candidates are
+    * re-scored with the exact float cosine and cut to top-5. At scale
+    * the first stage reads the int8 column of the whole store; the
+    * second stage fetches float vectors for a candidate set that no
+    * longer depends on corpus size — the standard recall-then-precision
+    * funnel. Output ranks by the EXACT score, so quantization error
+    * only costs recall (a true neighbor missing from the shortlist),
+    * never precision of the returned ordering; the overlap spec in
+    * EmbedSpec measures exactly that residual. */
+  def simRerank(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val shortlist = simTopkInt8Width(spark, dir, width = 20)
+      .select(col("q_id"), col("neighbor"))
+    val v = vecs(spark, dir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor"))
+    shortlist
+      .join(v.select(col("vec_id").as("q_id"), col("v").as("vq")), Seq("q_id"))
+      .join(v.select(col("vec_id").as("neighbor"), col("v").as("vn")), Seq("neighbor"))
+      .withColumn("cosine", expr("cosine_sim(vq, vn)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("neighbor"), col("cosine"), col("rk"))
+  }
+
+  /** [[simTopkInt8]] with a configurable shortlist width (the
+    * recall/cost dial of the first stage). */
+  private def simTopkInt8Width(spark: SparkSession, dir: String, width: Int): DataFrame = {
     val qz = quantized(spark, dir).select(col("vec_id"), col("q"))
     val qs = qz.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("q").as("qa"))
     val ts = qz.select(col("vec_id").as("neighbor"), col("q").as("qb"))
@@ -75,13 +106,14 @@ object Embed {
       .withColumn("cosine_q", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+      .filter(col("rk") <= width)
       .select(col("q_id"), col("neighbor"), col("cosine_q"), col("rk"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_quantize" -> (embedQuantize _),
-    "sim_topk_int8"  -> (simTopkInt8 _))
+    "sim_topk_int8"  -> (simTopkInt8 _),
+    "sim_rerank"     -> (simRerank _))
 
   val oracles: Map[String, String] = {
     // DuckDB twin of `quantized`: FLOAT[] → DOUBLE elementwise, then
@@ -105,6 +137,35 @@ object Embed {
            |  scale,
            |  CAST(list_sum(list_transform(q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS norm_sq
            |FROM qz""".stripMargin,
+      "sim_rerank" ->
+        // stage 1 = the sim_topk_int8 pipeline at width 20; stage 2
+        // re-scores only the shortlist with the exact double cosine
+        // (list_dot_product / sqrt folds proven bit-identical to the
+        // native cosine_sim by the dedup_embedding oracle)
+        s"""WITH $qCte,
+           |vv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+           |pairs AS (
+           |  SELECT a.vec_id AS q_id, b.vec_id AS neighbor,
+           |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+           |      i -> CAST(a.q[i] AS BIGINT) * CAST(b.q[i] AS BIGINT))) AS BIGINT) AS dot,
+           |    CAST(list_sum(list_transform(a.q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS na,
+           |    CAST(list_sum(list_transform(b.q, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS nb
+           |  FROM qz a JOIN qz b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+           |shortlist AS (
+           |  SELECT q_id, neighbor,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+           |        neighbor) AS rk0
+           |  FROM pairs QUALIFY rk0 <= 20),
+           |rescored AS (
+           |  SELECT s.q_id, s.neighbor,
+           |    list_dot_product(qv.v, nv.v) / (sqrt(list_dot_product(qv.v, qv.v)) * sqrt(list_dot_product(nv.v, nv.v))) AS cosine
+           |  FROM shortlist s
+           |  JOIN vv qv ON qv.vec_id = s.q_id
+           |  JOIN vv nv ON nv.vec_id = s.neighbor)
+           |SELECT q_id, neighbor, cosine,
+           |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS INTEGER) AS rk
+           |FROM rescored QUALIFY rk <= 5""".stripMargin,
       "sim_topk_int8" ->
         s"""WITH $qCte,
            |pairs AS (

@@ -74,6 +74,48 @@ class SearchEmbedSpec extends SparkSpec {
     }
   }
 
+  test("sim_rerank recovers the exact ranking for every shortlisted neighbor") {
+    val exact = Dedup.simTopkBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q")).view
+      .mapValues(_.sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("neighbor"), r.getAs[Double]("cosine")))).toMap
+    val reranked = Embed.simRerank(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.sortBy(_.getAs[Int]("rk"))
+        .map(r => (r.getAs[Long]("neighbor"), r.getAs[Double]("cosine")))).toMap
+    assert(reranked.keySet == exact.keySet)
+    val int8 = Embed.simTopkInt8(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q_id")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor")).toSet).toMap
+    reranked.foreach { case (q, rs) =>
+      // re-ranked scores ARE the exact scores (bit-identical native cosine)
+      val exactScores = exact(q).toMap
+      rs.foreach { case (n, c) =>
+        exactScores.get(n).foreach(ec => assert(ec == c, s"q=$q n=$n rescored $c != exact $ec"))
+      }
+      // two-stage top-5 ⊇ exact top-5 whenever the shortlist caught
+      // them; measure the funnel: rerank overlap must be >= the raw
+      // int8 overlap (re-scoring can only fix orderings, not lose them)
+      val exactTop = exact(q).map(_._1).toSet
+      val rerankOverlap = rs.map(_._1).count(exactTop)
+      val int8Overlap = int8(q).count(exactTop)
+      assert(rerankOverlap >= int8Overlap,
+        s"q=$q: rerank overlap $rerankOverlap < int8 overlap $int8Overlap")
+    }
+  }
+
+  test("scan-shaped operators keep scan-shaped plans") {
+    // quantization is one narrow codegen'd pass: no exchange anywhere
+    val qPlan = Embed.embedQuantize(spark, sf).queryExecution.executedPlan.toString
+    assert(!qPlan.contains("Exchange"), s"embed_quantize must not shuffle:\n$qPlan")
+    // bm25: one single-row stats aggregate (its exchange + broadcast
+    // back) and a distributed top-k — nothing shuffles the corpus
+    val bPlan = Search.searchBm25(spark, sf).queryExecution.executedPlan.toString
+    assert(bPlan.contains("TakeOrderedAndProject"), s"bm25 top-k must be distributed:\n$bPlan")
+    val exchanges = "Exchange".r.findAllIn(bPlan).size
+    assert(exchanges <= 3, s"bm25 should need only the stats agg + broadcast, found $exchanges:\n$bPlan")
+  }
+
   test("sim_topk_int8 agrees with the exact bruteforce top-5 on most neighbors") {
     val exact = Dedup.simTopkBruteforce(spark, sf).collect()
       .groupBy(_.getAs[Long]("q")).view
