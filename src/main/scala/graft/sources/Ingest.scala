@@ -49,6 +49,18 @@ object Ingest {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
 
+  /** ORC source — the other columnar lake format (predicate pushdown
+    * and column pruning work like parquet's; Spark's ORC reader is
+    * built in). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** ORC sink, same partition-layout knob as [[writeParquet]]. */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Parquet sink, optionally hash-partitioned by columns — the layout
     * knob that makes downstream reads partition-prunable. */
   def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {

@@ -75,6 +75,14 @@ class KGSpec extends SparkSpec {
     assert(got == dist.toMap)
   }
 
+  test("degree: DataFrame aggregate equals GraphX g.degrees") {
+    val df = KGQueries.kgDegree(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gx = graft.kg.Graphs.degrees(spark, Triples.statements(spark, sf)).collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(df == gx)
+  }
+
   test("group_concat: per-customer order list is sorted, complete, and counted") {
     val rows = KGQueries.kgGroupConcat(spark, sf).collect()
     val placed = Triples.statements(spark, sf).filter(col("p") === "placed_by")

@@ -27,6 +27,21 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("lang=de"))
   }
 
+  test("orc sink + source round-trip preserves rows, prunes partitions, pushes filters") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Ingest.writeOrc(Tables.documents(spark, sf), dir, Seq("lang"))
+    val back = Ingest.orc(spark, dir)
+    assert(back.count() == Tables.documents(spark, sf).count())
+    assert(back.agg(sum("n_chars")).first().getLong(0) ==
+      Tables.documents(spark, sf).agg(sum("n_chars")).first().getLong(0))
+    val pruned = back.filter(col("lang") === "en").filter(col("doc_id") < 100)
+      .select("doc_id")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("lang=de"), "partition pruning must skip lang=de")
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]"),
+      s"doc_id filter must reach the ORC scan:\n$plan")
+  }
+
   test("statements partitioned by p: a triple pattern is a pruned scan") {
     // the production KG layout the scale notes prescribe: statements
     // partitioned by predicate, so pattern(p) never reads other
