@@ -252,6 +252,30 @@ object KGQueries {
       .filter(col("weight") >= 2)
   }
 
+  /** kg_describe — SPARQL DESCRIBE-class: every statement a seed
+    * entity participates in, as subject OR object (the "show me
+    * everything about X" entity card). Seeds = the ASIA region and its
+    * nations — a bounded query-sized set, so both direction probes are
+    * broadcast semi-joins over the pruned statement scan; the
+    * object-side branch anti-joins the subject matches out instead of
+    * a whole-row distinct (a statement can match on both ends). The
+    * OR-predicate is deliberately split into two equi-joins — a single
+    * OR join would plan a BroadcastNestedLoopJoin. */
+  def kgDescribe(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val asia = pat(st, "label").filter(col("o_val") === "ASIA")
+      .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
+      .select(col("s").as("node"))
+    val nations = pat(st, "in_region")
+      .join(broadcast(asia), col("o_id") === col("node"), "left_semi")
+      .select(col("s").as("node"))
+    val seeds = asia.unionAll(nations)
+    val bySubj = st.join(broadcast(seeds), col("s") === col("node"), "left_semi")
+    val byObj = st.join(broadcast(seeds), col("o_id") === col("node"), "left_semi")
+      .join(broadcast(seeds), col("s") === col("node"), "left_anti")
+    bySubj.unionAll(byObj)
+  }
+
   /** kg_shortest_path — min hop distance from the ASIA region node to
     * EVERY reachable entity over the undirected graph (the
     * how-closely-related question the reference's network views
@@ -458,7 +482,8 @@ object KGQueries {
     "kg_label_lang"    -> (kgLabelLang _),
     "kg_shortest_path" -> (kgShortestPath _),
     "kg_group_concat"  -> (kgGroupConcat _),
-    "kg_triangles"     -> (kgTriangles _))
+    "kg_triangles"     -> (kgTriangles _),
+    "kg_describe"      -> (kgDescribe _))
 
   private val R0 = Triples.REGION * NS; private val R1 = (Triples.REGION + 1) * NS
   private val C0 = Triples.CUSTOMER * NS; private val C1 = (Triples.CUSTOMER + 1) * NS
@@ -539,6 +564,18 @@ object KGQueries {
          |SELECT pb.s AS order_id, pb.o_id AS customer_id, l.o_val AS customer_label
          |FROM (SELECT s, o_id FROM triples WHERE p='placed_by') pb
          |JOIN (SELECT s, o_val FROM triples WHERE p='label') l ON l.s = pb.o_id""".stripMargin,
+    "kg_describe" ->
+      s"""$T, asia AS (SELECT s AS node FROM triples
+         |             WHERE p='label' AND o_val='ASIA' AND s BETWEEN $R0 AND ${R1 - 1}),
+         |nations AS (SELECT s AS node FROM triples
+         |            WHERE p='in_region' AND o_id IN (SELECT node FROM asia)),
+         |seeds AS (SELECT node FROM asia UNION ALL SELECT node FROM nations)
+         |SELECT s, p, o_id, o_val, lang FROM triples
+         |WHERE s IN (SELECT node FROM seeds)
+         |UNION ALL
+         |SELECT s, p, o_id, o_val, lang FROM triples
+         |WHERE o_id IN (SELECT node FROM seeds)
+         |  AND s NOT IN (SELECT node FROM seeds)""".stripMargin,
     "kg_shortest_path" ->
       // the recursion cap (dist < 11) only bounds cycle re-expansion:
       // measured eccentricity from ASIA is 7 at every shipped SF and

@@ -75,6 +75,21 @@ class KGSpec extends SparkSpec {
     assert(got == dist.toMap)
   }
 
+  test("describe: exactly the statements touching the seed set, each once") {
+    val st = Triples.statements(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) null else r.getLong(2),
+        r.getString(3), r.getString(4)))
+    val asia = st.filter(r => r._2 == "label" && r._4 == "ASIA").map(_._1).toSet
+    val seeds = asia ++ st.filter(r => r._2 == "in_region" && r._3 != null && asia(r._3.asInstanceOf[Long])).map(_._1)
+    val expected = st.filter(r => seeds(r._1) ||
+      (r._3 != null && seeds(r._3.asInstanceOf[Long])))
+    val got = KGQueries.kgDescribe(spark, sf).collect()
+    assert(got.length == expected.length) // no double-emit for both-end matches
+    val gotSet = got.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) null else r.getLong(2), r.getString(3), r.getString(4))).toSet
+    assert(gotSet == expected.toSet)
+  }
+
   test("degree: DataFrame aggregate equals GraphX g.degrees") {
     val df = KGQueries.kgDegree(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
