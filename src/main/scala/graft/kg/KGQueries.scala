@@ -276,6 +276,24 @@ object KGQueries {
     bySubj.unionAll(byObj)
   }
 
+  /** kg_construct — SPARQL CONSTRUCT-class: derive NEW statements from
+    * a graph pattern and emit them in statement shape (s, p, o_id) —
+    * here the inferred `in_region` edge for every customer and
+    * supplier, composed from their `in_nation` edge and the nation's
+    * `in_region` edge (the rule-materialization step of KG curation;
+    * the output unions straight back into a statements table). The
+    * nation→region map is bounded (a dimension), so the compose join
+    * broadcasts it; one pruned pattern scan each side, no shuffle on
+    * the entity side. */
+  def kgConstruct(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val nInR = pat(st, "in_region").select(col("s").as("n"), col("o_id").as("r"))
+    pat(st, "in_nation")
+      .select(col("s"), col("o_id").as("n"))
+      .join(broadcast(nInR), "n")
+      .select(col("s"), lit("in_region").as("p"), col("r").as("o_id"))
+  }
+
   /** kg_shortest_path — min hop distance from the ASIA region node to
     * EVERY reachable entity over the undirected graph (the
     * how-closely-related question the reference's network views
@@ -483,7 +501,8 @@ object KGQueries {
     "kg_shortest_path" -> (kgShortestPath _),
     "kg_group_concat"  -> (kgGroupConcat _),
     "kg_triangles"     -> (kgTriangles _),
-    "kg_describe"      -> (kgDescribe _))
+    "kg_describe"      -> (kgDescribe _),
+    "kg_construct"     -> (kgConstruct _))
 
   private val R0 = Triples.REGION * NS; private val R1 = (Triples.REGION + 1) * NS
   private val C0 = Triples.CUSTOMER * NS; private val C1 = (Triples.CUSTOMER + 1) * NS
@@ -564,6 +583,11 @@ object KGQueries {
          |SELECT pb.s AS order_id, pb.o_id AS customer_id, l.o_val AS customer_label
          |FROM (SELECT s, o_id FROM triples WHERE p='placed_by') pb
          |JOIN (SELECT s, o_val FROM triples WHERE p='label') l ON l.s = pb.o_id""".stripMargin,
+    "kg_construct" ->
+      s"""$T
+         |SELECT cn.s, 'in_region' AS p, nr.o_id
+         |FROM (SELECT s, o_id FROM triples WHERE p='in_nation') cn
+         |JOIN (SELECT s, o_id FROM triples WHERE p='in_region') nr ON nr.s = cn.o_id""".stripMargin,
     "kg_describe" ->
       s"""$T, asia AS (SELECT s AS node FROM triples
          |             WHERE p='label' AND o_val='ASIA' AND s BETWEEN $R0 AND ${R1 - 1}),

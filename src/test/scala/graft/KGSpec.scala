@@ -90,6 +90,23 @@ class KGSpec extends SparkSpec {
     assert(gotSet == expected.toSet)
   }
 
+  test("construct: one inferred in_region edge per located entity, composable into the store") {
+    val out = KGQueries.kgConstruct(spark, sf)
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val nSupp = spark.read.parquet(s"$sf/supplier.parquet").count()
+    assert(out.count() == nCust + nSupp)
+    // constructed statements union cleanly back into the statement shape
+    val st = Triples.statements(spark, sf).select("s", "p", "o_id")
+    val merged = st.unionAll(out)
+    assert(merged.count() == st.count() + out.count())
+    // and the inferred edge agrees with the 2-step property path
+    val viaPath = KGQueries.kgSeqPath(spark, sf)
+      .filter(col("reach") >= Triples.REGION * Triples.NS &&
+        col("reach") < (Triples.REGION + 1) * Triples.NS)
+      .select(col("s"), col("reach").as("o_id"))
+    assert(out.select("s", "o_id").exceptAll(viaPath).count() == 0)
+  }
+
   test("degree: DataFrame aggregate equals GraphX g.degrees") {
     val df = KGQueries.kgDegree(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
