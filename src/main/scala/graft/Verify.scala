@@ -17,6 +17,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd name must fail loudly — silently selecting nothing would
+    // leave stale parquet from a prior run in outDir and precheck green
+    val unknown = subset.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
     val selected =
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(subset.contains).toMap

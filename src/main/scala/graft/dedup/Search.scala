@@ -28,15 +28,22 @@ import graft.sources.Tables
   *     scale you'd serve from an inverted-index layout instead — the
   *     index-build is exactly the `search_vocab` shuffle keyed by
   *     (term, doc).
-  *   - The score is BM25 with the standard k1=1.2 / b=0.75 saturation
-  *     but a RATIONAL idf, `(N - df + 0.5) / (df + 0.5)` — the same
-  *     monotone document-frequency ordering as the usual
-  *     `ln(… + 1)` form without the transcendental: measured on this
-  *     box, JVM `Math.log` and DuckDB `ln` disagree by 1 ulp on 1 of
-  *     500 df values, which would make the score hash-unstable.
-  *     Rational idf keeps every arithmetic step an IEEE-exact double
-  *     op on integer-derived values, so the score column is
-  *     bit-identical in the oracle.
+  *   - The score is BM25-SHAPED: the standard k1=1.2 / b=0.75 tf
+  *     saturation and length normalization, but a RATIONAL idf,
+  *     `(N - df + 0.5) / (df + 0.5)`, i.e. the usual `ln(… + 1)` form
+  *     with the log dropped. Per TERM the df ordering is identical;
+  *     for MULTI-term queries the un-logged idf weights rare terms
+  *     more heavily than log-idf BM25, so rankings can differ where
+  *     log-BM25 would let saturated common-term tf outweigh one rare
+  *     hit, and absolute magnitudes are not BM25's — don't reuse
+  *     these scores in a fusion/thresholding step calibrated for
+  *     log-idf. The trade is deliberate: measured on this box, JVM
+  *     `Math.log` and DuckDB `ln` disagree by 1 ulp on 1 of 500 df
+  *     values, which would make the score hash-unstable; rational idf
+  *     keeps every arithmetic step an IEEE-exact double op on
+  *     integer-derived values, so the score column is bit-identical
+  *     in the oracle. Swap `idf` for the log form (one line) if
+  *     calibrated BM25 matters more than an exact oracle.
   */
 object Search {
 

@@ -123,7 +123,15 @@ object Graphs {
       },
       math.min)
     extracting(res, g, init) {
-      res.vertices.filter(_._2 != Int.MaxValue).toDF("node", "dist")
+      val reached = res.vertices.filter(_._2 != Int.MaxValue).toDF("node", "dist")
+      // Graph.fromEdges materializes only edge ENDPOINTS: a seed with
+      // no entity edge (literal-only node) never becomes a vertex, but
+      // the contract (and the DataFrame twin + the oracle) emits every
+      // seed at distance 0 — add the missing ones back
+      val isolated = seeds.select(col("node")).distinct()
+        .join(reached.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(0))
+      reached.unionAll(isolated)
     }
   }
 

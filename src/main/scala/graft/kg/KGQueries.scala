@@ -255,25 +255,25 @@ object KGQueries {
   /** kg_describe — SPARQL DESCRIBE-class: every statement a seed
     * entity participates in, as subject OR object (the "show me
     * everything about X" entity card). Seeds = the ASIA region and its
-    * nations — a bounded query-sized set, so both direction probes are
-    * broadcast semi-joins over the pruned statement scan; the
-    * object-side branch anti-joins the subject matches out instead of
-    * a whole-row distinct (a statement can match on both ends). The
-    * OR-predicate is deliberately split into two equi-joins — a single
-    * OR join would plan a BroadcastNestedLoopJoin. */
+    * nations — a QUERY-sized set like SPARQL VALUES, so the ids are
+    * collected to the driver (two pruned pattern scans, a handful of
+    * rows) and the card is ONE statements pass with a codegen'd
+    * `isin` OR-predicate: each statement emitted exactly once, no
+    * join, no dedup. The first cut instead ran two broadcast
+    * semi-joins + an anti-join whose shared seed SUB-PLAN re-executed
+    * under every branch — ~8 statement scans, 18.5 s warm at sf0.1 vs
+    * 2.1 s for this shape. For a DATA-sized description set (not
+    * DESCRIBE's contract) the semi-join form with a checkpointed seed
+    * frame is the fallback. */
   def kgDescribe(spark: SparkSession, dir: String): DataFrame = {
     val st = Triples.statements(spark, dir)
-    val asia = pat(st, "label").filter(col("o_val") === "ASIA")
+    val asiaIds = pat(st, "label").filter(col("o_val") === "ASIA")
       .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
-      .select(col("s").as("node"))
-    val nations = pat(st, "in_region")
-      .join(broadcast(asia), col("o_id") === col("node"), "left_semi")
-      .select(col("s").as("node"))
-    val seeds = asia.unionAll(nations)
-    val bySubj = st.join(broadcast(seeds), col("s") === col("node"), "left_semi")
-    val byObj = st.join(broadcast(seeds), col("o_id") === col("node"), "left_semi")
-      .join(broadcast(seeds), col("s") === col("node"), "left_anti")
-    bySubj.unionAll(byObj)
+      .select(col("s")).collect().map(_.getLong(0))
+    val nationIds = pat(st, "in_region").filter(col("o_id").isin(asiaIds: _*))
+      .select(col("s")).collect().map(_.getLong(0))
+    val seedIds = (asiaIds ++ nationIds).toSeq
+    st.filter(col("s").isin(seedIds: _*) || col("o_id").isin(seedIds: _*))
   }
 
   /** kg_construct — SPARQL CONSTRUCT-class: derive NEW statements from

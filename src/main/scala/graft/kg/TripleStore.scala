@@ -115,13 +115,7 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     // checkpoint removes 7 full-edge exchanges. At scale the same role
     // is played by a bucketed-by-`a` edge layout
     // ([[graft.util.Scale.writeBucketed]]).
-    val e = statements.filter(col("o_id").isNotNull)
-      .select(explode(array(
-        struct(col("s").as("a"), col("o_id").as("b")),
-        struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
-      .repartition(col("a"))
-      .localCheckpoint(eager = true)
+    val e = edges.repartition(col("a")).localCheckpoint(eager = true)
     var visited = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0)).localCheckpoint(eager = true)
     var frontier = visited.select("node")

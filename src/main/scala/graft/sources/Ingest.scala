@@ -55,18 +55,21 @@ object Ingest {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
-  /** ORC sink, same partition-layout knob as [[writeParquet]]. */
-  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  /** Shared columnar-sink plumbing: overwrite + the partition-by
+    * layout knob that makes downstream reads partition-prunable. */
+  private def writeColumnar(df: DataFrame, path: String, format: String,
+      partitionBy: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 
-  /** Parquet sink, optionally hash-partitioned by columns — the layout
-    * knob that makes downstream reads partition-prunable. */
-  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
-  }
+  /** ORC sink, same partition-layout knob as [[writeParquet]]. */
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
+    writeColumnar(df, path, "orc", partitionBy)
+
+  /** Parquet sink, optionally hash-partitioned by columns. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit =
+    writeColumnar(df, path, "parquet", partitionBy)
 
   /** CSV sink (quickstatements-style exports in the reference). */
   def writeCsv(df: DataFrame, path: String): Unit =
