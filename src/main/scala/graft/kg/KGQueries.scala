@@ -272,8 +272,7 @@ object KGQueries {
       .select(col("s")).collect().map(_.getLong(0))
     val nationIds = pat(st, "in_region").filter(col("o_id").isin(asiaIds: _*))
       .select(col("s")).collect().map(_.getLong(0))
-    val seedIds = (asiaIds ++ nationIds).toSeq
-    st.filter(col("s").isin(seedIds: _*) || col("o_id").isin(seedIds: _*))
+    TripleStore(spark, st).describe((asiaIds ++ nationIds).toSeq)
   }
 
   /** kg_construct — SPARQL CONSTRUCT-class: derive NEW statements from

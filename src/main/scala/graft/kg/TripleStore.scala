@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * store.labeled(store.pattern("in_nation"), "o_id")   // label service
   * store.khop(store.byLabel("ASIA"), k = 2)            // neighborhood
   * store.closure(Seq("in_nation", "in_region"))        // property path +
+  * store.describe(Seq(id1, id2))                       // DESCRIBE card
   * }}}
   */
 final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
@@ -48,6 +49,14 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
   /** Seed set: entity ids carrying an exact label. */
   def byLabel(label: String): DataFrame =
     pattern("label").filter(col("o_val") === label).select(col("s").as("node"))
+
+  /** SPARQL DESCRIBE: every statement the given entities participate
+    * in, as subject or object — one isin-predicated statements pass.
+    * `ids` is a QUERY-sized set (like [[values]]); for a data-sized
+    * description set use semi-joins against a checkpointed seed frame
+    * instead (see [[KGQueries.kgDescribe]] for the measured why). */
+  def describe(ids: Seq[Long]): DataFrame =
+    statements.filter(col("s").isin(ids: _*) || col("o_id").isin(ids: _*))
 
   /** Undirected entity edges from all o_id statements. */
   def edges: DataFrame =
