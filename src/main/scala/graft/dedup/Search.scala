@@ -66,14 +66,23 @@ object Search {
   def searchVocab(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+    // the census fans out into both the total and the top-k — without
+    // materialization each branch would re-run the corpus explode +
+    // groupBy (Catalyst does no cross-branch CSE; SURVEY §5 rule). The
+    // checkpoint is vocabulary-sized, freed once the ≤100-row result
+    // is materialized.
     val counts = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
+      .localCheckpoint(eager = true)
     val total = counts.agg(sum(col("n")).as("n_total"))
     val top = counts.orderBy(col("n").desc, col("term")).limit(100)
-    top.crossJoin(broadcast(total))
+    val out = top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("term"))))
       .withColumn("share", col("n").cast("double") / col("n_total").cast("double"))
       .select(col("term"), col("n"), col("df"), col("rank"), col("share"))
+      .localCheckpoint(eager = true)
+    graft.util.Checkpoints.free(counts)
+    out
   }
 
   /** search_bm25 — top-20 documents for the fixed query terms, scored

@@ -51,11 +51,10 @@ object Mapping {
       }
       raw
     }
+    // structure is inferred from content patterns, not indentation
     val lines = text.linesIterator.zipWithIndex.flatMap { case (raw, i) =>
-      val noComment = stripComment(raw)
-      val t = noComment.trim
-      if (t.isEmpty) None
-      else Some((t, i + 1, noComment.indexWhere(!_.isWhitespace)))
+      val t = stripComment(raw).trim
+      if (t.isEmpty) None else Some((t, i + 1))
     }.toList
 
     def fail(lineNo: Int, msg: String): Nothing =
@@ -108,7 +107,7 @@ object Mapping {
     var section: String = ""
     var inPo = false
     val items = scala.collection.mutable.ListBuffer[Item]()
-    lines.foreach { case (content, lineNo, _) =>
+    lines.foreach { case (content, lineNo) =>
       content match {
         case "namespaces:" => section = "namespaces"; inPo = false
         case "mappings:"   => section = "mappings"; inPo = false
@@ -129,7 +128,21 @@ object Mapping {
             val body = t.stripPrefix("{").stripSuffix("}")
             if (body.contains('{') || body.contains('}'))
               fail(lineNo, s"nested braces in po entry '$content'")
-            val m = kvMap(body.split(',').filter(_.trim.nonEmpty).toSeq.map(kv(_, lineNo)), lineNo)
+            // split on commas OUTSIDE quotes only — a quoted scalar may
+            // contain one (e.g. o: 'a, b'), and a naive split would
+            // fail with a wrong-reason error on legal syntax
+            val frags = scala.collection.mutable.ListBuffer[String]()
+            val cur = new StringBuilder
+            var quote: Char = 0
+            body.foreach { c =>
+              if (quote != 0) { if (c == quote) quote = 0; cur += c }
+              else if (c == '"' || c == '\'') { quote = c; cur += c }
+              else if (c == ',') { frags += cur.result(); cur.clear() }
+              else cur += c
+            }
+            if (quote != 0) fail(lineNo, s"unterminated quote in po entry '$content'")
+            frags += cur.result()
+            val m = kvMap(frags.toSeq.filter(_.trim.nonEmpty).map(kv(_, lineNo)), lineNo)
             items.last.po += ((m, lineNo))
           case "mappings" if content.startsWith("- ") =>
             // new mapping item, first key on the dash line: - table: x

@@ -81,7 +81,8 @@ object Triples {
     * mapping front-end (rules come from [[rules]] or from a parsed
     * [[Mapping]] config). Pure projection+union, no shuffle except the
     * DISTINCT branches. */
-  def mapped(spark: SparkSession, dir: String, mappingRules: Seq[Rule]): DataFrame =
+  def mapped(spark: SparkSession, dir: String, mappingRules: Seq[Rule]): DataFrame = {
+    require(mappingRules.nonEmpty, "mapping requires at least one rule")
     mappingRules.map { r =>
       val row = Tables.load(spark, dir, r.table).select(
         id(r.sNs, col(r.sKey)).as("s"),
@@ -97,6 +98,7 @@ object Triples {
         langOf(r).map(lit(_)).getOrElse(lit(null)).cast("string").as("lang"))
       if (r.distinct) row.distinct() else row
     }.reduce(_ unionAll _)
+  }
 
   /** The full statements DataFrame: `(s, p, o_id, o_val, lang)`. */
   def statements(spark: SparkSession, dir: String): DataFrame = {

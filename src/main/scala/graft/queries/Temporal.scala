@@ -62,6 +62,9 @@ object Temporal {
     * probe × build-rows-per-key pair explosion of join+argmax. */
   def asofJoin(probe: DataFrame, build: DataFrame,
       key: String, time: String, payload: Seq[String]): DataFrame = {
+    val collide = payload.filter(probe.columns.contains)
+    require(collide.isEmpty,
+      s"payload column(s) ${collide.mkString(", ")} collide with probe columns — rename before the call")
     val payStruct = struct(payload.map(col): _*)
     val payType = build.select(payStruct).schema.head.dataType
     val rowType = probe.select(struct(probe.columns.map(col): _*)).schema.head.dataType

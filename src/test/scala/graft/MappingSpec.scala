@@ -107,6 +107,32 @@ class MappingSpec extends SparkSpec {
       .contains("set twice"))
   }
 
+  test("a ',' inside a quoted scalar is content, not a field separator") {
+    val cfg =
+      """namespaces:
+        |  r: 1
+        |mappings:
+        |  - table: t
+        |    s: k
+        |    ns: r
+        |    po:
+        |      - {p: label, o: 'a, b'}
+        |""".stripMargin
+    val rules = Mapping.parse(cfg)
+    assert(rules.size == 1)
+    assert(rules.head.oCol == "a, b", s"quoted ',' split the scalar: ${rules.head.oCol}")
+    // and an unterminated quote fails loudly instead of misparsing
+    val bad = cfg.replace("'a, b'", "'a, b")
+    val msg = intercept[IllegalArgumentException](Mapping.parse(bad)).getMessage
+    assert(msg.contains("unterminated quote"))
+  }
+
+  test("empty rule sets fail loudly in the execution half too") {
+    val msg = intercept[IllegalArgumentException](
+      graft.kg.Triples.mapped(spark, sf, Seq.empty)).getMessage
+    assert(msg.contains("at least one rule"))
+  }
+
   test("a '#' inside a quoted scalar is content, not a comment") {
     val cfg =
       """namespaces:

@@ -100,6 +100,16 @@ class TemporalSpec extends SparkSpec {
     assert(result.passed, s"property failed: ${result.status}")
   }
 
+  test("asofJoin rejects payload names colliding with probe columns") {
+    val sess = spark
+    import sess.implicits._
+    val b = Seq((1L, 1L, 9L)).toDF("k", "t", "pid") // 'pid' collides
+    val p = Seq((1L, 2L, 7L)).toDF("k", "t", "pid")
+    val msg = intercept[IllegalArgumentException](
+      Temporal.asofJoin(p, b, key = "k", time = "t", payload = Seq("pid"))).getMessage
+    assert(msg.contains("collide"))
+  }
+
   test("bandedRangeJoin equals the naive definition on random data (incl. negative times)") {
     import org.scalacheck.{Gen, Prop, Test => SCTest}
     val sess = spark
