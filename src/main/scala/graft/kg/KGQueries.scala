@@ -275,6 +275,28 @@ object KGQueries {
     TripleStore(spark, st).describe((asiaIds ++ nationIds).toSeq)
   }
 
+  /** kg_ask — SPARQL ASK: does the pattern match at all? (BUILDING
+    * customers located in ASIA — kg_bgp_join's pattern as a boolean.)
+    * Spark shape: the BGP plan capped by a global aggregate; the
+    * count is emitted beside the boolean so the oracle checks more
+    * than a constant. At scale ASK short-circuits further: wrap the
+    * pattern in `.limit(1)` when only existence matters — the full
+    * count is kept here to keep the oracle informative. */
+  def kgAsk(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val asiaRegion = pat(st, "label").filter(col("o_val") === "ASIA")
+      .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
+      .select(col("s").as("r"))
+    val nInR = pat(st, "in_region").select(col("s").as("n"), col("o_id").as("r"))
+    val cInN = pat(st, "in_nation").select(col("s").as("c"), col("o_id").as("n"))
+      .filter(col("c") >= lit(Triples.CUSTOMER * NS) && col("c") < lit((Triples.CUSTOMER + 1) * NS))
+    val cSeg = pat(st, "mktsegment").filter(col("o_val") === "BUILDING").select(col("s").as("c"))
+    cInN.join(broadcast(nInR.join(broadcast(asiaRegion), "r")), "n")
+      .join(cSeg, "c")
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("n_matches"), (col("n_matches") > 0).as("ask"))
+  }
+
   /** kg_construct — SPARQL CONSTRUCT-class: derive NEW statements from
     * a graph pattern and emit them in statement shape (s, p, o_id) —
     * here the inferred `in_region` edge for every customer and
@@ -501,7 +523,8 @@ object KGQueries {
     "kg_group_concat"  -> (kgGroupConcat _),
     "kg_triangles"     -> (kgTriangles _),
     "kg_describe"      -> (kgDescribe _),
-    "kg_construct"     -> (kgConstruct _))
+    "kg_construct"     -> (kgConstruct _),
+    "kg_ask"           -> (kgAsk _))
 
   private val R0 = Triples.REGION * NS; private val R1 = (Triples.REGION + 1) * NS
   private val C0 = Triples.CUSTOMER * NS; private val C1 = (Triples.CUSTOMER + 1) * NS
@@ -582,6 +605,13 @@ object KGQueries {
          |SELECT pb.s AS order_id, pb.o_id AS customer_id, l.o_val AS customer_label
          |FROM (SELECT s, o_id FROM triples WHERE p='placed_by') pb
          |JOIN (SELECT s, o_val FROM triples WHERE p='label') l ON l.s = pb.o_id""".stripMargin,
+    "kg_ask" ->
+      s"""$T
+         |SELECT count(*) AS n_matches, count(*) > 0 AS ask
+         |FROM (SELECT s FROM triples WHERE p='label' AND o_val='ASIA' AND s BETWEEN $R0 AND ${R1 - 1}) r
+         |JOIN (SELECT s, o_id FROM triples WHERE p='in_region') nr ON nr.o_id = r.s
+         |JOIN (SELECT s, o_id FROM triples WHERE p='in_nation' AND s BETWEEN $C0 AND ${C1 - 1}) c ON c.o_id = nr.s
+         |JOIN (SELECT s FROM triples WHERE p='mktsegment' AND o_val='BUILDING') seg ON seg.s = c.s""".stripMargin,
     "kg_construct" ->
       s"""$T
          |SELECT cn.s, 'in_region' AS p, nr.o_id

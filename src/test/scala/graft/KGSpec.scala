@@ -90,6 +90,18 @@ class KGSpec extends SparkSpec {
     assert(gotSet == expected.toSet)
   }
 
+  test("ask: boolean matches the pattern count recomputed from the base tables") {
+    val row = KGQueries.kgAsk(spark, sf).collect().head
+    val expected = spark.sql(
+      s"""SELECT count(*) FROM parquet.`$sf/customer.parquet` c
+         |JOIN parquet.`$sf/nation.parquet` n ON c.c_nationkey = n.n_nationkey
+         |JOIN parquet.`$sf/region.parquet` r ON n.n_regionkey = r.r_regionkey
+         |WHERE r.r_name = 'ASIA' AND c.c_mktsegment = 'BUILDING'""".stripMargin)
+      .first().getLong(0)
+    assert(row.getAs[Long]("n_matches") == expected)
+    assert(row.getAs[Boolean]("ask") == (expected > 0))
+  }
+
   test("construct: one inferred in_region edge per located entity, composable into the store") {
     val out = KGQueries.kgConstruct(spark, sf)
     val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
