@@ -1,0 +1,30 @@
+package graft
+
+class PlanHygieneSpec extends SparkSpec {
+
+  // Queries whose nested-loop join is INTENDED and bounded: either an
+  // exact all-pairs baseline (documented — the scale path is the
+  // bucketed/LSH variant) or a broadcast of a query-/1-row-sized frame
+  // under a non-equi condition. Everything else must plan equi-joins.
+  private val boundedNestedLoop: Map[String, String] = Map(
+    "dedup_embedding"     -> "exact all-pairs baseline (scale path: sim_ann_lsh)",
+    "sim_topk_bruteforce" -> "query-set × table exact baseline (broadcast queries)",
+    "sim_topk_int8"       -> "query-set × table quantized scan (broadcast queries)",
+    "sim_rerank"          -> "stage 1 is the bounded quantized scan",
+    "sim_ann_ivf"         -> "query-batch × k centroids (bounded)",
+    "search_bm25"         -> "1-row corpus-stats broadcast",
+    "search_vocab"        -> "1-row total broadcast")
+
+  test("no query plans a cartesian product; nested-loop joins only where bounded by design") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct"))
+        offenders += s"$name: CartesianProduct"
+      if (plan.contains("BroadcastNestedLoopJoin") && !boundedNestedLoop.contains(name))
+        offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+    }
+    assert(offenders.isEmpty,
+      s"plan hygiene violations:\n  ${offenders.mkString("\n  ")}")
+  }
+}
