@@ -145,18 +145,29 @@ object Dedup {
     * near-dup detection: candidates ∝ band collisions. Band keys are
     * md5 strings of the band's signature words, so the DuckDB oracle
     * replays the whole pipeline exactly ([O], was [R] in round 2). */
-  /** MinHash band-collision pairs from a `(doc_id, s)` shingle frame —
-    * shared by [[dedupMinhashLsh]] (lazy shingles) and
-    * [[dedupClusters]] (checkpointed shingles reused across stages). */
-  private def minhashPairs(sh0: DataFrame): DataFrame = {
+  /** MinHash LSH band keys from a `(doc_id, s)` shingle frame:
+    * (doc_id, band, key) — the SIGNATURE STORE relation. In a batch
+    * dedup both join sides come from the same corpus; in the
+    * incremental shape ([[dedupIncremental]]) the historical side of
+    * this relation is what a production pipeline persists (bucketed
+    * by (band, key)) so each new ingest joins against the store
+    * without touching historical text. */
+  private def bandKeys(sh0: DataFrame): DataFrame = {
     val sh = sh0.select(col("doc_id"), hi32(col("s")).as("h1"), lo32(col("s")).as("h2"))
     val sigCols = (0 until 64).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
     val bands = (0 until 32).map(j =>
       struct(lit(j).as("band"),
         md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}"))).as("key")))
-    val exploded = sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash band-collision pairs from a `(doc_id, s)` shingle frame —
+    * shared by [[dedupMinhashLsh]] (lazy shingles) and
+    * [[dedupClusters]] (checkpointed shingles reused across stages). */
+  private def minhashPairs(sh0: DataFrame): DataFrame = {
+    val exploded = bandKeys(sh0)
     exploded.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(exploded.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .filter(col("a") < col("b"))
@@ -255,6 +266,59 @@ object Dedup {
     val out = graft.kg.Components.connectedComponents(verified, docs)
       .select(col("id").as("doc_id"), col("comp").as("canonical_id"),
         (col("id") === col("comp")).as("is_keeper"))
+    graft.util.Checkpoints.free(sh)
+    out
+  }
+
+  /** dedup_incremental — dedup a NEW ingest batch (doc_id % 5 = 0, the
+    * arriving 20%) against the HISTORICAL corpus (the rest) without
+    * re-clustering the world: exact via an md5 anti-probe of the
+    * historical hash set, near-dup via the LSH SIGNATURE STORE — the
+    * batch's band keys equi-join the historical band keys
+    * ([[bandKeys]]), and only the colliding candidates are verified
+    * with exact shingle Jaccard ≥ 0.8. One row per batch doc with its
+    * earliest exact/near historical duplicate (min doc_id) and an
+    * `is_new` verdict.
+    *
+    * This is the 100 TB shape for continuous ingest: historical cost
+    * enters ONLY through the persisted signature/hash stores (band
+    * keys bucketed by (band, key), hashes by h) — historical TEXT is
+    * re-read only for the verified candidates' shingle sets, never
+    * rescanned wholesale per batch. Here both sides derive from one
+    * table, so the shingle scan is checkpointed once and feeds the
+    * batch keys, the store keys, the size table, and both verify
+    * sides. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
+    val isBatch = col("doc_id") % 5 === 0
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = docs.filter(isBatch)
+      .join(docs.filter(!isBatch).select(col("h"), col("doc_id").as("hd")), Seq("h"))
+      .groupBy(col("doc_id")).agg(min(col("hd")).as("exact_dup_of"))
+    val sh = shingles(spark, dir).localCheckpoint(eager = true)
+    val keys = bandKeys(sh)
+    val cand = keys.filter(isBatch)
+      .select(col("band"), col("key"), col("doc_id").as("b"))
+      .join(keys.filter(!isBatch).select(col("band"), col("key"), col("doc_id").as("hd")),
+        Seq("band", "key"))
+      .select(col("b"), col("hd")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("b"), col("s")), Seq("b"))
+      .join(sh.select(col("doc_id").as("hd"), col("s")), Seq("hd", "s"))
+      .groupBy(col("b"), col("hd")).agg(count(lit(1)).as("c"))
+    val near = common
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .join(sizes.select(col("doc_id").as("hd"), col("n").as("nh")), Seq("hd"))
+      .filter(col("c").cast("double") /
+        (col("nb") + col("nh") - col("c")).cast("double") >= 0.8)
+      .groupBy(col("b")).agg(min(col("hd")).as("near_dup_of"))
+      .withColumnRenamed("b", "doc_id")
+    val out = docs.filter(isBatch).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left_outer")
+      .join(near, Seq("doc_id"), "left_outer")
+      .withColumn("is_new", col("exact_dup_of").isNull && col("near_dup_of").isNull)
+      .localCheckpoint(eager = true) // one row per batch doc — small
     graft.util.Checkpoints.free(sh)
     out
   }
@@ -475,6 +539,7 @@ object Dedup {
     "dedup_minhash_lsh"   -> (dedupMinhashLsh _),
     "dedup_simhash"       -> (dedupSimhash _),
     "dedup_clusters"      -> (dedupClusters _),
+    "dedup_incremental"   -> (dedupIncremental _),
     "dedup_embedding"     -> (dedupEmbedding _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh"         -> (simAnnLsh _),
@@ -527,6 +592,36 @@ object Dedup {
          |SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared_bands
          |FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |GROUP BY 1, 2""".stripMargin,
+    "dedup_incremental" ->
+      s"""WITH $minhashCtes,
+         |cand AS (
+         |  SELECT DISTINCT b.doc_id AS b, a.doc_id AS hd
+         |  FROM bands b JOIN bands a ON b.band = a.band AND b.key = a.key
+         |  WHERE b.doc_id % 5 = 0 AND a.doc_id % 5 <> 0),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |common AS (
+         |  SELECT cand.b, cand.hd, count(*) AS c
+         |  FROM cand
+         |  JOIN sh sb ON sb.doc_id = cand.b
+         |  JOIN sh sa ON sa.doc_id = cand.hd AND sa.s = sb.s
+         |  GROUP BY 1, 2),
+         |near AS (
+         |  SELECT common.b AS doc_id, min(hd) AS near_dup_of
+         |  FROM common
+         |  JOIN sizes zb ON zb.doc_id = common.b
+         |  JOIN sizes zh ON zh.doc_id = common.hd
+         |  WHERE CAST(c AS DOUBLE) / CAST(zb.n + zh.n - c AS DOUBLE) >= 0.8
+         |  GROUP BY 1),
+         |d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |ex AS (
+         |  SELECT b.doc_id, min(a.doc_id) AS exact_dup_of
+         |  FROM d b JOIN d a ON b.h = a.h AND a.doc_id % 5 <> 0
+         |  WHERE b.doc_id % 5 = 0 GROUP BY 1)
+         |SELECT batch.doc_id, ex.exact_dup_of, near.near_dup_of,
+         |  (ex.exact_dup_of IS NULL AND near.near_dup_of IS NULL) AS is_new
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) batch
+         |LEFT JOIN ex USING (doc_id)
+         |LEFT JOIN near USING (doc_id)""".stripMargin,
     "dedup_clusters" ->
       s"""WITH $minhashCtes,
          |cand AS (

@@ -53,6 +53,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_incremental: exact matches are complete, near matches are sound") {
+    val rows = Dedup.dedupIncremental(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hist = docs.filter { case (id, _) => id % 5 != 0 }
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == docs.keySet.filter(_ % 5 == 0))
+    def trigrams(t: String): Set[String] =
+      t.split(" ", -1).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // exact completeness: min same-text historical doc, or null
+      val exactExpected = hist.collect { case (h, t) if t == docs(id) => h } match {
+        case ids if ids.isEmpty => null
+        case ids                => ids.min
+      }
+      assert(r.getAs[Any]("exact_dup_of") == exactExpected, s"doc $id exact")
+      // near soundness: a reported near-dup really has jaccard >= 0.8
+      Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]).foreach { h =>
+        val (a, b) = (trigrams(docs(id)), trigrams(docs(h)))
+        val j = (a & b).size.toDouble / (a | b).size.toDouble
+        assert(j >= 0.8, s"doc $id near_dup_of $h has jaccard $j < 0.8")
+      }
+      assert(r.getAs[Boolean]("is_new") ==
+        (r.isNullAt(r.fieldIndex("exact_dup_of")) && r.isNullAt(r.fieldIndex("near_dup_of"))))
+    }
+    // the planted duplicates make the batch non-trivially dirty
+    assert(rows.exists(!_.getAs[Boolean]("is_new")))
+  }
+
   test("minhash-lsh candidates cover high-jaccard pairs") {
     val exact = Dedup.dedupNgramJaccard(spark, sf)
       .filter(col("jaccard") >= 0.8)
