@@ -149,10 +149,12 @@ object Dedup {
     * (doc_id, band, key) — the SIGNATURE STORE relation. In a batch
     * dedup both join sides come from the same corpus; in the
     * incremental shape ([[dedupIncremental]]) the historical side of
-    * this relation is what a production pipeline persists (bucketed
-    * by (band, key)) so each new ingest joins against the store
-    * without touching historical text. */
-  private def bandKeys(sh0: DataFrame): DataFrame = {
+    * this relation is what a production pipeline persists — bucketed
+    * on `key` (the band index is embedded in the key's md5 preimage,
+    * so `key` alone is the join contract) — and each new ingest joins
+    * the store with no store-side exchange (plan-asserted in
+    * ScaleSpec) and without touching historical text. */
+  private[graft] def bandKeys(sh0: DataFrame): DataFrame = {
     val sh = sh0.select(col("doc_id"), hi32(col("s")).as("h1"), lo32(col("s")).as("h2"))
     val sigCols = (0 until 64).map(i => min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
     val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)

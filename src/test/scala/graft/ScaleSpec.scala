@@ -56,6 +56,37 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == graft.kg.KGQueries.kgLabelJoin(spark, sf).count())
   }
 
+  test("bucketed signature store serves incremental dedup with no store-side exchange") {
+    // the production story behind dedup_incremental: the historical
+    // LSH band keys are PERSISTED bucketed on the band key, so each
+    // new ingest batch's probe shuffles only the (batch-sized) probe
+    // side — the corpus-sized store never moves. The store's join
+    // contract is `key` alone (the band index is embedded in the
+    // key's md5 preimage, so equal keys imply equal bands); Spark's
+    // co-partitioning requires the join keys to match the bucket
+    // spec exactly.
+    import graft.dedup.Dedup
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(t)-2, 0)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
+        .as("s")).distinct()
+    val keys = Dedup.bandKeys(sh)
+    Scale.writeBucketed(keys.filter(col("doc_id") % 5 =!= 0), "b_sigstore", "key", 8)
+    val probe = keys.filter(col("doc_id") % 5 === 0)
+      .select(col("key"), col("doc_id").as("b"))
+    val cand = spark.table("b_sigstore").hint("merge").join(probe, Seq("key"))
+    val plan = cand.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"store scan must use its buckets:\n$plan")
+    // the only exchanges are the probe's own: its signature groupBy
+    // and its co-partitioning to the store's buckets — the store side
+    // reads straight into the join
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 2, s"store side must not shuffle (probe pays 2), got $exchanges:\n$plan")
+    assert(cand.count() > 0)
+  }
+
   test("salted join is result-identical to the plain join") {
     val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val n = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
