@@ -19,13 +19,17 @@ import graft.sources.Tables
   * - corpus_sample is a pure per-row filter (codegen'd md5 + integer
   *   compare against a bounded per-language threshold map): streams at
   *   scan speed, no shuffle at all.
-  * - corpus_pack cumsums WITHIN language partitions
-  *   (`Window.partitionBy(lang)`) — the global-cumsum version would
-  *   serialize on one task, the per-stratum version shuffles once and
-  *   packs each language in parallel, which is also the real layout
-  *   (shards are per-source/language so mixing weights apply at the
-  *   shard level). A stratum too large for one task gets a composite
-  *   key (lang, doc_id div N) — same two-level prefix-sum shape.
+  * - corpus_pack needs a running token sum in (lang, doc_id) order.
+  *   Language cardinality is a handful, so `Window.partitionBy(lang)`
+  *   alone would sort and scan each language's ENTIRE census in ONE
+  *   task — the low-cardinality-key serializer trap (SURVEY §5). The
+  *   implementation is the classic two-level distributed prefix sum:
+  *   docs are windowed within (lang, doc_id div B) buckets — full
+  *   parallelism, B docs per task — and only the per-bucket TOTALS
+  *   (n/B rows) run through the per-language cumsum before being
+  *   joined back as bucket offsets. Identical result to the
+  *   single-window form (spec-asserted), no data-sized single-task
+  *   sort anywhere; deeper nesting of the same shape covers any n.
   */
 object Corpus {
   import Md5Bits._
@@ -76,15 +80,38 @@ object Corpus {
     * doc lands in the shard where its token window STARTS
     * (shard = prefix-tokens-before-it div budget). Shards overflow by
     * at most one document — the standard greedy packing contract —
-    * and placement is a pure function of the ordered token census. */
+    * and placement is a pure function of the ordered token census.
+    *
+    * Prefix-sum shape (the 100 TB fix for the per-language window
+    * serializer): level 1 cumsums within (lang, doc_id div B) buckets
+    * — every task touches ≤ B docs regardless of language skew;
+    * level 2 cumsums the per-bucket totals (n/B rows — census-sized)
+    * per language and joins the EXCLUSIVE bucket offset back on
+    * (lang, bucket). cum = bucket offset + within-bucket cumsum, exact
+    * long arithmetic, identical to the single-window form. The offset
+    * frame grows as n/B so it carries no broadcast hint (AQE
+    * broadcasts while it fits); B dials task size, and a third level
+    * of the same shape covers any census the level-2 window can't
+    * sort in one task. */
   def corpusPack(spark: SparkSession, dir: String): DataFrame = {
     val budget = 2000L
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val bucketDocs = 1000L // B: level-1 task size in docs
+    val wIn = Window.partitionBy(col("lang"), col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(spark, dir)
+    val wOff = Window.partitionBy(col("lang")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bkt", expr(s"doc_id div ${bucketDocs}L"))
+    val offsets = base.groupBy(col("lang"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("tot"))
+      .withColumn("off", sum(col("tot")).over(wOff) - col("tot"))
+      .select(col("lang"), col("bkt"), col("off"))
+    base
+      .withColumn("cum_in", sum(col("n_tokens")).over(wIn))
+      .join(offsets, Seq("lang", "bkt"))
+      .withColumn("cum", col("off") + col("cum_in"))
       .withColumn("shard_idx", expr(s"(cum - n_tokens) div ${budget}L"))
       .select(col("doc_id"), col("lang"), col("n_tokens"), col("shard_idx"),
         concat_ws("-", col("lang"), col("shard_idx")).as("shard"))

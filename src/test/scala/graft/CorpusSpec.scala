@@ -101,6 +101,19 @@ class CorpusSpec extends SparkSpec {
     assert(kept > 0 && kept < got.size)
   }
 
+  test("corpus_pack's doc-level window is bucketed — no data-sized per-language task") {
+    // the low-cardinality-serializer guard (SURVEY §5): the window that
+    // orders DOCS (by doc_id) must partition on (lang, bkt) so no task
+    // sorts a whole language; the only lang-alone window orders the
+    // per-bucket census (by bkt), which is n/B rows
+    val plan = Corpus.corpusPack(spark, sf).queryExecution.executedPlan.toString
+    val winLines = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(winLines.size >= 2, s"expected the two-level prefix sum, got:\n$plan")
+    winLines.filter(_.contains("doc_id")).foreach { l =>
+      assert(l.contains("bkt"), s"doc-level window not bucketed:\n$l")
+    }
+  }
+
   test("corpus_pack shards overflow by at most one document") {
     val budget = 2000L
     val byShard = Corpus.corpusPack(spark, sf).collect()
