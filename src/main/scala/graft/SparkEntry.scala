@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++
       graft.kg.KGQueries.queries ++
+      graft.kg.Wikibase.queries ++
       graft.er.ER.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Embed.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Temporal.oracles ++
       graft.kg.KGQueries.oracles ++
+      graft.kg.Wikibase.oracles ++
       graft.er.ER.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Embed.oracles ++

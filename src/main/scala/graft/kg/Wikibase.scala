@@ -1,0 +1,339 @@
+package graft.kg
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import Triples.{sqlCte => T}
+
+/** The Wikibase STATEMENT layer (SURVEY §2.A extension): statements as
+  * first-class entities with ranks and qualifiers — the reference's
+  * actual data model. Its queries don't just read `(s, p, o)` edges:
+  * they select the best-ranked statement per property
+  * (`a wikibase:BestRank`, time-items.rq:63), read qualifier values
+  * hanging off a statement node (`?stmt fgpsv:P38 [ wikibase:timePrecision
+  * ?prec ]`, time-items.rq:64–66), compare typed temporal literals at a
+  * stated precision (time-items.rq:66 `CONCAT(STR(?v), "/", STR(?prec))`),
+  * and introspect property metadata (`wikibase:propertyType`, the
+  * corresponding-Wikidata-property P343 —
+  * get_all_properties_with_corresponding_prop.rq:12–14).
+  *
+  * Relational shape: statements get a synthesized long `sid`
+  * (statement id = `s*10 + variant`, still a fixed-width integer key),
+  * ranks live as a column on the statement, and qualifiers are a
+  * separate `(sid, qp, q_oid, q_oval)` relation keyed by `sid` —
+  * exactly how Wikibase's RDF dump reifies statements, minus the IRIs.
+  *
+  * Scale notes (100 TB): the qualifier relation joins its statement on
+  * a long key and GROWS with the graph — no broadcast hint anywhere
+  * here (AQE handles test SF; the production layout co-buckets
+  * statements and qualifiers on sid, the same serving answer as the
+  * label store). BestRank is one window over (s, p) — partition count
+  * follows the statement shuffle, per-group state is one property's
+  * statements. The property dimension IS bounded (a dictionary), so
+  * the census join broadcasts it.
+  *
+  * Test-data synthesis (deterministic, key-derived — no RNG): customer
+  * market segments play the multi-valued ranked property. Every
+  * customer carries its current segment at `normal` rank; every 4th a
+  * `deprecated` LEGACY value (superseded history); every 6th a
+  * `preferred` UPGRADED value (the curated override). Qualifiers
+  * attach a `since` date (key-derived `make_date`), a `stated_in`
+  * entity ref (the customer's nation), and an `until` date on the
+  * deprecated rows. Order dates play the typed temporal literals, with
+  * a Wikibase-style precision code (9=year, 10=month, 11=day).
+  */
+object Wikibase {
+
+  private val rankOrd: Column =
+    when(col("stmt_rank") === "preferred", 2)
+      .when(col("stmt_rank") === "normal", 1)
+      .otherwise(0)
+  private val rankOrdSql =
+    "CASE stmt_rank WHEN 'preferred' THEN 2 WHEN 'normal' THEN 1 ELSE 0 END"
+
+  private def cid = Triples.id(Triples.CUSTOMER, col("c_custkey"))
+  private val cidSql = Triples.idSql(Triples.CUSTOMER, "c_custkey")
+
+  /** Ranked statement layer `(sid, s, p, o_val, stmt_rank)`. */
+  def qualifiedStatements(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val v0 = c.select((cid * 10).as("sid"), cid.as("s"), lit("mktsegment").as("p"),
+      col("c_mktsegment").as("o_val"), lit("normal").as("stmt_rank"))
+    val v1 = c.filter(col("c_custkey") % 4 === 0)
+      .select((cid * 10 + 1).as("sid"), cid.as("s"), lit("mktsegment").as("p"),
+        lit("LEGACY").as("o_val"), lit("deprecated").as("stmt_rank"))
+    val v2 = c.filter(col("c_custkey") % 6 === 0)
+      .select((cid * 10 + 2).as("sid"), cid.as("s"), lit("mktsegment").as("p"),
+        lit("UPGRADED").as("o_val"), lit("preferred").as("stmt_rank"))
+    v0.unionAll(v1).unionAll(v2)
+  }
+
+  private val qstmtSql =
+    s"""qstmt AS (
+       |  SELECT $cidSql*10 AS sid, $cidSql AS s, 'mktsegment' AS p,
+       |    c_mktsegment AS o_val, 'normal' AS stmt_rank FROM customer
+       |  UNION ALL
+       |  SELECT $cidSql*10 + 1, $cidSql, 'mktsegment', 'LEGACY', 'deprecated'
+       |  FROM customer WHERE c_custkey % 4 = 0
+       |  UNION ALL
+       |  SELECT $cidSql*10 + 2, $cidSql, 'mktsegment', 'UPGRADED', 'preferred'
+       |  FROM customer WHERE c_custkey % 6 = 0)""".stripMargin
+
+  /** Qualifier relation `(sid, qp, q_oid, q_oval)`: `since` +
+    * `stated_in` (entity-valued) on the current statement, `until` on
+    * the deprecated one. Dates are key-derived `make_date` — exact
+    * integer arithmetic, identical in DuckDB. */
+  def qualifiers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val since = c.select((cid * 10).as("sid"), lit("since").as("qp"),
+      lit(null).cast("long").as("q_oid"),
+      make_date(lit(1992) + col("c_custkey") % 7, lit(1) + col("c_custkey") % 12,
+        lit(1) + col("c_custkey") % 28).cast("string").as("q_oval"))
+    val statedIn = c.select((cid * 10).as("sid"), lit("stated_in").as("qp"),
+      Triples.id(Triples.NATION, col("c_nationkey")).as("q_oid"),
+      lit(null).cast("string").as("q_oval"))
+    val until = c.filter(col("c_custkey") % 4 === 0)
+      .select((cid * 10 + 1).as("sid"), lit("until").as("qp"),
+        lit(null).cast("long").as("q_oid"),
+        make_date(lit(1990) + col("c_custkey") % 5, lit(1) + col("c_custkey") % 6,
+          lit(15)).cast("string").as("q_oval"))
+    since.unionAll(statedIn).unionAll(until)
+  }
+
+  private val qualsSql =
+    s"""quals AS (
+       |  SELECT $cidSql*10 AS sid, 'since' AS qp, CAST(NULL AS BIGINT) AS q_oid,
+       |    CAST(make_date(CAST(1992 + c_custkey % 7 AS INTEGER),
+       |      CAST(1 + c_custkey % 12 AS INTEGER), CAST(1 + c_custkey % 28 AS INTEGER)) AS VARCHAR) AS q_oval
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT $cidSql*10, 'stated_in', ${Triples.idSql(Triples.NATION, "c_nationkey")},
+       |    CAST(NULL AS VARCHAR)
+       |  FROM customer
+       |  UNION ALL
+       |  SELECT $cidSql*10 + 1, 'until', CAST(NULL AS BIGINT),
+       |    CAST(make_date(CAST(1990 + c_custkey % 5 AS INTEGER),
+       |      CAST(1 + c_custkey % 6 AS INTEGER), 15) AS VARCHAR)
+       |  FROM customer WHERE c_custkey % 4 = 0)""".stripMargin
+
+  /** kg_best_rank — `a wikibase:BestRank` (time-items.rq:63): per
+    * (s, p), the preferred statements if any exist, else the normal
+    * ones; deprecated statements are NEVER best, even when nothing
+    * else remains. One window max over (s, p) — the standard argmax. */
+  def kgBestRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s"), col("p"))
+    qualifiedStatements(spark, dir)
+      .withColumn("best_ord", max(rankOrd).over(w))
+      .filter(rankOrd === col("best_ord") && col("stmt_rank") =!= "deprecated")
+      .select(col("sid"), col("s"), col("p"), col("o_val"), col("stmt_rank"))
+  }
+
+  /** kg_qualifier_join — read qualifier values off the best-ranked
+    * statement (the time-items.rq:64–66 access path): each best
+    * statement with its optional `since` date and the LABEL of its
+    * optional `stated_in` entity ref (qualifier → entity → label
+    * service, all left joins = SPARQL OPTIONAL). */
+  def kgQualifierJoin(spark: SparkSession, dir: String): DataFrame = {
+    val best = kgBestRank(spark, dir)
+    val q = qualifiers(spark, dir)
+    val since = q.filter(col("qp") === "since").select(col("sid"), col("q_oval").as("since"))
+    val loc = q.filter(col("qp") === "stated_in").select(col("sid"), col("q_oid"))
+    val labels = Triples.statements(spark, dir)
+      .filter(col("p") === "label" && col("lang") === "en")
+      .select(col("s").as("lid"), col("o_val").as("stated_in_label"))
+    best.join(since, Seq("sid"), "left_outer")
+      .join(loc, Seq("sid"), "left_outer")
+      .join(labels, col("q_oid") === col("lid"), "left_outer")
+      .select(col("sid"), col("s"), col("o_val"), col("stmt_rank"),
+        col("since"), col("stated_in_label"))
+  }
+
+  // ---- typed temporal literals (kg_time_diff) -------------------------
+
+  /** Graph A's date statements: order dates with a Wikibase precision
+    * code (9=year, 10=month, 11=day), key-derived. */
+  private def datesA(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      Triples.id(Triples.ORDER, col("o_orderkey")).as("s"),
+      col("o_orderdate").cast("date").as("d"),
+      (lit(9) + col("o_orderkey") % 3).cast("int").as("prec"))
+
+  /** Graph B: the stale remote copy — every 7th statement missing,
+    * every 5th date shifted +40 days, every 11th +3 days, and an
+    * independently key-derived precision (the two graphs disagree on
+    * how precisely they state the same fact). */
+  private def datesB(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 7 =!= 0)
+      .select(
+        Triples.id(Triples.ORDER, col("o_orderkey")).as("s"),
+        when(col("o_orderkey") % 5 === 0, date_add(col("o_orderdate").cast("date"), 40))
+          .when(col("o_orderkey") % 11 === 0, date_add(col("o_orderdate").cast("date"), 3))
+          .otherwise(col("o_orderdate").cast("date")).as("d"),
+        expr("CAST(9 + (o_orderkey div 3) % 3 AS INT)").as("prec"))
+
+  private val datesASql =
+    s"""a AS (SELECT ${Triples.idSql(Triples.ORDER, "o_orderkey")} AS s,
+       |  o_orderdate::DATE AS d, CAST(9 + o_orderkey % 3 AS INTEGER) AS prec FROM orders)""".stripMargin
+
+  private val datesBSql =
+    s"""b AS (SELECT ${Triples.idSql(Triples.ORDER, "o_orderkey")} AS s,
+       |  CASE WHEN o_orderkey % 5 = 0 THEN o_orderdate::DATE + 40
+       |       WHEN o_orderkey % 11 = 0 THEN o_orderdate::DATE + 3
+       |       ELSE o_orderdate::DATE END AS d,
+       |  CAST(9 + (o_orderkey // 3) % 3 AS INTEGER) AS prec
+       |FROM orders WHERE o_orderkey % 7 <> 0)""".stripMargin
+
+  /** kg_time_diff — compare two graphs' typed temporal literals at the
+    * COARSER of the two stated precisions (time-items.rq:66: both
+    * sides are rendered `value "/" precision` and judged same/not):
+    * year-precision compares the year, month-precision year+month,
+    * day-precision the full date. B-side-missing rows keep a NULL
+    * verdict (the reference's OPTIONAL wd side). Composable with
+    * kg_graph_diff: this is the typed-literal refinement of its
+    * match/conflict classification. Scale: one equi-join on the
+    * statement subject; the per-row precision math is codegen'd. */
+  def kgTimeDiff(spark: SparkSession, dir: String): DataFrame = {
+    val a = datesA(spark, dir)
+    val b = datesB(spark, dir)
+      .withColumnRenamed("d", "bd").withColumnRenamed("prec", "bprec")
+    a.join(b, Seq("s"), "left_outer")
+      .withColumn("cmp_prec", least(col("prec"), col("bprec")))
+      .select(col("s"),
+        concat(col("d").cast("string"), lit("/"), col("prec")).as("a_val"),
+        concat(col("bd").cast("string"), lit("/"), col("bprec")).as("b_val"),
+        col("cmp_prec"),
+        when(col("bd").isNull, lit(null).cast("boolean"))
+          .when(col("cmp_prec") === 9, year(col("d")) === year(col("bd")))
+          .when(col("cmp_prec") === 10,
+            year(col("d")) === year(col("bd")) && month(col("d")) === month(col("bd")))
+          .otherwise(col("d") === col("bd")).as("is_same"))
+  }
+
+  // ---- property metadata (kg_prop_meta) -------------------------------
+
+  /** The property dimension, derived from the ONE mapping-rule source
+    * ([[Triples.rules]]) so dim and statement builder cannot drift:
+    * property type (entity-valued → wikibase-item, literal → string —
+    * `wikibase:propertyType`), a stable corresponding-external-property
+    * id (the P343 analogue: WD_P100, WD_P101, … in property name
+    * order), and the source tables the property appears on. */
+  val propMeta: Seq[(String, String, String, String)] = {
+    val byP = Triples.rules.groupBy(_.p).toSeq.sortBy(_._1)
+    byP.zipWithIndex.map { case ((p, rs), i) =>
+      val ptype = if (rs.head.oNs.isDefined) "wikibase-item" else "string"
+      (p, ptype, s"WD_P${100 + i}", rs.map(_.table).distinct.sorted.mkString(","))
+    }
+  }
+
+  /** kg_prop_meta — property introspection
+    * (get_all_properties_with_corresponding_prop.rq): each property
+    * with its type, corresponding external property, source tables,
+    * and usage count in the statement store. The dimension is
+    * dictionary-sized → broadcast; the census is one map-side-partial
+    * groupBy over statements. */
+  def kgPropMeta(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val dim = propMeta.toDF("p", "property_type", "corr_property", "part_of")
+    val census = Triples.statements(spark, dir)
+      .groupBy(col("p")).agg(count(lit(1)).as("n_statements"))
+    census.join(broadcast(dim), Seq("p"))
+      .select(col("p"), col("property_type"), col("corr_property"),
+        col("part_of"), col("n_statements"))
+  }
+
+  /** kg_sample_distinct — SPARQL aggregate completers over a BGP
+    * (SAMPLE + COUNT(DISTINCT), the dplyr n_distinct shapes in the
+    * reference's analysis R): per nation, the number of distinct
+    * customers, distinct market segments, and a deterministic SAMPLE
+    * of the customer labels (min — the only SAMPLE that hash-checks
+    * on a distributed engine). */
+  def kgSampleDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val inN = st.filter(col("p") === "in_nation" &&
+        col("s") >= lit(Triples.CUSTOMER * Triples.NS) &&
+        col("s") < lit((Triples.CUSTOMER + 1) * Triples.NS))
+      .select(col("s").as("c"), col("o_id").as("n"))
+    val seg = st.filter(col("p") === "mktsegment").select(col("s").as("c"), col("o_val").as("segment"))
+    val lbl = st.filter(col("p") === "label" && col("lang") === "en")
+      .select(col("s").as("c"), col("o_val").as("label"))
+    inN.join(seg, "c").join(lbl, "c")
+      .groupBy(col("n"))
+      .agg(countDistinct(col("c")).as("n_customers"),
+        countDistinct(col("segment")).as("n_segments"),
+        min(col("label")).as("sample_label"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_best_rank"       -> (kgBestRank _),
+    "kg_qualifier_join"  -> (kgQualifierJoin _),
+    "kg_time_diff"       -> (kgTimeDiff _),
+    "kg_prop_meta"       -> (kgPropMeta _),
+    "kg_sample_distinct" -> (kgSampleDistinct _))
+
+  private val bestSql =
+    s"""best AS (
+       |  SELECT sid, s, p, o_val, stmt_rank FROM (
+       |    SELECT sid, s, p, o_val, stmt_rank,
+       |      $rankOrdSql AS ord,
+       |      max($rankOrdSql) OVER (PARTITION BY s, p) AS best_ord
+       |    FROM qstmt)
+       |  WHERE ord = best_ord AND stmt_rank <> 'deprecated')""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "kg_best_rank" ->
+      s"""WITH $qstmtSql,
+         |$bestSql
+         |SELECT sid, s, p, o_val, stmt_rank FROM best""".stripMargin,
+    "kg_qualifier_join" ->
+      s"""$T, $qstmtSql,
+         |$qualsSql,
+         |$bestSql
+         |SELECT best.sid, best.s, best.o_val, best.stmt_rank,
+         |  since.q_oval AS since, lbl.o_val AS stated_in_label
+         |FROM best
+         |LEFT JOIN (SELECT sid, q_oval FROM quals WHERE qp='since') since USING (sid)
+         |LEFT JOIN (SELECT sid, q_oid FROM quals WHERE qp='stated_in') loc USING (sid)
+         |LEFT JOIN (SELECT s, o_val FROM triples WHERE p='label' AND lang='en') lbl
+         |  ON lbl.s = loc.q_oid""".stripMargin,
+    "kg_time_diff" ->
+      s"""WITH $datesASql,
+         |$datesBSql
+         |SELECT a.s,
+         |  a.d::VARCHAR || '/' || a.prec::VARCHAR AS a_val,
+         |  b.d::VARCHAR || '/' || b.prec::VARCHAR AS b_val,
+         |  CAST(least(a.prec, b.prec) AS INTEGER) AS cmp_prec,
+         |  CASE WHEN b.d IS NULL THEN NULL
+         |       WHEN least(a.prec, b.prec) = 9 THEN year(a.d) = year(b.d)
+         |       WHEN least(a.prec, b.prec) = 10
+         |         THEN year(a.d) = year(b.d) AND month(a.d) = month(b.d)
+         |       ELSE a.d = b.d END AS is_same
+         |FROM a LEFT JOIN b ON a.s = b.s""".stripMargin,
+    "kg_prop_meta" -> {
+      val values = propMeta
+        .map { case (p, t, c, pt) => s"('$p', '$t', '$c', '$pt')" }
+        .mkString(",\n    ")
+      s"""$T, dim(p, property_type, corr_property, part_of) AS (
+         |  VALUES
+         |    $values)
+         |SELECT t.p, dim.property_type, dim.corr_property, dim.part_of,
+         |  count(*) AS n_statements
+         |FROM triples t JOIN dim ON dim.p = t.p
+         |GROUP BY 1, 2, 3, 4""".stripMargin
+    },
+    "kg_sample_distinct" -> {
+      val c0 = Triples.CUSTOMER * Triples.NS
+      val c1 = (Triples.CUSTOMER + 1) * Triples.NS - 1
+      s"""$T
+         |SELECT inn.o_id AS n,
+         |  count(DISTINCT inn.s) AS n_customers,
+         |  count(DISTINCT seg.o_val) AS n_segments,
+         |  min(lbl.o_val) AS sample_label
+         |FROM (SELECT s, o_id FROM triples WHERE p='in_nation' AND s BETWEEN $c0 AND $c1) inn
+         |JOIN (SELECT s, o_val FROM triples WHERE p='mktsegment') seg ON seg.s = inn.s
+         |JOIN (SELECT s, o_val FROM triples WHERE p='label' AND lang='en') lbl ON lbl.s = inn.s
+         |GROUP BY 1""".stripMargin
+    })
+}

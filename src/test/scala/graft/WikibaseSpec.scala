@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.kg.{Triples, Wikibase}
+
+class WikibaseSpec extends SparkSpec {
+
+  test("every wikibase query runs, has rows, and a matching oracle") {
+    Wikibase.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(Wikibase.oracles.contains(name), s"$name missing oracle SQL")
+    }
+  }
+
+  test("best_rank implements wikibase BestRank semantics") {
+    val nCust = spark.read.parquet(s"$sf/customer.parquet").count()
+    val best = Wikibase.kgBestRank(spark, sf).collect()
+    // deprecated is never best
+    assert(!best.exists(_.getAs[String]("stmt_rank") == "deprecated"))
+    val bySubject = best.groupBy(_.getAs[Long]("s"))
+    // every customer has a best statement (all carry a normal-rank value)
+    assert(bySubject.size == nCust)
+    bySubject.foreach { case (s, rows) =>
+      val ranks = rows.map(_.getAs[String]("stmt_rank")).distinct
+      // preferred shadows normal: a subject never mixes ranks in its best set
+      assert(ranks.length == 1, s"subject $s mixes ranks: ${ranks.toSeq}")
+      val k = s - Triples.CUSTOMER * Triples.NS
+      if (k % 6 == 0) {
+        assert(ranks.head == "preferred", s"subject $s should prefer UPGRADED")
+        assert(rows.map(_.getAs[String]("o_val")).toSet == Set("UPGRADED"))
+      } else assert(ranks.head == "normal")
+    }
+  }
+
+  test("qualifier_join resolves since + stated_in label only where defined") {
+    val rows = Wikibase.kgQualifierJoin(spark, sf).collect()
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_name").collect().map(_.getString(0)).toSet
+    rows.foreach { r =>
+      val sid = r.getAs[Long]("sid")
+      if (sid % 10 == 0) { // current statement: carries both qualifiers
+        assert(r.getAs[String]("since") != null)
+        assert(nations.contains(r.getAs[String]("stated_in_label")))
+      } else { // preferred override: no qualifiers attached
+        assert(r.getAs[String]("since") == null)
+        assert(r.getAs[String]("stated_in_label") == null)
+      }
+    }
+  }
+
+  test("time_diff compares at the coarser precision and keeps OPTIONAL nulls") {
+    val rows = Wikibase.kgTimeDiff(spark, sf).collect()
+    assert(rows.length == spark.read.parquet(s"$sf/orders.parquet").count())
+    rows.foreach { r =>
+      val aVal = r.getAs[String]("a_val")
+      val bVal = r.getAs[String]("b_val")
+      if (bVal == null) assert(r.isNullAt(r.fieldIndex("is_same")))
+      else {
+        val Array(ad, ap) = aVal.split("/"); val Array(bd, bp) = bVal.split("/")
+        val cmp = math.min(ap.toInt, bp.toInt)
+        assert(r.getAs[Int]("cmp_prec") == cmp)
+        val expected = cmp match {
+          case 9  => ad.take(4) == bd.take(4)
+          case 10 => ad.take(7) == bd.take(7)
+          case _  => ad == bd
+        }
+        assert(r.getAs[Boolean]("is_same") == expected, s"row $r")
+      }
+    }
+    // the synthesis actually produces all three verdicts
+    val verdicts = rows.map(r => if (r.isNullAt(r.fieldIndex("is_same"))) "null"
+      else r.getAs[Boolean]("is_same").toString).toSet
+    assert(verdicts == Set("true", "false", "null"))
+  }
+
+  test("prop_meta covers every predicate in the store with consistent types") {
+    val rows = Wikibase.kgPropMeta(spark, sf).collect()
+    val storePs = Triples.statements(spark, sf).select("p").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getAs[String]("p")).toSet == storePs)
+    val entityPs = Triples.rules.filter(_.oNs.isDefined).map(_.p).toSet
+    rows.foreach { r =>
+      val expected = if (entityPs(r.getAs[String]("p"))) "wikibase-item" else "string"
+      assert(r.getAs[String]("property_type") == expected)
+      assert(r.getAs[String]("corr_property").startsWith("WD_P"))
+      assert(r.getAs[Long]("n_statements") > 0)
+    }
+    // corresponding ids are distinct (it's a 1:1 external mapping)
+    assert(rows.map(_.getAs[String]("corr_property")).distinct.length == rows.length)
+  }
+
+  test("sample_distinct: per-nation distinct counts match a direct computation") {
+    val got = Wikibase.kgSampleDistinct(spark, sf).collect()
+      .map(r => r.getAs[Long]("n") ->
+        (r.getAs[Long]("n_customers"), r.getAs[Long]("n_segments"), r.getAs[String]("sample_label")))
+      .toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_name", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getString(2), r.getString(3)))
+    cust.groupBy(_._2).foreach { case (nk, rows) =>
+      val (nc, ns, lbl) = got(Triples.NATION * Triples.NS + nk)
+      assert(nc == rows.map(_._1).distinct.length.toLong)
+      assert(ns == rows.map(_._4).distinct.length.toLong)
+      assert(lbl == rows.map(_._3).min)
+    }
+  }
+}
