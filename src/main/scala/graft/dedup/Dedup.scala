@@ -66,7 +66,7 @@ object Dedup {
   /** Word trigram shingles, distinct per doc. Spark `element_at` and
     * DuckDB list indexing are both 1-based; the generated shingle
     * strings are identical. */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"),
@@ -294,37 +294,88 @@ object Dedup {
     out
   }
 
+  /** The persisted historical stores behind [[dedupIncremental]],
+    * built ONCE per (session, dir) with [[graft.util.Scale
+    * .writeBucketed]] and re-read as bucketed managed tables:
+    * the md5 hash store `(doc_id, h)` bucketed+sorted on `h`, and the
+    * LSH signature store `(doc_id, band, key)` bucketed+sorted on
+    * `key` (the band index is embedded in the key's md5 preimage, so
+    * `key` alone is the join contract — and the single bucket column
+    * is exactly what lets the probe co-partition). Returns the two
+    * table names. [[resetStores]] drops the memo + tables so Bench's
+    * cold measurement pays the build honestly. */
+  private val storeMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (String, String)]
+
+  private[graft] def incrementalStores(spark: SparkSession, dir: String): (String, String) =
+    storeMemo.getOrElseUpdate((spark, dir), {
+      graft.functions.GraftFunctions.registerAll(spark)
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val hashT = s"graft_hashstore_$tag"
+      val sigT = s"graft_sigstore_$tag"
+      val hist = col("doc_id") % 5 =!= 0
+      graft.util.Scale.writeBucketed(
+        Tables.documents(spark, dir).filter(hist)
+          .select(col("doc_id"), md5(col("text")).as("h")),
+        hashT, "h", 8)
+      graft.util.Scale.writeBucketed(
+        bandKeys(shingles(spark, dir).filter(hist)), sigT, "key", 8)
+      (hashT, sigT)
+    })
+
+  /** Drop the memoized incremental-dedup stores and their tables (next
+    * call rebuilds — Bench cold honesty, mirrors [[graft.er.ER
+    * .resetMemo]]). */
+  def resetStores(): Unit = {
+    storeMemo.foreach { case ((spark, _), (hashT, sigT)) =>
+      spark.sql(s"DROP TABLE IF EXISTS $hashT")
+      spark.sql(s"DROP TABLE IF EXISTS $sigT")
+    }
+    storeMemo.clear()
+  }
+
+  /** The signature-store probe: the batch's band keys equi-join the
+    * PERSISTED store on `key` — merge-hinted so the plan is the
+    * co-located SMJ the bucketed layout exists for (the store side
+    * reads straight into the join with NO exchange at any corpus
+    * size; only the batch side shuffles — asserted in ScaleSpec on
+    * exactly this frame). */
+  private[graft] def incrementalCandidates(spark: SparkSession, dir: String,
+      batchShingles: DataFrame): DataFrame = {
+    val (_, sigT) = incrementalStores(spark, dir)
+    spark.table(sigT).hint("merge").select(col("key"), col("doc_id").as("hd"))
+      .join(bandKeys(batchShingles).select(col("key"), col("doc_id").as("b")), Seq("key"))
+  }
+
   /** dedup_incremental — dedup a NEW ingest batch (doc_id % 5 = 0, the
     * arriving 20%) against the HISTORICAL corpus (the rest) without
-    * re-clustering the world: exact via an md5 anti-probe of the
-    * historical hash set, near-dup via the LSH SIGNATURE STORE — the
-    * batch's band keys equi-join the historical band keys
-    * ([[bandKeys]]), and only the colliding candidates are verified
-    * with exact shingle Jaccard ≥ 0.8. One row per batch doc with its
+    * re-clustering the world: exact via an md5 probe of the PERSISTED
+    * historical hash store, near-dup via the PERSISTED LSH signature
+    * store ([[incrementalStores]] — both bucketed+sorted on their
+    * probe key), and only the colliding candidates are verified with
+    * exact shingle Jaccard ≥ 0.8. One row per batch doc with its
     * earliest exact/near historical duplicate (min doc_id) and an
     * `is_new` verdict.
     *
     * This is the 100 TB shape for continuous ingest: historical cost
-    * enters ONLY through the persisted signature/hash stores (band
-    * keys bucketed by (band, key), hashes by h) — historical TEXT is
-    * re-read only for the verified candidates' shingle sets, never
-    * rescanned wholesale per batch. Here both sides derive from one
-    * table, so the shingle scan is checkpointed once and feeds the
-    * batch keys, the store keys, the size table, and both verify
-    * sides. */
+    * enters ONLY through the bucketed stores — each probe is a
+    * co-located join where the corpus-sized store side never moves
+    * (plan-asserted in ScaleSpec on the query's own candidate frame) —
+    * and historical TEXT is re-read only for the verified candidates'
+    * shingle sets, never rescanned wholesale per batch. The store
+    * build itself is the once-per-corpus indexing cost, memoized per
+    * (session, dir) here and freed by [[resetStores]]. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
+    val (hashT, _) = incrementalStores(spark, dir)
     val isBatch = col("doc_id") % 5 === 0
     val docs = Tables.documents(spark, dir).select(col("doc_id"), md5(col("text")).as("h"))
     val exact = docs.filter(isBatch)
-      .join(docs.filter(!isBatch).select(col("h"), col("doc_id").as("hd")), Seq("h"))
+      .join(spark.table(hashT).hint("merge").select(col("h"), col("doc_id").as("hd")), Seq("h"))
       .groupBy(col("doc_id")).agg(min(col("hd")).as("exact_dup_of"))
     val sh = shingles(spark, dir).localCheckpoint(eager = true)
-    val keys = bandKeys(sh)
-    val cand = keys.filter(isBatch)
-      .select(col("band"), col("key"), col("doc_id").as("b"))
-      .join(keys.filter(!isBatch).select(col("band"), col("key"), col("doc_id").as("hd")),
-        Seq("band", "key"))
+    val cand = incrementalCandidates(spark, dir, sh.filter(isBatch))
       .select(col("b"), col("hd")).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = cand

@@ -56,26 +56,16 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == graft.kg.KGQueries.kgLabelJoin(spark, sf).count())
   }
 
-  test("bucketed signature store serves incremental dedup with no store-side exchange") {
-    // the production story behind dedup_incremental: the historical
-    // LSH band keys are PERSISTED bucketed on the band key, so each
-    // new ingest batch's probe shuffles only the (batch-sized) probe
-    // side — the corpus-sized store never moves. The store's join
-    // contract is `key` alone (the band index is embedded in the
-    // key's md5 preimage, so equal keys imply equal bands); Spark's
-    // co-partitioning requires the join keys to match the bucket
-    // spec exactly.
+  test("dedup_incremental's own probe reads the persisted store with no store-side exchange") {
+    // not a mock-up: this asserts on the exact candidate frame the
+    // query consumes. The historical LSH band keys are PERSISTED
+    // bucketed+sorted on `key` (the store's join contract — the band
+    // index is embedded in the key's md5 preimage), so each ingest
+    // batch's probe shuffles only the (batch-sized) probe side — the
+    // corpus-sized store never moves.
     import graft.dedup.Dedup
-    val sh = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, greatest(size(t)-2, 0)), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
-        .as("s")).distinct()
-    val keys = Dedup.bandKeys(sh)
-    Scale.writeBucketed(keys.filter(col("doc_id") % 5 =!= 0), "b_sigstore", "key", 8)
-    val probe = keys.filter(col("doc_id") % 5 === 0)
-      .select(col("key"), col("doc_id").as("b"))
-    val cand = spark.table("b_sigstore").hint("merge").join(probe, Seq("key"))
+    val batchSh = Dedup.shingles(spark, sf).filter(col("doc_id") % 5 === 0)
+    val cand = Dedup.incrementalCandidates(spark, sf, batchSh)
     val plan = cand.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
     assert(plan.contains("Bucketed: true"), s"store scan must use its buckets:\n$plan")
@@ -85,6 +75,13 @@ class ScaleSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).size
     assert(exchanges == 2, s"store side must not shuffle (probe pays 2), got $exchanges:\n$plan")
     assert(cand.count() > 0)
+    // the full query built on this path still answers: every batch doc
+    // verdicts once
+    val out = Dedup.dedupIncremental(spark, sf)
+    val nBatch = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).count()
+    assert(out.count() == nBatch)
+    Dedup.resetStores()
   }
 
   test("salted join is result-identical to the plain join") {
