@@ -46,6 +46,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of what THIS run actually wrote: a reused outDir may hold
+    // stale parquet for unselected queries from a prior run — precheck
+    // restricts itself to the manifest so stale dumps can't show green
+    // for code that changed since the last full run
+    Files.writeString(Paths.get(s"$outDir/selected.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -55,6 +55,15 @@ object Corpus {
       rateNums: Seq[(String, Long)], defaultNum: Long): DataFrame = {
     require(!df.columns.contains("sample_key"),
       "stratifiedSample reserves the output column name 'sample_key'; rename it on the input frame")
+    // loud-failure guards (house convention): a duplicate stratum key
+    // would silently shadow later entries in the CASE chain, and a
+    // numerator outside [0, 2^60] silently clamps to drop-all/keep-all
+    val dupKeys = rateNums.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dupKeys.isEmpty, s"duplicate stratum keys: ${dupKeys.mkString(", ")}")
+    (rateNums :+ ("<default>", defaultNum)).foreach { case (k, n) =>
+      require(n >= 0L && n <= Scale60,
+        s"stratum '$k' rate numerator $n outside [0, 2^60] (exact rate = numerator / 2^60)")
+    }
     // register into the FRAME's session, not the thread's active one —
     // a caller on a custom thread pool or a newSession() clone has no
     // usable active-session registry

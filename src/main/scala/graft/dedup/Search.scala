@@ -53,11 +53,29 @@ object Search {
   // BM25 constants as literal doubles on BOTH sides (e-notation in the
   // oracle forces DOUBLE, never DECIMAL — decimal literals promote at
   // engine-specific points and would unpin the bit pattern). k1 + 1 is
-  // pre-written as 2.2, not derived, for the same reason.
+  // pre-written as 2.2, not derived, for the same reason — the
+  // requires prove the hand-written pairs are the exact double
+  // identities (both sums are representable, so == is exact here).
   private val K1 = 1.2
   private val K1P1 = 2.2
   private val B = 0.75
   private val OneMinusB = 0.25
+  require(K1P1 == K1 + 1.0, "K1P1 must be the exact double K1 + 1")
+  require(OneMinusB == 1.0 - B, "OneMinusB must be the exact double 1 - B")
+
+  /** Render a double as a DuckDB literal that parses back to the SAME
+    * double: `toString` + `e0` (the exponent suffix pins DOUBLE typing).
+    * Guards the interpolation trap: a constant whose toString already
+    * uses scientific notation ('1.0E-4') would silently concatenate
+    * into invalid SQL ('1.0E-4e0') — fail loudly instead, and prove
+    * the round trip. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    require(!s.exists(c => c == 'e' || c == 'E'),
+      s"double literal $s needs scientific notation; extend dlit before using it in SQL")
+    require(s.toDouble == d, s"double literal $s does not round-trip")
+    s + "e0"
+  }
 
   /** search_vocab — vocabulary census (Zipf view): total occurrences,
     * document frequency, corpus share, and frequency rank for the top
@@ -131,8 +149,8 @@ object Search {
     // tree above so every IEEE double op runs in the same order
     def contribSql(q: String): String =
       s"""(((CAST(n_docs AS DOUBLE) - CAST(df_$q AS DOUBLE)) + 5.0e-1) / (CAST(df_$q AS DOUBLE) + 5.0e-1))
-         |    * ((CAST(tf_$q AS DOUBLE) * ${K1P1}e0)
-         |       / (CAST(tf_$q AS DOUBLE) + ${K1}e0 * (${OneMinusB}e0 + ${B}e0 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin
+         |    * ((CAST(tf_$q AS DOUBLE) * ${dlit(K1P1)})
+         |       / (CAST(tf_$q AS DOUBLE) + ${dlit(K1)} * (${dlit(OneMinusB)} + ${dlit(B)} * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin
     Map(
       "search_vocab" ->
         """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

@@ -138,12 +138,17 @@ object Streaming {
     * once per (dataset, JVM); [[graft.Bench]]'s sweep calls
     * [[resetStaging]] so COLD timings still include the staging cost.
     *
-    * Sentinel files accumulate in a reused staging dir (each replay
-    * appends two). That is output-neutral by construction: sentinel
-    * rows carry user_id = -1 / event_type = "sentinel", which every
-    * query filters (or inner-joins away), and their timestamps are the
-    * deterministic max(ts)+3h/+6h — re-reading old sentinels only
-    * re-advances the watermark to where it already was. */
+    * Sentinel files do NOT accumulate: each replay deletes the
+    * previous replay's `sentinel-*` files before its query starts
+    * (deletion must precede the start — a fresh checkpoint only
+    * processes files it first lists AFTER they appear, so the rewrite
+    * mid-run is what advances the watermark), then drops its own two
+    * at fixed names. The staging listing is therefore bounded at the
+    * event files + 2 regardless of how many replays a long-lived
+    * driver issues. Old sentinels were output-neutral anyway (rows
+    * carry user_id = -1 / event_type = "sentinel", filtered by every
+    * query; timestamps are the deterministic max(ts)+3h/+6h), so the
+    * cap changes listing cost, not results. */
   private val stagedSrc = new java.util.concurrent.ConcurrentHashMap[String, (String, Timestamp)]()
 
   /** Drop all memoized staging dirs (next replay re-stages). */
@@ -177,9 +182,31 @@ object Streaming {
       // one-row aggregate — the only thing the driver ever holds
       (st, events.agg(max(col("ts"))).head().getTimestamp(0))
     })
-    def sentinel(offsetH: Int): DataFrame = {
+    // reap the PREVIOUS replay's sentinels now, while no query is
+    // running (single-replay-at-a-time constraint above): this run's
+    // query must see its own sentinels as NEW files, and the staging
+    // listing stays bounded across arbitrarily many replays
+    locally {
+      val listing = Files.list(java.nio.file.Paths.get(staging))
+      try listing.filter(_.getFileName.toString.startsWith("sentinel-"))
+        .forEach(p => Files.deleteIfExists(p))
+      finally listing.close()
+    }
+    /** Write the one-row sentinel as a single parquet FILE at a fixed
+      * visible name (part files from a directory write would pile up;
+      * `_`/`.`-prefixed names would be ignored by the file source). */
+    def pushSentinel(offsetH: Int): Unit = {
       import spark.implicits._
-      Seq(Ev(-1L, new Timestamp(maxTs.getTime + offsetH * 3600L * 1000), -1L, "sentinel", 0.0)).toDF()
+      val df = Seq(Ev(-1L, new Timestamp(maxTs.getTime + offsetH * 3600L * 1000), -1L, "sentinel", 0.0)).toDF()
+      val tmp = Files.createTempDirectory("graft_sentinel")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val partListing = Files.list(tmp)
+      val part = try partListing
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally partListing.close()
+      Files.move(part, java.nio.file.Paths.get(staging, s"sentinel-$offsetH.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(tmp)
     }
 
     import spark.implicits._
@@ -192,9 +219,9 @@ object Streaming {
       q.processAllAvailable()
       // two sentinel batches: the first advances the watermark past all
       // real windows/sessions, the second triggers their emission
-      sentinel(3).write.mode("append").parquet(staging)
+      pushSentinel(3)
       q.processAllAvailable()
-      sentinel(6).write.mode("append").parquet(staging)
+      pushSentinel(6)
       q.processAllAvailable()
     } finally {
       q.stop()

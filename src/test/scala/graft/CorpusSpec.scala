@@ -56,6 +56,24 @@ class CorpusSpec extends SparkSpec {
     assert(kept.count() == 100L, "full-rate stratum must keep every row")
   }
 
+  test("stratifiedSample fails loudly on duplicate keys and out-of-range rates") {
+    val sess = spark
+    import sess.implicits._
+    val df = (1L to 10L).map(i => (i, "a")).toDF("id", "grp")
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(df, "grp", col("id"),
+        rateNums = Seq("a" -> 1L, "a" -> 2L), defaultNum = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(df, "grp", col("id"),
+        rateNums = Seq("a" -> -1L), defaultNum = 1L)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.stratifiedSample(df, "grp", col("id"),
+        rateNums = Seq("a" -> 1L), defaultNum = (1L << 60) + 1L)
+    }
+  }
+
   test("corpus_pack places every doc where its token window starts") {
     val budget = 2000L
     val rows = Corpus.corpusPack(spark, sf).collect()

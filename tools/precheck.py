@@ -23,10 +23,19 @@ def main(sf_dir, out_dir):
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    # Verify writes a manifest of the queries it actually dumped this
+    # run; restrict to it so stale parquet from a prior run in a reused
+    # outDir can't validate as fresh (pre-manifest dumps check all dirs)
+    sel_path = os.path.join(out_dir, "selected.json")
+    selected = set(json.load(open(sel_path))) if os.path.exists(sel_path) else None
     n_pass = n_fail = n_rows_only = 0
+    skipped = 0
     for name in sorted(os.listdir(out_dir)):
         path = os.path.join(out_dir, name)
         if not os.path.isdir(path):
+            continue
+        if selected is not None and name not in selected:
+            skipped += 1
             continue
         files = glob.glob(f"{path}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()
@@ -57,7 +66,8 @@ def main(sf_dir, out_dir):
         except AssertionError as ex:
             print(f"FAIL      {name}: {str(ex).splitlines()[-1][:200]}")
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    extra = f" ({skipped} stale dirs outside this run's manifest skipped)" if skipped else ""
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only{extra}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
