@@ -84,6 +84,23 @@ class ScaleSpec extends SparkSpec {
     Dedup.resetStores()
   }
 
+  test("co-bucketed statement/qualifier layout joins with no exchange") {
+    // the serving layout behind the Wikibase statement layer (SURVEY
+    // §3): qualifier reads are recurring statement-qualifier joins on
+    // sid, and BOTH relations grow with the graph — so the production
+    // store writes them co-bucketed on sid and the join moves nothing
+    import graft.kg.Wikibase
+    Scale.writeBucketed(Wikibase.qualifiedStatements(spark, sf), "b_qstmt", "sid", 8)
+    Scale.writeBucketed(Wikibase.qualifiers(spark, sf), "b_quals", "sid", 8)
+    val joined = Scale.colocatedJoin(spark, "b_qstmt", "b_quals", "sid")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(!plan.contains("Exchange"), s"qualifier join must not shuffle:\n$plan")
+    val expected = Wikibase.qualifiedStatements(spark, sf)
+      .join(Wikibase.qualifiers(spark, sf), "sid").count()
+    assert(joined.count() == expected)
+  }
+
   test("salted join is result-identical to the plain join") {
     val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val n = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
