@@ -8,13 +8,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (Array(sfDir, outDir), subset) = args.splitAt(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the tuned production session (AQE, extensions, and — load-bearing
+    // here — a per-process warehouse dir: a raw builder defaults to
+    // ./spark-warehouse, where a PREVIOUS JVM's managed-table leftovers
+    // collide with this run's store writes as LOCATION_ALREADY_EXISTS)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // a typo'd name must fail loudly — silently selecting nothing would

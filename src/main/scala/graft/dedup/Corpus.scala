@@ -126,6 +126,51 @@ object Corpus {
         concat_ws("-", col("lang"), col("shard_idx")).as("shard"))
   }
 
+  /** Target mixture caps for [[corpusMix]] (exact rationals num/den):
+    * each language's kept mass is capped at `num/den` of the ORIGINAL
+    * corpus size. Languages without a cap keep everything (cap 1/1 —
+    * share·N/cnt ≥ 1 always). The config a mixing run loads. */
+  private val mixCaps: Seq[(String, Long, Long)] = Seq(
+    ("en", 1L, 4L), // en may fill at most 25 % of the original total
+    ("es", 1L, 10L)) // es at most 10 %
+
+  /** corpus_mix — census-driven mixture enforcement: downsample each
+    * language to its target share cap, with the keep rate DERIVED from
+    * the data (rate_l = min(1, share_l·N / cnt_l)) rather than
+    * hand-set as in [[corpusSample]]. This is the actual mixing step
+    * of a training-data build — the operator reads the corpus twice:
+    * once to census it, once to filter it.
+    *
+    * Determinism at any scale: the accept decision is
+    * `key·den_l·cnt_l < num_l·N·2^60` in EXACT integer arithmetic
+    * (Spark decimal(38,0), DuckDB HUGEINT — ~1e31 max against 1e38
+    * headroom), where `key` is the 60-bit md5 of the doc id. No
+    * division, no floating point, no RNG: the kept set is a pure
+    * function of (census, config, doc ids), rerun-identical and
+    * replayable bit-for-bit by any engine with md5.
+    *
+    * Scale shape: the census is a map-side-partial groupBy producing a
+    * LANGUAGE-dictionary-sized frame — the one broadcast here is that
+    * bounded rate table (house rule), never document data; the filter
+    * pass is then a pure per-row projection at scan speed. */
+  def corpusMix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"), col("source"))
+    val numC = mixCaps.foldRight(lit(1L)) { case ((l, n, _), acc) =>
+      when(col("lang") === l, lit(n)).otherwise(acc) }
+    val denC = mixCaps.foldRight(lit(1L)) { case ((l, _, d), acc) =>
+      when(col("lang") === l, lit(d)).otherwise(acc) }
+    val rates = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(docs.agg(count(lit(1)).as("total"))) // |langs| × 1 — bounded
+      .select(col("lang"), col("cnt"), col("total"), numC.as("num"), denC.as("den"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    docs.withColumn("sample_key", p60(col("doc_id").cast("string")))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(dec(col("sample_key")) * dec(col("den")) * dec(col("cnt")) <
+        dec(col("num")) * dec(col("total")) * dec(lit(Scale60)))
+      .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
+  }
+
   /** corpus_filter — the end-to-end per-document keep/drop decision a
     * training-data build actually executes, composed from the proven
     * stages: C4-class quality gate ([[Text.textQuality]]), language
@@ -179,6 +224,7 @@ object Corpus {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_sample" -> (corpusSample _),
     "corpus_pack"   -> (corpusPack _),
+    "corpus_mix"    -> (corpusMix _),
     "corpus_filter" -> (corpusFilter _))
 
   val oracles: Map[String, String] = {
@@ -191,6 +237,22 @@ object Corpus {
            |  ${p60Sql("doc_id::VARCHAR")} AS sample_key
            |FROM documents
            |WHERE ${p60Sql("doc_id::VARCHAR")} < $thrSql""".stripMargin,
+      "corpus_mix" -> {
+        val numSql = mixCaps.foldRight("1") { case ((l, n, _), acc) =>
+          s"CASE WHEN lang = '$l' THEN $n ELSE $acc END" }
+        val denSql = mixCaps.foldRight("1") { case ((l, _, d), acc) =>
+          s"CASE WHEN lang = '$l' THEN $d ELSE $acc END" }
+        s"""WITH rates AS (
+           |  SELECT lang, count(*) AS cnt,
+           |    (SELECT count(*) FROM documents) AS total,
+           |    $numSql AS num, $denSql AS den
+           |  FROM documents GROUP BY lang)
+           |SELECT d.doc_id, d.lang, d.source,
+           |  ${p60Sql("d.doc_id::VARCHAR")} AS sample_key
+           |FROM documents d JOIN rates r ON r.lang = d.lang
+           |WHERE ${p60Sql("d.doc_id::VARCHAR")}::HUGEINT * r.den * r.cnt
+           |      < r.num::HUGEINT * r.total * ${Scale60}::HUGEINT""".stripMargin
+      },
       "corpus_filter" ->
         s"""WITH q AS (${Text.oracles("text_quality")}),
            |l AS (${Text.oracles("text_langid")}),

@@ -189,6 +189,66 @@ object Text {
       .agg(count(lit(1)).as("n_mentions"), max(col("n_entities")).as("n_entities"))
   }
 
+  /** text_boilerplate — per-document boilerplate mass: the fraction of
+    * a document's word 8-gram spans that are corpus-common (appear in
+    * ≥ 2 distinct documents — the [[Dedup.dedupSubstring]] census).
+    * This is the downstream consumer that census advertises: join a
+    * doc's span hashes back against the flagged spans and measure how
+    * much of the document is shared text (the C4/RefinedWeb
+    * boilerplate signal; removal = cutting the flagged windows).
+    * Documents shorter than 8 words have no spans and carry no verdict
+    * (they are the quality gate's problem, not this one's).
+    *
+    * Scale shape: the span projection is the same single codegen'd
+    * scan as the census (no join to build it); the flag join is a span
+    * hash equi-join against the census — which grows sublinearly in
+    * corpus size and carries NO broadcast hint (AQE broadcasts while
+    * it fits, shuffles at 100 TB); the per-doc rollup is a map-side
+    * partial groupBy on doc_id. Hot boilerplate hashes are the same
+    * AQE-split skew class the census documents. */
+  def textBoilerplate(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(t)-7), i -> md5(concat_ws(' ', slice(t, i, 8))))"))
+          .as("span_hash"))
+    val common = Dedup.dedupSubstring(spark, dir)
+      .select(col("span_hash"), lit(true).as("is_common"))
+    spans.join(common, Seq("span_hash"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_common"), 1L).otherwise(0L)).as("n_flagged"))
+      .withColumn("boiler_frac",
+        col("n_flagged").cast("double") / col("n_spans").cast("double"))
+      .withColumn("keep", col("boiler_frac") <= 0.5)
+  }
+
+  /** text_ngram_stats — corpus-level frequent-n-gram census: the top
+    * 20 word trigrams by document frequency (then total occurrences,
+    * then the gram itself — a total order, so the cut is
+    * deterministic). The diagnostic a pipeline runs before writing
+    * boilerplate/contamination filters: what IS the shared text.
+    *
+    * Scale shape: per-(doc, gram) occurrence counts are a map-side
+    * partial groupBy keyed by (doc, gram); the gram rollup is a second
+    * partial agg keyed by gram; the top-k is TakeOrderedAndProject —
+    * per-partition heaps of 20, never a full sort, driver receives
+    * k rows. Nothing here is proportional to corpus size except the
+    * two combine-friendly aggregations. */
+  def textNgramStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-2), i -> concat_ws(' ', slice(t, i, 3)))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("cnt")).as("n_occ"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("g"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid"      -> (textLangid _),
     "text_quality"     -> (textQuality _),
@@ -197,7 +257,9 @@ object Text {
     "text_repetition"  -> (textRepetition _),
     "text_scrub"       -> (textScrub _),
     "text_contamination" -> (textContamination _),
-    "text_mentions"    -> (textMentions _))
+    "text_mentions"    -> (textMentions _),
+    "text_boilerplate" -> (textBoilerplate _),
+    "text_ngram_stats" -> (textNgramStats _))
 
   val oracles: Map[String, String] = {
     val dictSelects = dicts.map { case (l, ws) =>
@@ -282,6 +344,36 @@ object Text {
           |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_re_tokens,
           |  CAST(length(text) AS INTEGER) AS n_chars
           |FROM documents""".stripMargin,
+      "text_boilerplate" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |s AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(1, len(w)-6),
+          |      i -> md5(array_to_string(w[i:i+7], ' ')))) AS span_hash
+          |  FROM t WHERE len(w) >= 8),
+          |census AS (
+          |  SELECT span_hash FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+          |agg AS (
+          |  SELECT s.doc_id, count(*) AS n_spans,
+          |    CAST(sum(CASE WHEN c.span_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+          |  FROM s LEFT JOIN census c USING (span_hash)
+          |  GROUP BY 1)
+          |SELECT doc_id, n_spans, n_flagged,
+          |  CAST(n_flagged AS DOUBLE) / CAST(n_spans AS DOUBLE) AS boiler_frac,
+          |  (CAST(n_flagged AS DOUBLE) / CAST(n_spans AS DOUBLE) <= 0.5) AS keep
+          |FROM agg""".stripMargin,
+      "text_ngram_stats" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    unnest(list_transform(range(1, len(w)-1),
+          |      i -> array_to_string(w[i:i+2], ' '))) AS g
+          |  FROM t WHERE len(w) >= 3),
+          |c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2)
+          |SELECT g, count(*) AS n_docs, CAST(sum(cnt) AS BIGINT) AS n_occ
+          |FROM c GROUP BY 1
+          |ORDER BY n_docs DESC, n_occ DESC, g
+          |LIMIT 20""".stripMargin,
       "text_mentions" ->
         """WITH dict AS (
           |  SELECT term, count(*) AS n_entities FROM (

@@ -244,6 +244,38 @@ object Wikibase {
         col("part_of"), col("n_statements"))
   }
 
+  /** kg_valid_at — temporal statement validity: which statements were
+    * in force on a reference date, judged from their `since` / `until`
+    * qualifiers (the valid-time reading of the qualifier relation —
+    * the reference's date qualifiers carry exactly this meaning on
+    * FactGrid career/membership statements). A statement is valid at T
+    * iff (no `since` or since ≤ T) and (no `until` or until > T) —
+    * missing bounds are open intervals, and every statement keeps its
+    * verdict row (OPTIONAL semantics, not a pre-filter).
+    *
+    * Scale shape: two left equi-joins on the long statement id — the
+    * same co-bucketed statement/qualifier layout as
+    * [[kgQualifierJoin]] serves both reads shuffle-free at 100 TB; the
+    * interval compare is one codegen'd projection. Dates compare as
+    * typed dates (cast from the ISO-rendered qualifier literal). */
+  def kgValidAt(spark: SparkSession, dir: String): DataFrame = {
+    val asOf = to_date(lit("1995-06-15"))
+    val q = qualifiers(spark, dir)
+    val since = q.filter(col("qp") === "since")
+      .select(col("sid"), col("q_oval").cast("date").as("since"))
+    val until = q.filter(col("qp") === "until")
+      .select(col("sid"), col("q_oval").cast("date").as("until"))
+    qualifiedStatements(spark, dir)
+      .join(since, Seq("sid"), "left_outer")
+      .join(until, Seq("sid"), "left_outer")
+      .withColumn("valid_at",
+        (col("since").isNull || col("since") <= asOf) &&
+          (col("until").isNull || col("until") > asOf))
+      .select(col("sid"), col("s"), col("p"), col("o_val"), col("stmt_rank"),
+        col("since").cast("string").as("since"),
+        col("until").cast("string").as("until"), col("valid_at"))
+  }
+
   /** kg_sample_distinct — SPARQL aggregate completers over a BGP
     * (SAMPLE + COUNT(DISTINCT), the dplyr n_distinct shapes in the
     * reference's analysis R): per nation, the number of distinct
@@ -271,6 +303,7 @@ object Wikibase {
     "kg_qualifier_join"  -> (kgQualifierJoin _),
     "kg_time_diff"       -> (kgTimeDiff _),
     "kg_prop_meta"       -> (kgPropMeta _),
+    "kg_valid_at"        -> (kgValidAt _),
     "kg_sample_distinct" -> (kgSampleDistinct _))
 
   private val bestSql =
@@ -323,6 +356,17 @@ object Wikibase {
          |FROM triples t JOIN dim ON dim.p = t.p
          |GROUP BY 1, 2, 3, 4""".stripMargin
     },
+    "kg_valid_at" ->
+      s"""WITH $qstmtSql,
+         |$qualsSql
+         |SELECT q.sid, q.s, q.p, q.o_val, q.stmt_rank,
+         |  CAST(since.q_oval::DATE AS VARCHAR) AS since,
+         |  CAST(until_.q_oval::DATE AS VARCHAR) AS "until",
+         |  ((since.q_oval IS NULL OR since.q_oval::DATE <= DATE '1995-06-15')
+         |   AND (until_.q_oval IS NULL OR until_.q_oval::DATE > DATE '1995-06-15')) AS valid_at
+         |FROM qstmt q
+         |LEFT JOIN (SELECT sid, q_oval FROM quals WHERE qp='since') since USING (sid)
+         |LEFT JOIN (SELECT sid, q_oval FROM quals WHERE qp='until') until_ USING (sid)""".stripMargin,
     "kg_sample_distinct" -> {
       val c0 = Triples.CUSTOMER * Triples.NS
       val c1 = (Triples.CUSTOMER + 1) * Triples.NS - 1

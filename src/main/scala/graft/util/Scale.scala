@@ -22,13 +22,29 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** Write `df` as a bucketed+sorted managed table (parquet). */
-  def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+  /** Write `df` as a bucketed+sorted managed table (parquet).
+    *
+    * Self-healing against stale locations: `mode("overwrite")` only
+    * helps when the CATALOG knows the table — a fresh JVM with an
+    * in-memory catalog refuses to create a managed table whose
+    * warehouse directory survives from a previous process
+    * (LOCATION_ALREADY_EXISTS). If the table is absent from the
+    * catalog but its default location exists on disk, the leftover is
+    * unreachable garbage — delete it before writing. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val loc = new org.apache.hadoop.fs.Path(wh, table.toLowerCase(java.util.Locale.ROOT))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two bucketed tables on their bucket key — co-located, no
     * exchange (hint forces SMJ so the demo isn't broadcast). */

@@ -132,6 +132,30 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpus_mix enforces the census-derived caps exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val total = docs.length.toLong
+    val cnt = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val caps = Map("en" -> (1L, 4L), "es" -> (1L, 10L))
+    // exact-rational replay with BigInt (the spec's independent engine)
+    val expected = docs.filter { case (id, lang) =>
+      val (num, den) = caps.getOrElse(lang, (1L, 1L))
+      BigInt(md5p60(id.toString)) * den * cnt(lang) < BigInt(num) * total * (BigInt(1) << 60)
+    }.map(_._1).toSet
+    val got = Corpus.corpusMix(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"mix mismatch: extra=${got.diff(expected)}, missing=${expected.diff(got)}")
+    // the caps bind: en exceeds 25% of the corpus originally, so it is
+    // cut; uncapped languages are kept whole
+    val keptByLang = got.toSeq.map(id => docs.find(_._1 == id).get._2)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(keptByLang("en") < cnt("en"), "en cap did not bind")
+    assert(keptByLang("de") == cnt("de"), "uncapped language must be kept whole")
+  }
+
   test("corpus_pack shards overflow by at most one document") {
     val budget = 2000L
     val byShard = Corpus.corpusPack(spark, sf).collect()

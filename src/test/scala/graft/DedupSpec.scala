@@ -44,6 +44,50 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("text_boilerplate fractions equal an in-memory census replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val spans = docs.flatMap { case (id, w) =>
+      w.sliding(8).filter(_.length == 8).map(sp => (id, sp.mkString(" ")))
+    }
+    val common = spans.groupBy(_._2).view
+      .mapValues(_.map(_._1).distinct.length).filter(_._2 >= 2).keySet
+    val expected = spans.groupBy(_._1).view.mapValues { occ =>
+      val n = occ.length.toLong
+      val f = occ.count(o => common(o._2)).toLong
+      (n, f)
+    }.toMap
+    val got = Text.textBoilerplate(spark, sf).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, f) = expected(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_spans") == n && r.getAs[Long]("n_flagged") == f, s"row $r")
+      assert(math.abs(r.getAs[Double]("boiler_frac") - f.toDouble / n) < 1e-12)
+      assert(r.getAs[Boolean]("keep") == (f.toDouble / n <= 0.5))
+    }
+    // the synthetic corpus shares spans, so the signal is non-trivial
+    assert(got.exists(_.getAs[Long]("n_flagged") > 0))
+  }
+
+  test("text_ngram_stats: top-20 trigrams with a deterministic total order") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1)))
+    val grams = docs.flatMap { case (id, w) =>
+      w.sliding(3).filter(_.length == 3).map(g => (id, g.mkString(" ")))
+    }
+    val stats = grams.groupBy(_._2).view.mapValues { occ =>
+      (occ.map(_._1).distinct.length.toLong, occ.length.toLong)
+    }.toMap
+    val expectedTop = stats.toSeq
+      .sortBy { case (g, (nd, no)) => (-nd, -no, g) }.take(20)
+    val got = Text.textNgramStats(spark, sf).collect()
+      .map(r => (r.getAs[String]("g"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"))))
+    assert(got.toSeq == expectedTop, s"got ${got.toSeq}\nexpected $expectedTop")
+  }
+
   test("ngram jaccard pairs are the planted near-dups (sim in [0.5, 1])") {
     val rows = Dedup.dedupNgramJaccard(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -55,6 +55,23 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_grouping_sets: exactly the two marginals, each covering all orders") {
+    val rows = Relational.qGroupingSets(spark, sf).collect()
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    // priority marginal (gid 1: status is ALL), status marginal (gid 2)
+    val byGid = rows.groupBy(_.getAs[Int]("gid"))
+    assert(byGid.keySet == Set(1, 2), s"unexpected gids: ${byGid.keySet}")
+    assert(byGid(1).forall(_.getAs[String]("status") == "ALL"))
+    assert(byGid(2).forall(_.getAs[String]("priority") == "ALL"))
+    assert(byGid(1).map(_.getAs[Long]("n_orders")).sum == nOrders)
+    assert(byGid(2).map(_.getAs[Long]("n_orders")).sum == nOrders)
+    // no grand total, no full cross — sets rollup/cube can't express
+    assert(!rows.exists(r =>
+      r.getAs[String]("priority") == "ALL" && r.getAs[String]("status") == "ALL"))
+    assert(!rows.exists(r =>
+      r.getAs[String]("priority") != "ALL" && r.getAs[String]("status") != "ALL"))
+  }
+
   test("q_semi_anti: semi + full-anti partitions customers") {
     val rows = Relational.qSemiAnti(spark, sf).collect()
     val kinds = rows.groupBy(_.getAs[String]("kind")).view.mapValues(_.length).toMap

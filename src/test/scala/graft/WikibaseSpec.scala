@@ -90,6 +90,29 @@ class WikibaseSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("corr_property")).distinct.length == rows.length)
   }
 
+  test("valid_at implements open-interval since/until semantics") {
+    val asOf = java.sql.Date.valueOf("1995-06-15")
+    val rows = Wikibase.kgValidAt(spark, sf).collect()
+    // one verdict row per statement — validity is not a pre-filter
+    assert(rows.length == Wikibase.qualifiedStatements(spark, sf).count())
+    rows.foreach { r =>
+      val since = Option(r.getAs[String]("since")).map(java.sql.Date.valueOf)
+      val until = Option(r.getAs[String]("until")).map(java.sql.Date.valueOf)
+      val expected = since.forall(!_.after(asOf)) && until.forall(_.after(asOf))
+      assert(r.getAs[Boolean]("valid_at") == expected, s"row $r")
+      // qualifier placement follows the synthesis: since on current
+      // statements, until on deprecated, nothing on preferred
+      (r.getAs[Long]("sid") % 10) match {
+        case 0 => assert(since.isDefined && until.isEmpty)
+        case 1 => assert(since.isEmpty && until.isDefined)
+        case _ => assert(since.isEmpty && until.isEmpty)
+      }
+    }
+    // the data exercises both verdicts
+    assert(rows.exists(_.getAs[Boolean]("valid_at")))
+    assert(rows.exists(!_.getAs[Boolean]("valid_at")))
+  }
+
   test("sample_distinct: per-nation distinct counts match a direct computation") {
     val got = Wikibase.kgSampleDistinct(spark, sf).collect()
       .map(r => r.getAs[Long]("n") ->
