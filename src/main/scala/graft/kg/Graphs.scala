@@ -44,12 +44,25 @@ object Graphs {
     val n =
       if (numPartitions > 0) numPartitions
       else clampPartitions(st.sparkSession.sparkContext)
-    val edges = st.filter(col("o_id").isNotNull)
-      .select(col("s"), col("o_id"), col("p"))
-      .coalesce(n)
+    val edges = exactlyN(st.filter(col("o_id").isNotNull)
+      .select(col("s"), col("o_id"), col("p")), n)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
     Graph.fromEdges(edges, ())
   }
+
+  /** Pin a frame to EXACTLY n partitions before the RDD handoff.
+    * `coalesce` alone only shrinks — when the upstream plan ends in a
+    * broadcast join (or AQE-coalesced exchange) the edge frame can
+    * arrive with 2–3 partitions, and every Pregel superstep then runs
+    * at that parallelism (measured: kg_shortest_path 4–5 s at 32 edge
+    * partitions vs 40–56 s when the build plan broadcast and left the
+    * graph 2-way). Graph parallelism must be explicit, not an accident
+    * of the upstream join strategy — a one-time round-robin shuffle of
+    * the edge frame buys O(depth) supersteps at full width.
+    * Unconditional: probing the current count (`df.rdd
+    * .getNumPartitions`) would force AQE stage materialization, and a
+    * user-specified repartition is exempt from AQE coalescing. */
+  private def exactlyN(df: DataFrame, n: Int): DataFrame = df.repartition(n)
 
   /** Materialize `result` (eager localCheckpoint — small: one row per
     * vertex) then free every listed graph's cached edge/vertex RDD
@@ -157,9 +170,8 @@ object Graphs {
     // closure pays O(depth) supersteps — exactly the workload the
     // shared clamp exists for
     val n = clampPartitions(spark.sparkContext)
-    val eRdd = edges.select(col("a").cast("long"), col("b").cast("long"))
-      .filter(col("a").isNotNull && col("b").isNotNull) // same contract as fromStatements
-      .coalesce(n)
+    val eRdd = exactlyN(edges.select(col("a").cast("long"), col("b").cast("long"))
+      .filter(col("a").isNotNull && col("b").isNotNull), n) // same contract as fromStatements
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val g = Graph.fromEdges[Set[Long], Unit](eRdd, Set.empty[Long])
     val done = g.pregel(Set.empty[Long])(

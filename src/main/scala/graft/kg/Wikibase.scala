@@ -276,6 +276,57 @@ object Wikibase {
         col("until").cast("string").as("until"), col("valid_at"))
   }
 
+  /** The sitelink relation `(s, site, name)` — the schema:about /
+    * schema:isPartOf / schema:name reification the reference pivots
+    * (get_wiki_sitelinks.rq:36–66). Synthesis is key-derived: every
+    * customer has an enwiki article, every 2nd a dewiki one, every 3rd
+    * a wikidata qid, every 5th a frwiki article. */
+  def sitelinks(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    def link(site: String, cond: Column, name: Column) =
+      c.filter(cond).select(cid.as("s"), lit(site).as("site"), name.as("name"))
+    link("enwiki", lit(true), concat(lit("en:"), col("c_name")))
+      .unionAll(link("dewiki", col("c_custkey") % 2 === 0, concat(lit("de:"), col("c_name"))))
+      .unionAll(link("wikidata", col("c_custkey") % 3 === 0,
+        concat(lit("Q"), col("c_custkey").cast("string"))))
+      .unionAll(link("frwiki", col("c_custkey") % 5 === 0, concat(lit("fr:"), col("c_name"))))
+  }
+
+  private val sitelinksSql =
+    s"""links AS (
+       |  SELECT $cidSql AS s, 'enwiki' AS site, 'en:' || c_name AS name FROM customer
+       |  UNION ALL
+       |  SELECT $cidSql, 'dewiki', 'de:' || c_name FROM customer WHERE c_custkey % 2 = 0
+       |  UNION ALL
+       |  SELECT $cidSql, 'wikidata', 'Q' || c_custkey::VARCHAR FROM customer WHERE c_custkey % 3 = 0
+       |  UNION ALL
+       |  SELECT $cidSql, 'frwiki', 'fr:' || c_name FROM customer WHERE c_custkey % 5 = 0)""".stripMargin
+
+  /** kg_sitelinks — the sitelink pivot (get_wiki_sitelinks.rq): each
+    * entity with its label, its Wikidata item IRI (the
+    * `BIND(IRI(CONCAT(...)))` transform, :41), and one column per
+    * wiki's article name — missing links stay null (OPTIONAL).
+    *
+    * Spark-first shape: the reference expresses this as FIVE OPTIONAL
+    * self-joins on the link reification; here it is ONE map-side-
+    * partial conditional aggregation over the link relation (site
+    * dictionary is fixed → the pivot is a projection per row, the
+    * groupBy is the only shuffle) plus the label-service join. At
+    * 100 TB: one pass over links, no self-join amplification. */
+  def kgSitelinks(spark: SparkSession, dir: String): DataFrame = {
+    def s(site: String) = max(when(col("site") === site, col("name")))
+    val wide = sitelinks(spark, dir).groupBy(col("s"))
+      .agg(s("wikidata").as("qid"), s("dewiki").as("s_dewiki"),
+        s("enwiki").as("s_enwiki"), s("frwiki").as("s_frwiki"))
+    val labels = Triples.statements(spark, dir)
+      .filter(col("p") === "label" && col("lang") === "en")
+      .select(col("s"), col("o_val").as("label"))
+    wide.join(labels, Seq("s"), "left_outer")
+      .select(col("s"), col("label"),
+        when(col("qid").isNotNull, concat(lit("wd:"), col("qid"))).as("wd_item"),
+        col("s_dewiki"), col("s_enwiki"), col("s_frwiki"))
+  }
+
   /** kg_sample_distinct — SPARQL aggregate completers over a BGP
     * (SAMPLE + COUNT(DISTINCT), the dplyr n_distinct shapes in the
     * reference's analysis R): per nation, the number of distinct
@@ -304,6 +355,7 @@ object Wikibase {
     "kg_time_diff"       -> (kgTimeDiff _),
     "kg_prop_meta"       -> (kgPropMeta _),
     "kg_valid_at"        -> (kgValidAt _),
+    "kg_sitelinks"       -> (kgSitelinks _),
     "kg_sample_distinct" -> (kgSampleDistinct _))
 
   private val bestSql =
@@ -367,6 +419,21 @@ object Wikibase {
          |FROM qstmt q
          |LEFT JOIN (SELECT sid, q_oval FROM quals WHERE qp='since') since USING (sid)
          |LEFT JOIN (SELECT sid, q_oval FROM quals WHERE qp='until') until_ USING (sid)""".stripMargin,
+    "kg_sitelinks" ->
+      s"""$T, $sitelinksSql,
+         |wide AS (
+         |  SELECT s,
+         |    max(CASE WHEN site = 'wikidata' THEN name END) AS qid,
+         |    max(CASE WHEN site = 'dewiki' THEN name END) AS s_dewiki,
+         |    max(CASE WHEN site = 'enwiki' THEN name END) AS s_enwiki,
+         |    max(CASE WHEN site = 'frwiki' THEN name END) AS s_frwiki
+         |  FROM links GROUP BY s)
+         |SELECT w.s, lbl.o_val AS label,
+         |  CASE WHEN w.qid IS NOT NULL THEN 'wd:' || w.qid END AS wd_item,
+         |  w.s_dewiki, w.s_enwiki, w.s_frwiki
+         |FROM wide w
+         |LEFT JOIN (SELECT s, o_val FROM triples WHERE p='label' AND lang='en') lbl
+         |  ON lbl.s = w.s""".stripMargin,
     "kg_sample_distinct" -> {
       val c0 = Triples.CUSTOMER * Triples.NS
       val c1 = (Triples.CUSTOMER + 1) * Triples.NS - 1

@@ -113,6 +113,24 @@ class WikibaseSpec extends SparkSpec {
     assert(rows.exists(!_.getAs[Boolean]("valid_at")))
   }
 
+  test("sitelinks pivot: one row per entity, OPTIONAL columns follow the synthesis") {
+    val rows = Wikibase.kgSitelinks(spark, sf).collect()
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.length == cust.size) // every customer has an enwiki link
+    rows.foreach { r =>
+      val k = r.getAs[Long]("s") - Triples.CUSTOMER * Triples.NS
+      val name = cust(k)
+      assert(r.getAs[String]("s_enwiki") == s"en:$name")
+      assert(Option(r.getAs[String]("s_dewiki")).isDefined == (k % 2 == 0))
+      assert(Option(r.getAs[String]("wd_item")) ==
+        (if (k % 3 == 0) Some(s"wd:Q$k") else None))
+      assert(Option(r.getAs[String]("s_frwiki")).isDefined == (k % 5 == 0))
+      assert(r.getAs[String]("label") != null) // label service resolves
+    }
+  }
+
   test("sample_distinct: per-nation distinct counts match a direct computation") {
     val got = Wikibase.kgSampleDistinct(spark, sf).collect()
       .map(r => r.getAs[Long]("n") ->
