@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 /** Offline trainer for the product-quantization codebook
   * ([[graft.dedup.PqCodebook]]): per-subspace k-means (Lloyd, fixed
-  * seed/init/iteration count) over the UNIT-normalized sf0.001
+  * seed/init/iteration count) over the UNIT-normalized sf0.01
   * embeddings, printed as Scala source.
   *
   * PQ codebooks are model ARTIFACTS, not query-time state — a
@@ -17,17 +17,17 @@ import org.apache.spark.sql.functions._
   *
   * Regenerate with:
   * {{{
-  * sbt 'runMain graft.tools.FitPq /root/testdata/sf0.001'
+  * sbt 'runMain graft.tools.FitPq /root/testdata/sf0.01'
   * }}}
   * and paste the output over PqCodebook.scala.
   */
 object FitPq {
-  val M = 8 // subspaces
-  val DSub = 8 // dims per subspace (d = 64)
+  val M = 16 // subspaces
+  val DSub = 4 // dims per subspace (d = 64)
   val K = 16 // codewords per subspace (4-bit codes)
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = graft.GraftSession.get()
     val vecs = graft.sources.Tables.embeddings(spark, dir)
       .select(col("embedding").cast("array<double>").as("v"))
@@ -45,10 +45,10 @@ object FitPq {
     sb ++= "package graft.dedup\n\n"
     sb ++= "/** FITTED product-quantization codebook — a committed model\n"
     sb ++= "  * artifact (see [[graft.tools.FitPq]] for the trainer and the\n"
-    sb ++= "  * regeneration command). m=8 subspaces x 16 codewords x 8 dims\n"
+    sb ++= "  * regeneration command). m=16 subspaces x 16 codewords x 4 dims\n"
     sb ++= "  * over unit-normalized embeddings. DO NOT hand-edit. */\n"
     sb ++= "object PqCodebook {\n"
-    sb ++= "  val M = 8; val DSub = 8; val K = 16\n"
+    sb ++= "  val M = 16; val DSub = 4; val K = 16\n"
     sb ++= "  val codebook: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = Vector(\n"
     cb.zipWithIndex.foreach { case (cw, j) =>
       sb ++= "    Vector( // subspace " + j + "\n"

@@ -131,4 +131,55 @@ class SearchEmbedSpec extends SparkSpec {
     val avgOverlap = quant.keys.toSeq.map(q => (quant(q) & exact(q)).size).sum.toDouble / quant.size
     assert(avgOverlap >= 3.0, s"avg quantized/exact overlap $avgOverlap < 3.0")
   }
+
+  test("embed_pq_encode: codes in range, recon_err equals a scalar replay") {
+    import graft.dedup.PqCodebook.{DSub, K, M}
+    val rows = Embed.embedPqEncode(spark, sf).collect()
+    val unit = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x*x))) AS u")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    rows.foreach { r =>
+      val codes = r.getAs[String]("pq_code").split("-").map(_.toInt)
+      assert(codes.length == M && codes.forall(c => c >= 0 && c < K))
+      val u = unit(r.getAs[Long]("vec_id"))
+      // scalar replay: same per-subspace argmin + error sum
+      var err = 0.0
+      for (j <- 0 until M) {
+        val dists = (0 until K).map { cc =>
+          var d = 0.0
+          for (i <- 0 until DSub) {
+            val t = u(j * DSub + i) - graft.dedup.PqCodebook.codebook(j)(cc)(i)
+            d += t * t
+          }
+          d
+        }
+        assert(codes(j) == dists.indexOf(dists.min), s"vec ${r.get(0)} subspace $j")
+        err += dists(codes(j))
+      }
+      assert(math.abs(err - r.getAs[Double]("recon_err")) < 1e-12)
+    }
+  }
+
+  test("sim_ann_pq funnel recall@5 vs exact bruteforce (ordering exact by construction)") {
+    val exact = Dedup.simTopkBruteforce(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor")).toSet).toMap
+    val pq = Embed.simAnnPq(spark, sf).collect()
+      .groupBy(_.getAs[Long]("q")).view
+      .mapValues(_.map(_.getAs[Long]("neighbor")).toSet).toMap
+    assert(pq.keySet == exact.keySet)
+    val recall = pq.keys.toSeq.map(q => (pq(q) & exact(q)).size).sum.toDouble / (5.0 * pq.size)
+    // 16x16x4 codebook + shortlist-50 exact rerank: measured 0.90 at
+    // sf0.01, where the codebook was fitted; the sf0.001 eval set is
+    // out-of-sample for it, so the floor leaves generalization slack
+    assert(recall >= 0.6, s"PQ funnel recall@5 $recall < 0.6")
+    info(f"pq funnel recall@5 = $recall%.3f over ${pq.size} queries")
+    // within the shortlist the ordering is exact: every returned
+    // neighbor set is ranked by true cosine descending
+    Embed.simAnnPq(spark, sf).collect().groupBy(_.getAs[Long]("q")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cosine"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }
