@@ -41,11 +41,14 @@ object Text {
       dicts.map { case (l, _) => col(s"s_$l") } :+ pred.as("pred_lang")): _*)
   }
 
-  /** text_quality — length / stopword-ratio / word-length heuristics
-    * + keep flag (the C4-style quality gate, minus the model bits). */
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** The quality projection on any frame with (doc_id, text) — shared
+    * by the batch gate and the STREAMING ingest gate
+    * ([[graft.streaming.Streaming.streamQuality]]): per-row, stateless,
+    * codegen'd — the property that lets the same scoring stage run
+    * unchanged over a stream. */
+  private[graft] def qualityCols(docs: DataFrame): DataFrame = {
     val en = inList(dicts.head._2)
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"), split(col("text"), " ").as("t"))
       .select(
         col("doc_id"),
@@ -58,6 +61,11 @@ object Text {
       .withColumn("keep",
         col("n_words") >= 20 && col("n_words") <= 2000 && col("stop_ratio") >= 0.02)
   }
+
+  /** text_quality — length / stopword-ratio / word-length heuristics
+    * + keep flag (the C4-style quality gate, minus the model bits). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityCols(Tables.documents(spark, dir))
 
   /** text_tokens — whitespace token count + a BPE-ish regex token
     * count (letter runs / digit runs / other symbols). */

@@ -349,7 +349,38 @@ object Wikibase {
         min(col("label")).as("sample_label"))
   }
 
+  /** kg_export_qs — the publishing export: the statement store
+    * rendered as QuickStatements-long rows (item, property, value) —
+    * the exact format the reference pushes through
+    * `long_for_quickstatements()` + `write_wikibase(format = "csv")`
+    * (write-wikidata-ids-to-factgrid.R:31–40). Rendering rules follow
+    * QS: entity-valued statements emit `Q<id>` values, literals emit
+    * the quoted string, and labels emit under the `L<lang>` pseudo-
+    * property instead of a P-id (QS's label namespace). Property ids
+    * come from the ONE property dimension ([[propMeta]] — bounded,
+    * broadcast); everything else is a codegen'd per-row projection at
+    * scan speed. Composable upstream: feed it kg_upsert's delta to
+    * export only what a publishing run would actually push. */
+  def kgExportQs(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val dim = propMeta.toDF("p", "property_type", "corr_property", "part_of")
+      .select(col("p"), col("property_type"),
+        regexp_replace(col("corr_property"), "^WD_", "").as("pid"))
+    val st = Triples.statements(spark, dir)
+    val labels = st.filter(col("p") === "label")
+      .select(concat(lit("Q"), col("s")).as("item"),
+        concat(lit("L"), col("lang")).as("property"),
+        concat(lit("\""), col("o_val"), lit("\"")).as("value"))
+    val claims = st.filter(col("p") =!= "label").join(broadcast(dim), Seq("p"))
+      .select(concat(lit("Q"), col("s")).as("item"),
+        col("pid").as("property"),
+        when(col("property_type") === "wikibase-item", concat(lit("Q"), col("o_id")))
+          .otherwise(concat(lit("\""), col("o_val"), lit("\""))).as("value"))
+    labels.unionAll(claims)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_export_qs"       -> (kgExportQs _),
     "kg_best_rank"       -> (kgBestRank _),
     "kg_qualifier_join"  -> (kgQualifierJoin _),
     "kg_time_diff"       -> (kgTimeDiff _),
@@ -368,6 +399,23 @@ object Wikibase {
        |  WHERE ord = best_ord AND stmt_rank <> 'deprecated')""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "kg_export_qs" -> {
+      val dimValues = propMeta
+        .map { case (p, t, c, _) => s"('$p', '$t', '$c')" }
+        .mkString(",\n    ")
+      s"""$T, dim(p, property_type, corr_property) AS (
+         |  VALUES
+         |    $dimValues)
+         |SELECT 'Q' || s::VARCHAR AS item, 'L' || lang AS property,
+         |  '"' || o_val || '"' AS value
+         |FROM triples WHERE p = 'label'
+         |UNION ALL
+         |SELECT 'Q' || t.s::VARCHAR,
+         |  regexp_replace(d.corr_property, '^WD_', ''),
+         |  CASE WHEN d.property_type = 'wikibase-item' THEN 'Q' || t.o_id::VARCHAR
+         |       ELSE '"' || t.o_val || '"' END
+         |FROM triples t JOIN dim d ON d.p = t.p WHERE t.p <> 'label'""".stripMargin
+    },
     "kg_best_rank" ->
       s"""WITH $qstmtSql,
          |$bestSql

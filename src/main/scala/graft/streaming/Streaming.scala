@@ -151,10 +151,16 @@ object Streaming {
     * cap changes listing cost, not results. */
   private val stagedSrc = new java.util.concurrent.ConcurrentHashMap[String, (String, Timestamp)]()
 
+  /** Staged documents dir per dataset (the [[streamQuality]] source —
+    * stateless ingest needs no max-ts aggregate, just the files). */
+  private val stagedDocs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Drop all memoized staging dirs (next replay re-stages). */
   def resetStaging(): Unit = {
     stagedSrc.values.forEach(p => deleteRecursively(java.nio.file.Paths.get(p._1)))
     stagedSrc.clear()
+    stagedDocs.values.forEach(p => deleteRecursively(java.nio.file.Paths.get(p)))
+    stagedDocs.clear()
   }
 
   /** Stage the events table + run one file-source replay: write events
@@ -360,7 +366,54 @@ object Streaming {
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
     }
 
+  /** stream_quality — the streaming INGEST gate of a training-data
+    * pipeline: documents are quality-scored AS THEY ARRIVE, with the
+    * batch gate's exact projection ([[graft.dedup.Text.qualityCols]] —
+    * shared code, not a re-implementation), so batch and stream can
+    * never drift. Stateless per-row scoring needs no watermark, no
+    * state store, and no sentinel push: every micro-batch emits
+    * immediately, which is also the 100 TB shape — a scoring stage
+    * that keeps NO state scales by adding partitions, full stop.
+    * File source → codegen'd projection → file sink; the oracle is the
+    * batch text_quality SQL (same columns), so the stream path is
+    * hash-checked against the batch semantics. */
+  def streamQuality(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
+    val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
+    sinkReaper
+    val prev = sinkDirs.put("stream_quality", java.nio.file.Paths.get(sinkDir))
+    if (prev != null) deleteRecursively(prev)
+    val staging = stagedDocs.computeIfAbsent(dir, _ => {
+      val st = Files.createTempDirectory("graft_stream_docs").toString
+      Tables.documents(sess, dir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("append").parquet(st)
+      st
+    })
+    val docSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val source = sess.readStream.schema(docSchema).parquet(staging)
+    val q = graft.dedup.Text.qualityCols(source)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable()
+    finally {
+      q.stop()
+      deleteRecursively(java.nio.file.Paths.get(checkpoint))
+    }
+    sess.read.parquet(sinkDir)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_quality"     -> (streamQuality _),
     "stream_window_agg"  -> (streamWindowAgg _),
     "stream_enrich"      -> (streamEnrich _),
     "stream_sessionize"  -> (streamSessionize _),
@@ -368,6 +421,9 @@ object Streaming {
     "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    // the batch gate's oracle verbatim: stream and batch share the
+    // projection CODE, so they share the oracle too — drift impossible
+    "stream_quality" -> graft.dedup.Text.oracles("text_quality"),
     "stream_sessionize" ->
       """WITH flagged AS (
         |  SELECT user_id, event_id, ts, value,

@@ -425,6 +425,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stream_quality equals the batch quality gate row-for-row") {
+    val batch = Text.textQuality(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    val stream = Streaming.streamQuality(spark, sf).collect()
+    assert(stream.length == batch.size)
+    stream.foreach { r =>
+      assert(r.toSeq == batch(r.getAs[Long]("doc_id")), s"doc ${r.get(0)}")
+    }
+  }
+
   test("stream enrich (stream-static join) equals batch join-aggregation") {
     val streamed = Streaming.streamEnrich(spark, sf)
       .select("wstart", "segment", "n_events")

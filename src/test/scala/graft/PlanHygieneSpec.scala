@@ -12,8 +12,10 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_topk_int8"       -> "query-set × table quantized scan (broadcast queries)",
     "sim_rerank"          -> "stage 1 is the bounded quantized scan",
     "sim_ann_ivf"         -> "query-batch × k centroids (bounded)",
+    "sim_ann_pq"          -> "query-set × code column ADC scan (broadcast queries)",
     "search_bm25"         -> "1-row corpus-stats broadcast",
-    "search_vocab"        -> "1-row total broadcast")
+    "search_vocab"        -> "1-row total broadcast",
+    "corpus_mix"          -> "1-row corpus-total broadcast into the langs census")
 
   test("no query plans a cartesian product; nested-loop joins only where bounded by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

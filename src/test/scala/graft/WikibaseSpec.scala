@@ -131,6 +131,27 @@ class WikibaseSpec extends SparkSpec {
     }
   }
 
+  test("export_qs renders QuickStatements rows for every statement") {
+    val rows = Wikibase.kgExportQs(spark, sf).collect()
+    val st = Triples.statements(spark, sf)
+    assert(rows.length == st.count())
+    rows.foreach { r =>
+      assert(r.getAs[String]("item").startsWith("Q"))
+      val p = r.getAs[String]("property")
+      val v = r.getAs[String]("value")
+      if (p.startsWith("L")) // label namespace: Len/Lde/…, quoted value
+        assert(v.startsWith("\"") && v.endsWith("\""))
+      else {
+        assert(p.startsWith("P"), s"property $p")
+        // entity values are Q-ids, literals are quoted
+        assert(v.startsWith("Q") || (v.startsWith("\"") && v.endsWith("\"")), s"value $v")
+      }
+    }
+    // both value classes are actually exercised
+    assert(rows.exists(r => r.getAs[String]("value").startsWith("Q")))
+    assert(rows.exists(r => r.getAs[String]("property").startsWith("L")))
+  }
+
   test("sample_distinct: per-nation distinct counts match a direct computation") {
     val got = Wikibase.kgSampleDistinct(spark, sf).collect()
       .map(r => r.getAs[Long]("n") ->
