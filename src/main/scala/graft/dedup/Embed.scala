@@ -128,14 +128,13 @@ object Embed {
   private val cbLit: Column =
     typedLit(PqCodebook.codebook.map(_.map(_.toVector).toVector).toVector)
 
-  /** Per-row PQ encoder: for each of the M subspaces, the index of the
-    * L2-nearest codeword (first-minimum tie-break via array_position —
-    * deterministic in both engines). Pure codegen'd column math:
-    * M·K·DSub multiply-adds per row, no join, no shuffle — encoding
-    * streams through the corpus at scan speed, which is the point of
-    * PQ as the 100 TB storage format (4-bit codes: 32× smaller than
-    * float32, 8× smaller than int8). */
-  private def pqCodes(u: Column): Column = {
+  /** Per-row PQ encoder, higher-order-function form — kept as the
+    * readable reference implementation; the QUERY path uses the native
+    * [[graft.functions.PqEncode]] expression (fused codegen loop over
+    * the flat codebook — the HOF tree interprets per element), and
+    * FunctionsSpec asserts the two are bit-identical. First-minimum
+    * tie-break via array_position — deterministic in both engines. */
+  private[graft] def pqCodesHof(u: Column): Column = {
     import PqCodebook.{DSub, K, M}
     val subCodes = (0 until M).map { j =>
       val dists = transform(sequence(lit(0), lit(K - 1)), cc =>
@@ -150,11 +149,12 @@ object Embed {
     array(subCodes: _*)
   }
 
-  /** Asymmetric-distance computation: exact query subvector against
-    * the target's CODEWORDS — sum over subspaces of
-    * ||q_sub − codeword(code_j)||². The target's floats are never
-    * read: the scan touches only the 8-byte code column. */
-  private def adcDist(uq: Column, codes: Column): Column = {
+  /** Asymmetric-distance computation, HOF reference form (query path
+    * uses native [[graft.functions.PqAdc]]; spec-asserted identical):
+    * exact query subvector against the target's CODEWORDS — sum over
+    * subspaces of ||q_sub − codeword(code_j)||². The target's floats
+    * are never read: the scan touches only the 8-byte code column. */
+  private[graft] def adcDistHof(uq: Column, codes: Column): Column = {
     import PqCodebook.{DSub, M}
     aggregate(sequence(lit(0), lit(M - 1)), lit(0.0), (acc, j) =>
       acc + aggregate(sequence(lit(0), lit(DSub - 1)), lit(0.0), (ai, i) => {
@@ -165,18 +165,21 @@ object Embed {
       }))
   }
 
-  /** embed_pq_encode — the PQ code store: per vector its 8×4-bit code
-    * word (rendered `c0-c1-…-c7` for the dump) and the reconstruction
-    * error ||u − codeword(u)||² (the quantization loss — ADC of a
-    * vector against its own codes). One codegen'd pass, no shuffle;
-    * the production store writes the code column next to the floats
-    * and scans ONLY codes for first-stage retrieval. */
-  def embedPqEncode(spark: SparkSession, dir: String): DataFrame =
+  /** embed_pq_encode — the PQ code store: per vector its 16×4-bit
+    * code word (8 bytes; rendered `c0-c1-…-c15` for the dump) and the
+    * reconstruction error ||u − codeword(u)||² (the quantization
+    * loss — ADC of a vector against its own codes). One codegen'd
+    * pass, no shuffle; the production store writes the code column
+    * next to the floats and scans ONLY codes for first-stage
+    * retrieval. */
+  def embedPqEncode(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     unitVecs(spark, dir)
-      .withColumn("codes", pqCodes(col("u")))
+      .withColumn("codes", expr("pq_encode(u)"))
       .select(col("vec_id"),
         array_join(transform(col("codes"), c => c.cast("string")), "-").as("pq_code"),
-        adcDist(col("u"), col("codes")).as("recon_err"))
+        expr("pq_adc(u, codes)").as("recon_err"))
+  }
 
   /** sim_ann_pq — the PQ retrieval funnel (the FAISS-default shape):
     * an exhaustive ADC scan over the 8-byte code column shortlists the
@@ -194,14 +197,15 @@ object Embed {
     * Fully oracle-replayed: the committed codebook makes both engines
     * compute identical distances. */
   def simAnnPq(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
     val unit = unitVecs(spark, dir)
-    val enc = unit.withColumn("codes", pqCodes(col("u")))
+    val enc = unit.withColumn("codes", expr("pq_encode(u)"))
       .select(col("vec_id").as("neighbor"), col("codes"))
     val qs = unit.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q"), col("u").as("uq"))
     val wAdc = Window.partitionBy(col("q")).orderBy(col("adc"), col("neighbor"))
     val shortlist = broadcast(qs).join(enc, col("q") =!= col("neighbor"))
-      .withColumn("adc", adcDist(col("uq"), col("codes")))
+      .withColumn("adc", expr("pq_adc(uq, codes)"))
       .withColumn("rk0", row_number().over(wAdc))
       .filter(col("rk0") <= 50)
       .select(col("q"), col("uq"), col("neighbor"))

@@ -145,6 +145,129 @@ object Md5Long {
   }
 }
 
+/** pq_encode(u): native product-quantization encoder — for each of
+  * the M subspaces of a unit vector, the index of the L2-nearest
+  * codeword from the committed [[graft.dedup.PqCodebook]] artifact.
+  * One fused loop over a FLAT double[] codebook (no per-row array
+  * allocations, no lambda frames), participating in whole-stage
+  * codegen. This is the corpus-wide pass of the PQ pipeline — the
+  * higher-order-function composition it replaces
+  * (transform ∘ aggregate ∘ array_position) walks an interpreted
+  * expression tree per element.
+  *
+  * Numerics: per-codeword distance is the same sequential
+  * `a + (x-c)*(x-c)` left fold as the HOF form and the DuckDB oracle;
+  * argmin keeps the FIRST minimum (strict `<`) = `array_position(d,
+  * array_min(d))`. Codes are therefore bit-identical to both — the
+  * gate's hash replay is unchanged (FunctionsSpec asserts equality
+  * against the composition). */
+case class PqEncode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode requires array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, false)
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqNative.encode(input.asInstanceOf[ArrayData]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.PqNative$$.MODULE$$.encode($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** pq_adc(uq, codes): native asymmetric-distance computation — the
+  * scan-side twin of [[PqEncode]]: sum over subspaces of
+  * ||q_sub − codeword(code_j)||², reading only the code column of the
+  * target. Same fold order as the HOF form / DuckDB, bit-identical. */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (array<double>, array<int>), got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    PqNative.adc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.PqNative$$.MODULE$$.adc($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdc =
+    copy(left = l, right = r)
+}
+
+/** Flat-codebook kernels behind [[PqEncode]]/[[PqAdc]]. The committed
+  * codebook is flattened once per JVM to `double[M*K*DSub]` (index
+  * `(j*K + cc)*DSub + i`) so the hot loops are pure array arithmetic. */
+object PqNative {
+  import graft.dedup.PqCodebook.{DSub, K, M, codebook}
+  private val flat: Array[Double] = {
+    val a = new Array[Double](M * K * DSub)
+    for (j <- 0 until M; cc <- 0 until K; i <- 0 until DSub)
+      a((j * K + cc) * DSub + i) = codebook(j)(cc)(i)
+    a
+  }
+
+  /** Per-subspace argmin codes of a unit vector; see [[PqEncode]]. */
+  def encode(u: ArrayData): Array[Int] = {
+    val codes = new Array[Int](M)
+    var j = 0
+    while (j < M) {
+      var best = 0; var bd = Double.PositiveInfinity
+      var cc = 0
+      while (cc < K) {
+        var d = 0.0; var i = 0
+        val base = (j * K + cc) * DSub
+        while (i < DSub) {
+          val t = u.getDouble(j * DSub + i) - flat(base + i)
+          d += t * t
+          i += 1
+        }
+        if (d < bd) { bd = d; best = cc }
+        cc += 1
+      }
+      codes(j) = best
+      j += 1
+    }
+    codes
+  }
+
+  /** ADC distance of a query against a code word; see [[PqAdc]]. */
+  def adc(uq: ArrayData, codes: ArrayData): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < M) {
+      val base = (j * K + codes.getInt(j)) * DSub
+      var inner = 0.0
+      var i = 0
+      while (i < DSub) {
+        val t = uq.getDouble(j * DSub + i) - flat(base + i)
+        inner += t * t
+        i += 1
+      }
+      acc += inner
+      j += 1
+    }
+    acc
+  }
+}
+
 /** SQL-function registry for the graft native expressions. Register
   * once per session; all queries reach them via `expr("cosine_sim(...)")`
   * or plain SQL. `hamming64` composes existing codegen'd nodes
@@ -170,8 +293,18 @@ object GraftFunctions {
     info(name, s"$name(s) - md5 hash word of a string (native, hex-composition-identical)"),
     (children: Seq[Expression]) => Md5Long(children.head, mode))
 
+  private val pqEncode = (
+    FunctionIdentifier("pq_encode"),
+    info("pq_encode", "pq_encode(u) - product-quantization codes of a unit vector (committed codebook)"),
+    (children: Seq[Expression]) => PqEncode(children.head))
+
+  private val pqAdc = (
+    FunctionIdentifier("pq_adc"),
+    info("pq_adc", "pq_adc(uq, codes) - asymmetric PQ distance of a query to a code word"),
+    (children: Seq[Expression]) => PqAdc(children(0), children(1)))
+
   private val all = Seq(
-    cosineSim, hamming64,
+    cosineSim, hamming64, pqEncode, pqAdc,
     md5Word("md5_hi32", 0), md5Word("md5_lo32", 1), md5Word("md5_p60", 2))
 
   /** Imperative registration into an existing session. */

@@ -88,6 +88,28 @@ class FunctionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("pq_encode / pq_adc equal the higher-order-function composition bit-for-bit") {
+    GraftFunctions.registerAll(spark)
+    val unit = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x*x))) AS u")
+    import org.apache.spark.sql.functions.col
+    val both = unit
+      .withColumn("native", org.apache.spark.sql.functions.expr("pq_encode(u)"))
+      .withColumn("hof", graft.dedup.Embed.pqCodesHof(col("u")))
+      .withColumn("adc_native", org.apache.spark.sql.functions.expr("pq_adc(u, native)"))
+      .withColumn("adc_hof", graft.dedup.Embed.adcDistHof(col("u"), col("hof")))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Int](r.fieldIndex("native")) == r.getSeq[Int](r.fieldIndex("hof")),
+        s"codes diverge for vec ${r.get(0)}")
+      // bit-identical, not approximately equal — same fold order
+      assert(java.lang.Double.doubleToLongBits(r.getAs[Double]("adc_native")) ==
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("adc_hof")),
+        s"adc diverges for vec ${r.get(0)}")
+    }
+  }
+
   test("cosine_sim zero vector is NaN (documented); nanvl is the sentinel recipe") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
