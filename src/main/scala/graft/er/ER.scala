@@ -204,6 +204,8 @@ object ER {
   def resetMemo(): Unit = {
     ccMemo.values.foreach(_.unpersist(blocking = false))
     ccMemo.clear()
+    regMemo.foreach { case ((spark, _), t) => spark.sql(s"DROP TABLE IF EXISTS $t") }
+    regMemo.clear()
   }
 
   private def componentsOf(spark: SparkSession, dir: String): DataFrame =
@@ -272,7 +274,80 @@ object ER {
       .distinct()
   }
 
+  /** The persisted canonical registry behind [[erIncremental]]:
+    * normalized historical surface forms with their canonical (min)
+    * id, written ONCE per (session, dir) with [[Scale.writeBucketed]]
+    * keyed on `norm` — the EXACT probe's join key, high-cardinality,
+    * so the registry side of that join reads straight into a
+    * co-located SMJ with no exchange at any registry size. (The fuzzy
+    * fallback probes by block key, which is low-cardinality — that
+    * path goes through the salted join like every block pairing here,
+    * never through a bucket layout that would serialize per block.) */
+  private val regMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  private[graft] def registryTable(spark: SparkSession, dir: String): String =
+    regMemo.getOrElseUpdate((spark, dir), {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      val t = s"graft_er_registry_$tag"
+      val reg = Tables.part(spark, dir)
+        .filter(col("p_partkey") % 5 =!= 0)
+        .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
+        .groupBy(col("norm")).agg(min(col("id")).as("canonical_id"))
+      Scale.writeBucketed(reg, t, "norm", 8)
+      t
+    })
+
+  /** er_incremental — continuous-ingest entity resolution: a new batch
+    * of mentions (part ids ≡ 0 mod 5) resolves against the PERSISTED
+    * canonical registry instead of re-running ER over the full corpus.
+    * Two probes: the exact probe joins the registry on the normalized
+    * form (co-located bucketed SMJ — the registry never moves); the
+    * fuzzy fallback pairs the batch against registry forms in the same
+    * first-token block (salted join, length-diff + thresholded
+    * levenshtein ≤ 3 — a looser review-queue threshold than the
+    * batch matcher's ≤ 2, because incremental hits feed the
+    * reference's human-confirm step, not an automatic merge —
+    * excluding exact hits) and keeps the best match
+    * per mention (min dist, then min canonical). `is_new` marks
+    * mentions the registry has never seen — the rows a production run
+    * would append to it. Historical cost enters ONLY through the
+    * registry: per-batch work is batch-sized plus block-bounded
+    * candidates, never a corpus rescan — the ER twin of
+    * [[graft.dedup.Dedup.dedupIncremental]]. */
+  def erIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val regT = registryTable(spark, dir)
+    val batch = Tables.part(spark, dir)
+      .filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
+    val exact = batch
+      .join(spark.table(regT).hint("merge"), Seq("norm"))
+      .select(col("id"), col("canonical_id").as("exact_dup_of"))
+    val bb = batch
+      .withColumn("blk", split(col("norm"), " ").getItem(0))
+      .withColumn("len", length(col("norm")))
+      .select(col("blk"), col("id"), col("norm"), col("len"))
+    val rb = spark.table(regT)
+      .withColumn("blk", split(col("norm"), " ").getItem(0))
+      .withColumn("len2", length(col("norm")))
+      .select(col("blk"), col("norm").as("norm2"), col("canonical_id"), col("len2"))
+    val wBest = Window.partitionBy(col("id")).orderBy(col("dist"), col("canonical_id"))
+    val fuzzy = Scale.saltedJoin(bb, rb, "blk", pairSalts, saltOn = col("id"))
+      .filter(col("norm") =!= col("norm2") && abs(col("len") - col("len2")) <= 3)
+      .withColumn("dist", levenshtein(col("norm"), col("norm2"), 3))
+      .filter(col("dist") >= 0)
+      .withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("canonical_id").as("near_dup_of"), col("dist").as("near_dist"))
+    batch
+      .join(exact, Seq("id"), "left_outer")
+      .join(fuzzy, Seq("id"), "left_outer")
+      .withColumn("is_new", col("exact_dup_of").isNull && col("near_dup_of").isNull)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_incremental"          -> (erIncremental _),
     "er_canonicalize"         -> (erCanonicalize _),
     "er_normalize"            -> (erNormalize _),
     "er_exact_dups"           -> (erExactDups _),
@@ -284,6 +359,29 @@ object ER {
   private val N = normSql("p_name")
 
   val oracles: Map[String, String] = Map(
+    "er_incremental" ->
+      s"""WITH reg AS (
+         |  SELECT norm, min(id) AS canonical_id FROM (
+         |    SELECT p_partkey AS id, $N AS norm FROM part WHERE p_partkey % 5 <> 0)
+         |  GROUP BY 1),
+         |batch AS (SELECT p_partkey AS id, $N AS norm FROM part WHERE p_partkey % 5 = 0),
+         |ex AS (SELECT b.id, r.canonical_id FROM batch b JOIN reg r USING (norm)),
+         |fz AS (
+         |  SELECT b.id, r.canonical_id, CAST(levenshtein(b.norm, r.norm) AS INTEGER) AS dist,
+         |    row_number() OVER (PARTITION BY b.id
+         |      ORDER BY levenshtein(b.norm, r.norm), r.canonical_id) AS rk
+         |  FROM batch b JOIN reg r
+         |    ON string_split(b.norm, ' ')[1] = string_split(r.norm, ' ')[1]
+         |   AND b.norm <> r.norm
+         |   AND abs(length(b.norm) - length(r.norm)) <= 3
+         |  WHERE levenshtein(b.norm, r.norm) <= 3
+         |  QUALIFY rk = 1)
+         |SELECT b.id, b.norm, ex.canonical_id AS exact_dup_of,
+         |  fz.canonical_id AS near_dup_of, fz.dist AS near_dist,
+         |  (ex.canonical_id IS NULL AND fz.canonical_id IS NULL) AS is_new
+         |FROM batch b
+         |LEFT JOIN ex ON ex.id = b.id
+         |LEFT JOIN fz ON fz.id = b.id""".stripMargin,
     "er_canonicalize" -> {
       val NS = graft.kg.Triples.NS
       val P0 = graft.kg.Triples.PART * NS

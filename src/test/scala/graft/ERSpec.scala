@@ -45,6 +45,44 @@ class ERSpec extends SparkSpec {
     assert(linked.groupBy("id").count().filter(col("count") =!= 1).count() == 0)
   }
 
+  test("er_incremental resolves the batch against the registry exactly") {
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .selectExpr("p_partkey AS id",
+        "trim(regexp_replace(regexp_replace(lower(trim(p_name)), '[^a-z0-9 ]', ''), ' +', ' ')) AS norm")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val reg = parts.filter(_._1 % 5 != 0).groupBy(_._2).view
+      .mapValues(_.map(_._1).min).toMap
+    val batch = parts.filter(_._1 % 5 == 0)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = graft.er.ER.erIncremental(spark, sf).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(got.size == batch.length)
+    batch.foreach { case (id, norm) =>
+      val r = got(id)
+      assert(Option(r.getAs[Any]("exact_dup_of")).map(_.asInstanceOf[Long]) == reg.get(norm))
+      val fuzzyBest = reg.toSeq
+        .filter { case (n2, _) => n2 != norm &&
+          n2.split(" ", -1).headOption == norm.split(" ", -1).headOption &&
+          math.abs(n2.length - norm.length) <= 3 }
+        .map { case (n2, cid) => (lev(norm, n2), cid) }
+        .filter(_._1 <= 3).sorted.headOption
+      assert(Option(r.getAs[Any]("near_dup_of")).map(_.asInstanceOf[Long]) ==
+        fuzzyBest.map(_._2), s"id $id norm '$norm'")
+      assert(r.getAs[Boolean]("is_new") == (reg.get(norm).isEmpty && fuzzyBest.isEmpty))
+    }
+    // the synthesis exercises all three outcomes
+    assert(got.values.exists(r => r.getAs[Any]("exact_dup_of") != null))
+    assert(got.values.exists(r => r.getAs[Any]("near_dup_of") != null))
+    assert(got.values.exists(_.getAs[Boolean]("is_new")))
+  }
+
   test("graphx degrees/pagerank run over statements") {
     val st = Triples.statements(spark, sf)
     assert(Graphs.degrees(spark, st).count() > 0)

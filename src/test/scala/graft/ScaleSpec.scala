@@ -101,6 +101,25 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("er_incremental's exact probe reads the persisted registry with no store-side exchange") {
+    // same contract as the dedup signature store: the registry is
+    // bucketed+sorted on `norm` (the exact probe's join key), so each
+    // ingest batch's probe shuffles only the batch side
+    import graft.er.ER
+    val t = ER.registryTable(spark, sf)
+    val batch = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_partkey") % 5 === 0)
+      .select(col("p_partkey").as("id"), ER.norm(col("p_name")).as("norm"))
+    val probe = batch.join(spark.table(t).hint("merge"), Seq("norm"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"registry scan must use its buckets:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"only the batch side may shuffle, got $exchanges:\n$plan")
+    assert(probe.count() > 0)
+    ER.resetMemo()
+  }
+
   test("salted join is result-identical to the plain join") {
     val l = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
     val n = Tables.orders(spark, sf).select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
