@@ -114,9 +114,25 @@ object Multimodal {
     }.toDF()
   }
 
+  /** mm_dedup — exact duplicate detection on the BINARY payload (the
+    * first dedup stage every multimodal pipeline runs: byte-identical
+    * images/audio recur constantly in crawls): md5 of the raw bytes,
+    * one map-side-partial groupBy, canonical = min doc_id. The hash
+    * is computed on the binary column itself — the decode stub never
+    * runs, which is the point: exact dedup happens BEFORE any
+    * expensive decoding, on bytes the scan already read. Per-format
+    * censuses ride along (fmt is in the key's payload group). */
+  def mmDedup(spark: SparkSession, dir: String): DataFrame =
+    records(spark, dir).toDF()
+      .select(col("doc_id"), col("fmt"), md5(col("payload")).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
+        countDistinct(col("fmt")).as("n_formats"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"        -> (mmMeta _),
-    "mm_framesample" -> (mmFrameSample _))
+    "mm_framesample" -> (mmFrameSample _),
+    "mm_dedup"       -> (mmDedup _))
 
   /** Both multimodal stages replay exactly in DuckDB. mm_meta's stub
     * features derive from md5_p60 of the payload — md5 hashes raw
@@ -137,6 +153,12 @@ object Multimodal {
          |  $p60 AS checksum
          |FROM documents""".stripMargin
     },
+    // md5 of the payload bytes = md5 of the UTF-8 text (the payload IS
+    // the UTF-8 encoding — same bytes, no charset assumption)
+    "mm_dedup" ->
+      """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id,
+        |  count(DISTINCT 'img/' || source) AS n_formats
+        |FROM documents GROUP BY 1""".stripMargin,
     "mm_framesample" ->
       s"""WITH d AS (SELECT doc_id,
          |        CASE WHEN strlen(text) = length(text) THEN text

@@ -349,6 +349,42 @@ object Wikibase {
         min(col("label")).as("sample_label"))
   }
 
+  /** kg_geo_near — geographic proximity over coordinate statements
+    * (the reference reads address → `?Geo` coordinates,
+    * lokale-from-factgrid.rq:29–31, and maps them): entities inside a
+    * bounding box around a center point, ranked by squared euclidean
+    * distance in coordinate space.
+    *
+    * Determinism: distance is PURE ARITHMETIC (multiply/add on the
+    * synthesized coordinates — no haversine: libm sin/cos are not
+    * correctly-rounded and may differ across engines, so trig would
+    * break the hash oracle; for ranking inside a small box, squared
+    * euclidean on lat/lon is the standard cheap proxy). The box
+    * predicate is a codegen'd filter that reaches the scan; the top-50
+    * cut is a window rank with a total order. Coordinates are
+    * key-derived (integer mod, one exact-rounded division) — the
+    * lat/lon columns any real dataset would carry. */
+  def kgGeoNear(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val pts = c.select(cid.as("s"),
+      ((col("c_custkey") * 37 % 1800).cast("double") / 10.0 - 90.0).as("lat"),
+      ((col("c_custkey") * 73 % 3600).cast("double") / 10.0 - 180.0).as("lon"))
+    val (clat, clon, r) = (10.0, 20.0, 15.0)
+    // top-50 via orderBy+limit = TakeOrderedAndProject (per-partition
+    // heaps, driver receives 50 rows) — NOT a global window, which
+    // would sort the whole box in one task; the rank window then runs
+    // over the bounded 50-row result only
+    val top = pts
+      .filter(col("lat") >= clat - r && col("lat") <= clat + r &&
+        col("lon") >= clon - r && col("lon") <= clon + r)
+      .withColumn("dist2",
+        (col("lat") - clat) * (col("lat") - clat) +
+          (col("lon") - clon) * (col("lon") - clon))
+      .orderBy(col("dist2"), col("s")).limit(50)
+    top.withColumn("rk", row_number().over(Window.orderBy(col("dist2"), col("s"))))
+      .select(col("s"), col("lat"), col("lon"), col("dist2"), col("rk"))
+  }
+
   /** kg_export_qs — the publishing export: the statement store
     * rendered as QuickStatements-long rows (item, property, value) —
     * the exact format the reference pushes through
@@ -380,6 +416,7 @@ object Wikibase {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_geo_near"        -> (kgGeoNear _),
     "kg_export_qs"       -> (kgExportQs _),
     "kg_best_rank"       -> (kgBestRank _),
     "kg_qualifier_join"  -> (kgQualifierJoin _),
@@ -399,6 +436,20 @@ object Wikibase {
        |  WHERE ord = best_ord AND stmt_rank <> 'deprecated')""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "kg_geo_near" ->
+      s"""WITH pts AS (
+         |  SELECT $cidSql AS s,
+         |    CAST(c_custkey * 37 % 1800 AS DOUBLE) / 10.0e0 - 90.0e0 AS lat,
+         |    CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0e0 - 180.0e0 AS lon
+         |  FROM customer),
+         |boxed AS (
+         |  SELECT s, lat, lon,
+         |    (lat - 10.0e0) * (lat - 10.0e0) + (lon - 20.0e0) * (lon - 20.0e0) AS dist2
+         |  FROM pts
+         |  WHERE lat >= -5.0e0 AND lat <= 25.0e0 AND lon >= 5.0e0 AND lon <= 35.0e0)
+         |SELECT s, lat, lon, dist2,
+         |  CAST(row_number() OVER (ORDER BY dist2, s) AS INTEGER) AS rk
+         |FROM boxed QUALIFY rk <= 50""".stripMargin,
     "kg_export_qs" -> {
       val dimValues = propMeta
         .map { case (p, t, c, _) => s"('$p', '$t', '$c')" }

@@ -407,6 +407,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("mm_dedup: byte-level groups partition the corpus, canonical is min id") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val groups = Multimodal.mmDedup(spark, sf).collect()
+    assert(groups.map(_.getAs[Long]("n_copies")).sum == docs.length)
+    val byText = docs.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    groups.foreach { r =>
+      // every group's stats match SOME text group (md5 is on the bytes
+      // of exactly one text value)
+      val ids = byText.values.find(v =>
+        v.length.toLong == r.getAs[Long]("n_copies") && v.min == r.getAs[Long]("keep_id"))
+      assert(ids.isDefined, s"group $r matches no text group")
+    }
+  }
+
   test("mm_meta: deterministic features, one row per doc, stub recomputes in-JVM") {
     val a = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
     val b = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()

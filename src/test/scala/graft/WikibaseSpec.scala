@@ -152,6 +152,20 @@ class WikibaseSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[String]("property").startsWith("L")))
   }
 
+  test("geo_near: box membership, exact distances, dense ascending ranks") {
+    val rows = Wikibase.kgGeoNear(spark, sf).collect().sortBy(_.getAs[Int]("rk"))
+    assert(rows.nonEmpty && rows.length <= 50)
+    rows.foreach { r =>
+      val (lat, lon) = (r.getAs[Double]("lat"), r.getAs[Double]("lon"))
+      assert(lat >= -5.0 && lat <= 25.0 && lon >= 5.0 && lon <= 35.0)
+      val d2 = (lat - 10.0) * (lat - 10.0) + (lon - 20.0) * (lon - 20.0)
+      assert(r.getAs[Double]("dist2") == d2)
+    }
+    assert(rows.map(_.getAs[Int]("rk")).toSeq == (1 to rows.length))
+    val d = rows.map(_.getAs[Double]("dist2"))
+    assert(d.zip(d.tail).forall { case (a, b) => a <= b })
+  }
+
   test("sample_distinct: per-nation distinct counts match a direct computation") {
     val got = Wikibase.kgSampleDistinct(spark, sf).collect()
       .map(r => r.getAs[Long]("n") ->
