@@ -360,7 +360,9 @@ object Wikibase {
     * correctly-rounded and may differ across engines, so trig would
     * break the hash oracle; for ranking inside a small box, squared
     * euclidean on lat/lon is the standard cheap proxy). The box
-    * predicate is a codegen'd filter that reaches the scan; the top-50
+    * predicate is codegen'd in the scan stage (it tests COMPUTED
+    * columns, so it is not a parquet pushdown — a real dataset with
+    * stored lat/lon columns would push it); the top-50
     * cut is a window rank with a total order. Coordinates are
     * key-derived (integer mod, one exact-rounded division) — the
     * lat/lon columns any real dataset would carry. */
