@@ -23,6 +23,8 @@ object SparkEntry {
       graft.dedup.Corpus.queries ++
       graft.dedup.Text.queries ++
       graft.dedup.Multimodal.queries ++
+      graft.dedup.Sketch.queries ++
+      graft.dedup.Bpe.queries ++
       graft.streaming.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +41,7 @@ object SparkEntry {
       graft.dedup.Corpus.oracles ++
       graft.dedup.Text.oracles ++
       graft.dedup.Multimodal.oracles ++
+      graft.dedup.Sketch.oracles ++
+      graft.dedup.Bpe.oracles ++
       graft.streaming.Streaming.oracles
 }

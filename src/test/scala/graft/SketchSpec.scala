@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Sketch
+
+/** The sketch operators' ERROR CONTRACTS — the float estimates the
+  * oracle deliberately excludes (integer sketch state only) are
+  * computed and bounded here. */
+class SketchSpec extends SparkSpec {
+
+  test("every sketch query runs, has rows, and a matching oracle") {
+    Sketch.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"$name returned no rows")
+      assert(Sketch.oracles.contains(name), s"$name missing oracle SQL")
+    }
+  }
+
+  test("sketch_hll estimate lands within 25 % of exact distinct (m=64, 3 sigma)") {
+    val rows = Sketch.sketchHll(spark, sf)
+      .select("lang", "m", "occupied", "sum_scaled", "exact_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val m = r.getInt(1).toDouble
+      val occupied = r.getLong(2)
+      val sumScaled = r.getLong(3)
+      val exact = r.getLong(4).toDouble
+      // standard HLL: alpha_m * m^2 / sum(2^-M[j]); sum_scaled is that
+      // denominator scaled by 2^55. Small-range (linear counting)
+      // correction when est <= 2.5m and empty registers exist.
+      val alpha = 0.709 // alpha_64
+      val raw = alpha * m * m * (1L << 55).toDouble / sumScaled.toDouble
+      val zeros = m - occupied
+      val est =
+        if (raw <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else raw
+      val relErr = math.abs(est - exact) / exact
+      assert(relErr <= 0.25,
+        s"lang=${r.getString(0)}: est=$est exact=$exact relErr=$relErr")
+    }
+  }
+
+  test("sketch_cms never undercounts, and the grid bounds the overcount") {
+    val rows = Sketch.sketchCms(spark, sf)
+      .select("term", "n_exact", "cms_est", "overcount").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted '${r.getString(0)}': est=${r.getLong(2)} exact=${r.getLong(1)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    // d=4 rows of w=1024 counters over this corpus: the canonical
+    // epsilon*N bound (e/w * N) holds with margin at test scale
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " "))).count()
+    val bound = math.E / 1024.0 * total.toDouble
+    rows.foreach(r => assert(r.getLong(3).toDouble <= bound,
+      s"overcount ${r.getLong(3)} above e/w*N bound $bound for '${r.getString(0)}'"))
+  }
+
+  test("sketch_bloom has zero false negatives and data-sized m") {
+    val rows = Sketch.sketchBloom(spark, sf)
+      .select("doc_id", "bloom_hit", "actual", "is_fp", "n_build", "m_bits").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getBoolean(2)) assert(r.getBoolean(1),
+        s"false negative on doc ${r.getLong(0)} — impossible for a correct Bloom filter")
+      assert(r.getBoolean(3) == (r.getBoolean(1) && !r.getBoolean(2)))
+    }
+    // m = next power of two of 8 * n_build
+    val n = rows.head.getLong(4)
+    val m = rows.head.getLong(5)
+    assert((m & (m - 1)) == 0, s"m_bits $m not a power of two")
+    assert(m >= 8 * n && m < 16 * n, s"m_bits $m not the next pow2 of 8*$n")
+    // membership split is non-trivial in both directions
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+  }
+}
