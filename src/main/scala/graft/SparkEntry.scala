@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.Temporal.queries ++
       graft.kg.KGQueries.queries ++
       graft.kg.Wikibase.queries ++
+      graft.kg.GraphMetrics.queries ++
       graft.er.ER.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Embed.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
       graft.queries.Temporal.oracles ++
       graft.kg.KGQueries.oracles ++
       graft.kg.Wikibase.oracles ++
+      graft.kg.GraphMetrics.oracles ++
       graft.er.ER.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Embed.oracles ++

@@ -1,0 +1,169 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import Triples.{sqlCte => T, NS}
+
+/** Graph-metric and property-path completers over the statement store
+  * (SURVEY §2.A): the remaining SPARQL 1.1 path forms (alternation,
+  * inverse, negated property set) and the two standard
+  * neighborhood-structure analyses of the companions co-occurrence
+  * network — local clustering coefficients and neighborhood-Jaccard
+  * link prediction (the "which entities look alike by their
+  * relations" question the reference's companions R analysis asks of
+  * its SPARQL results, e.g. data-publishing/factgrid/queries/
+  * companions_and_relations.rq as consumed by apps/companions).
+  *
+  * Determinism: coefficients and similarities are RATIONALS emitted as
+  * exact integer numerator/denominator columns — no float in any
+  * oracle-hashed value. Where a ratio orders a top-k, the ordering key
+  * is the single IEEE division of the two integer-derived doubles
+  * (bit-identical in any engine) with a full lexicographic tiebreak.
+  *
+  * Scale notes (100 TB):
+  *   - Path alternation/inverse/negation are unions of PRUNED pattern
+  *     scans (each arm filters p before anything widens) — no new
+  *     shuffle shape beyond the patterns themselves.
+  *   - Both graph metrics reuse the co-occurrence edge build ONCE via
+  *     a checkpoint (edge-set-sized, freed before return); triangles
+  *     and common-neighbor pairs are the classic two-path equi-joins,
+  *     Σ deg² volume, never a cross join. At 100 TB the degree cap /
+  *     weight floor on the edge set (weight ≥ 2 here) is the knob
+  *     that bounds Σ deg² — same pattern as er_blocking's block cap.
+  */
+object GraphMetrics {
+
+  private val C0 = Triples.CUSTOMER.toLong * NS
+  private val C1 = (Triples.CUSTOMER + 1).toLong * NS
+
+  /** kg_path_alt — the SPARQL 1.1 property-path forms the fixpoint
+    * queries don't cover, one arm each, unioned with a `form` tag:
+    * alternation `in_region|^in_nation` from nation subjects (direct
+    * arm + inverse arm), and the negated property set
+    * `!(in_nation|label)` over customer subjects (their remaining
+    * properties). */
+  def kgPathAlt(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val direct = st.filter(col("p") === "in_region")
+      .select(col("s").as("x"), lit("alt_direct").as("form"), col("p"),
+        col("o_id"), col("o_val"))
+    val inverse = st.filter(col("p") === "in_nation")
+      .select(col("o_id").as("x"), lit("alt_inverse").as("form"), col("p"),
+        col("s").as("o_id"), lit(null).cast("string").as("o_val"))
+    val negSet = st
+      .filter(col("s").between(C0, C1 - 1) && !col("p").isin("in_nation", "label"))
+      .select(col("s").as("x"), lit("neg_set").as("form"), col("p"),
+        col("o_id"), col("o_val"))
+    direct.union(inverse).union(negSet)
+  }
+
+  /** The co-occurrence edge set (weight ≥ 2, p1 < p2), checkpointed —
+    * both metrics fan it into several join legs. */
+  private def edges(spark: SparkSession, dir: String): DataFrame =
+    KGQueries.kgCooccur(spark, dir).select(col("p1"), col("p2"))
+      .localCheckpoint(eager = true)
+
+  /** kg_clustering_coeff — local clustering coefficient per node of
+    * the co-occurrence network, as the exact rational
+    * `2·triangles / (deg·(deg−1))`: emitted as integer
+    * (n_triangles, degree, coeff_num, coeff_den); deg-1 nodes carry
+    * den 0 (coefficient undefined, the caller's NaN). */
+  def kgClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(e.as("e3"),
+        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("p1").as("node"), col("p2").as("nbr"))
+      .union(e.select(col("p2").as("node"), col("p1").as("nbr")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val out = deg.join(tri, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        col("degree"))
+      .withColumn("coeff_num", lit(2L) * col("n_triangles"))
+      .withColumn("coeff_den", col("degree") * (col("degree") - lit(1L)))
+      .localCheckpoint(eager = true)
+    graft.util.Checkpoints.free(e)
+    out
+  }
+
+  /** kg_node_sim — neighborhood-Jaccard link prediction over the
+    * co-occurrence network: for node pairs sharing ≥ 1 neighbor,
+    * jaccard = common / (deg_a + deg_b − common); top-100 by that
+    * ratio (one IEEE division as the sort key, full (a,b) tiebreak),
+    * emitted as exact integers. */
+  def kgNodeSim(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val adj = e.select(col("p1").as("node"), col("p2").as("nbr"))
+      .union(e.select(col("p2").as("node"), col("p1").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val common = adj.as("x")
+      .join(adj.as("y"), col("x.nbr") === col("y.nbr") && col("x.node") < col("y.node"))
+      .groupBy(col("x.node").as("a"), col("y.node").as("b"))
+      .agg(count(lit(1)).as("common"))
+    val out = common
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .withColumn("union_size", col("deg_a") + col("deg_b") - col("common"))
+      .orderBy((col("common").cast("double") / col("union_size").cast("double")).desc,
+        col("a"), col("b"))
+      .limit(100)
+      .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
+        col("union_size"))
+      .localCheckpoint(eager = true)
+    graft.util.Checkpoints.free(e)
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_path_alt"         -> (kgPathAlt _),
+    "kg_clustering_coeff" -> (kgClusteringCoeff _),
+    "kg_node_sim"         -> (kgNodeSim _))
+
+  /** Shared oracle CTE: the weight ≥ 2 co-occurrence edge set. */
+  private val E =
+    """hp AS (SELECT s AS o, o_id AS part FROM triples WHERE p='has_part'),
+      |e AS (SELECT a.part AS p1, b.part AS p2 FROM hp a JOIN hp b ON a.o = b.o AND a.part < b.part
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "kg_path_alt" ->
+      s"""$T
+         |SELECT s AS x, 'alt_direct' AS form, p, o_id, o_val FROM triples WHERE p='in_region'
+         |UNION ALL
+         |SELECT o_id AS x, 'alt_inverse' AS form, p, s AS o_id, CAST(NULL AS VARCHAR) AS o_val
+         |FROM triples WHERE p='in_nation'
+         |UNION ALL
+         |SELECT s AS x, 'neg_set' AS form, p, o_id, o_val FROM triples
+         |WHERE s BETWEEN $C0 AND ${C1 - 1} AND p NOT IN ('in_nation', 'label')""".stripMargin,
+    "kg_clustering_coeff" ->
+      s"""$T, $E,
+         |tri AS (
+         |  SELECT node, count(*) AS n_triangles FROM (
+         |    SELECT unnest([e1.p1, e1.p2, e2.p2]) AS node
+         |    FROM e e1 JOIN e e2 ON e1.p2 = e2.p1 JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+         |  GROUP BY 1),
+         |deg AS (SELECT node, count(*) AS degree FROM
+         |        (SELECT p1 AS node FROM e UNION ALL SELECT p2 FROM e) GROUP BY 1)
+         |SELECT deg.node, coalesce(n_triangles, 0)::BIGINT AS n_triangles, degree,
+         |  (2 * coalesce(n_triangles, 0))::BIGINT AS coeff_num,
+         |  (degree * (degree - 1))::BIGINT AS coeff_den
+         |FROM deg LEFT JOIN tri ON deg.node = tri.node""".stripMargin,
+    "kg_node_sim" ->
+      s"""$T, $E,
+         |adj AS (SELECT p1 AS node, p2 AS nbr FROM e UNION ALL SELECT p2, p1 FROM e),
+         |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+         |common AS (
+         |  SELECT x.node AS a, y.node AS b, count(*) AS common
+         |  FROM adj x JOIN adj y ON x.nbr = y.nbr AND x.node < y.node
+         |  GROUP BY 1, 2)
+         |SELECT a, b, common, da.deg AS deg_a, db.deg AS deg_b,
+         |  (da.deg + db.deg - common)::BIGINT AS union_size
+         |FROM common JOIN deg da ON da.node = a JOIN deg db ON db.node = b
+         |ORDER BY CAST(common AS DOUBLE) / CAST(da.deg + db.deg - common AS DOUBLE) DESC, a, b
+         |LIMIT 100""".stripMargin)
+}
