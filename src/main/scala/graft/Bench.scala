@@ -29,6 +29,7 @@ object Bench {
     def sweep(): Unit = {
       graft.er.ER.resetMemo()
       graft.dedup.Dedup.resetStores()
+      graft.queries.Incremental.resetStores()
       graft.streaming.Streaming.resetStaging()
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -14,6 +14,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++
+      graft.queries.Incremental.queries ++
       graft.kg.KGQueries.queries ++
       graft.kg.Wikibase.queries ++
       graft.kg.GraphMetrics.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
       graft.queries.Temporal.oracles ++
+      graft.queries.Incremental.oracles ++
       graft.kg.KGQueries.oracles ++
       graft.kg.Wikibase.oracles ++
       graft.kg.GraphMetrics.oracles ++

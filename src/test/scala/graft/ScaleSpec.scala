@@ -101,6 +101,22 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("q_incremental_agg merges into the persisted view with no store-side exchange") {
+    // the view is bucketed+sorted on o_custkey and the BATCH shuffles
+    // to the view's layout — the full-outer merge must read the store
+    // straight from its buckets (one exchange total, on the batch side)
+    import graft.queries.Incremental
+    val merged = Incremental.qIncrementalAgg(spark, sf)
+    val plan = merged.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"expected full-outer SMJ in:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"view scan must use its buckets:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"only the batch side may shuffle, got $exchanges:\n$plan")
+    assert(merged.count() > 0)
+    Incremental.resetStores()
+  }
+
   test("er_incremental's exact probe reads the persisted registry with no store-side exchange") {
     // same contract as the dedup signature store: the registry is
     // bucketed+sorted on `norm` (the exact probe's join key), so each
