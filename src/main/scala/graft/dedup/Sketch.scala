@@ -56,10 +56,30 @@ object Sketch {
     * rho ∈ [1, 55]. Register sums are kept scaled by 2^55 so each term
     * 2^(55−rho) is an exact long (empty register ⇒ rho 0 ⇒ 2^55);
     * Σ ≤ 64·2^55 = 2^61 — no overflow, no floats. */
-  private val HllP = 6
-  private val HllM = 1 << HllP        // 64 registers
-  private val FieldBits = 60 - HllP   // 54
-  private val FieldPow = 1L << FieldBits
+  private[graft] val HllP = 6
+  private[graft] val HllM = 1 << HllP        // 64 registers
+  private[graft] val FieldBits = 60 - HllP   // 54
+  private[graft] val FieldPow = 1L << FieldBits
+
+  /** Split a 60-bit hash column `h` into HLL (bucket, rho) — shared by
+    * the batch census and the streaming cardinality gate (same code =
+    * drift impossible, the stream_quality argument). */
+  private[graft] def hllParts(df: DataFrame): DataFrame = df
+    .withColumn("bucket", expr(s"h div ${FieldPow}L"))
+    .withColumn("rest", expr(s"h % ${FieldPow}L"))
+    .withColumn("rho",
+      when(col("rest") === 0L, lit(FieldBits + 1))
+        .otherwise(lit(FieldBits + 1) - length(bin(col("rest")))))
+
+  /** Fold per-key register rows `(keys…, reg)` into the exact sketch
+    * state `(keys…, m, occupied, sum_scaled)`. */
+  private[graft] def hllSummary(regs: DataFrame, keys: Seq[String]): DataFrame =
+    regs.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("occupied"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${FieldBits + 1} - reg)")).as("occ_sum"))
+      .withColumn("sum_scaled",
+        col("occ_sum") + (lit(HllM.toLong) - col("occupied")) * lit(1L << (FieldBits + 1)))
+      .select(keys.map(col) :+ lit(HllM).as("m") :+ col("occupied") :+ col("sum_scaled"): _*)
 
   /** sketch_hll — per-language distinct-token estimate as exact HLL
     * register state: occupied register count and the 2^55-scaled
@@ -69,27 +89,15 @@ object Sketch {
   def sketchHll(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
-    val hashed = toks
-      .withColumn("h", p60(col("term")))
-      .withColumn("bucket", expr(s"h div ${FieldPow}L"))
-      .withColumn("rest", expr(s"h % ${FieldPow}L"))
-      // leading zeros of the 54-bit field + 1; bin() strips leading
-      // zeros in both engines, so rho = 55 - bit_length(rest)
-      .withColumn("rho",
-        when(col("rest") === 0L, lit(FieldBits + 1))
-          .otherwise(lit(FieldBits + 1) - length(bin(col("rest")))))
+    // leading zeros of the 54-bit field + 1; bin() strips leading
+    // zeros in both engines, so rho = 55 - bit_length(rest)
+    val hashed = hllParts(toks.withColumn("h", p60(col("term"))))
     val regs = hashed.groupBy(col("lang"), col("bucket"))
       .agg(max(col("rho")).as("reg"))
-    val hll = regs.groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("occupied"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${FieldBits + 1} - reg)")).as("occ_sum"))
-      .withColumn("sum_scaled",
-        col("occ_sum") + (lit(HllM.toLong) - col("occupied")) * lit(1L << (FieldBits + 1)))
     val exact = toks.groupBy(col("lang"))
       .agg(count_distinct(col("term")).as("exact_distinct"))
-    hll.join(exact, Seq("lang"))
-      .select(col("lang"), lit(HllM).as("m"), col("occupied"),
+    hllSummary(regs, Seq("lang")).join(exact, Seq("lang"))
+      .select(col("lang"), col("m"), col("occupied"),
         col("sum_scaled"), col("exact_distinct"))
   }
 

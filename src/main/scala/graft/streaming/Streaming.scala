@@ -412,7 +412,37 @@ object Streaming {
     sess.read.parquet(sinkDir)
   }
 
+  /** stream_cardinality — streaming HLL distinct-user estimate per
+    * (1 h window, event_type): the register state
+    * ([[graft.dedup.Sketch.hllParts]] — the BATCH sketch's exact code,
+    * drift impossible) aggregates under the watermark as
+    * `(window, event_type, bucket) → max(rho)` and seals with the
+    * windows; the register→sketch-state fold
+    * ([[graft.dedup.Sketch.hllSummary]]) runs as a BATCH readout over
+    * the sealed sink (streaming allows one aggregation per query — and
+    * the readout input is registers-per-window, not events, so the
+    * batch step is census-sized at any stream volume). This is how a
+    * production pipeline keeps live per-window cardinalities: max(rho)
+    * is associative, so state per window is m registers, never the
+    * user-id set — the exact-distinct alternative holds every key in
+    * state. Oracle replays registers AND fold from the raw events. */
+  def streamCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val sealedRegs = fileReplay(spark, dir, "stream_cardinality") { source =>
+      graft.functions.GraftFunctions.registerAll(source.sparkSession)
+      graft.dedup.Sketch.hllParts(
+        source.toDF().withColumn("h", expr("md5_p60(CAST(user_id AS STRING))")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+    }
+    graft.dedup.Sketch.hllSummary(
+      sealedRegs.filter(col("event_type") =!= "sentinel")
+        .withColumn("wstart", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")),
+      Seq("wstart", "event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cardinality" -> (streamCardinality _),
     "stream_quality"     -> (streamQuality _),
     "stream_window_agg"  -> (streamWindowAgg _),
     "stream_enrich"      -> (streamEnrich _),
@@ -421,6 +451,26 @@ object Streaming {
     "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    // registers AND fold replayed from the raw events — if the stream
+    // dropped, duplicated, or mis-sealed a window, a register (and so
+    // the integer sketch state) would differ
+    "stream_cardinality" -> {
+      import graft.dedup.{Md5Bits, Sketch}
+      val (fb, fp, m) = (Sketch.FieldBits, Sketch.FieldPow, Sketch.HllM)
+      s"""WITH h AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w, event_type,
+         |    ${Md5Bits.p60Sql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events),
+         |f AS (SELECT w, event_type, h // $fp AS bucket, h % $fp AS rest FROM h),
+         |r AS (SELECT w, event_type, bucket,
+         |        CASE WHEN rest = 0 THEN ${fb + 1} ELSE ${fb + 1} - length(bin(rest)) END AS rho
+         |      FROM f),
+         |regs AS (SELECT w, event_type, bucket, max(rho) AS reg FROM r GROUP BY 1, 2, 3)
+         |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+         |  CAST($m AS INTEGER) AS m, count(*) AS occupied,
+         |  (sum((1::BIGINT << (${fb + 1} - reg))) + ($m - count(*)) * (1::BIGINT << ${fb + 1}))::BIGINT AS sum_scaled
+         |FROM regs GROUP BY w, event_type""".stripMargin
+    },
     // the batch gate's oracle verbatim: stream and batch share the
     // projection CODE, so they share the oracle too — drift impossible
     "stream_quality" -> graft.dedup.Text.oracles("text_quality"),

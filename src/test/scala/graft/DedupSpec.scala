@@ -450,6 +450,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("stream_cardinality equals the batch HLL register state over events") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val streamed = Streaming.streamCardinality(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    val batch = graft.dedup.Sketch.hllSummary(
+      graft.dedup.Sketch.hllParts(
+        graft.sources.Tables.events(spark, sf)
+          .withColumn("h", expr("md5_p60(CAST(user_id AS STRING))")))
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+        .withColumn("wstart", date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")),
+      Seq("wstart", "event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch, "streaming register state diverged from batch")
+  }
+
   test("stream enrich (stream-static join) equals batch join-aggregation") {
     val streamed = Streaming.streamEnrich(spark, sf)
       .select("wstart", "segment", "n_events")
