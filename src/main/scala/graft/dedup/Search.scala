@@ -136,9 +136,40 @@ object Search {
       .limit(20)
   }
 
+  /** text_keywords — per-document keyword extraction: top-3 terms by
+    * tf·idf. The idf is the RATIONAL `N/df` (same bit-exactness
+    * argument as [[searchBm25]]'s rational idf: every score op —
+    * one division, one multiply — is a single IEEE double op on
+    * integer-derived values, identical in any engine; the log form is
+    * one line away if calibrated tf-idf matters more than an exact
+    * oracle). Scale: tf is the (doc, term) shuffle every indexer pays;
+    * the df census derives from tf (vocabulary-sized, checkpointed so
+    * the corpus shuffle runs once); N is a broadcast 1-row; per-doc
+    * top-3 is a window over the doc's own terms. */
+  def textKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true) // fans into the df census + the join
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val score = col("tf").cast("double") *
+      (col("n_docs").cast("double") / col("df").cast("double"))
+    val out = tf.join(dfc, Seq("term")).crossJoin(broadcast(nd))
+      .withColumn("score", score)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
+      .localCheckpoint(eager = true)
+    graft.util.Checkpoints.free(tf)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "search_vocab" -> (searchVocab _),
-    "search_bm25"  -> (searchBm25 _))
+    "search_vocab"  -> (searchVocab _),
+    "search_bm25"   -> (searchBm25 _),
+    "text_keywords" -> (textKeywords _))
 
   val oracles: Map[String, String] = {
     val tfSelects = bm25Terms
@@ -152,6 +183,18 @@ object Search {
          |    * ((CAST(tf_$q AS DOUBLE) * ${dlit(K1P1)})
          |       / (CAST(tf_$q AS DOUBLE) + ${dlit(K1)} * (${dlit(OneMinusB)} + ${dlit(B)} * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))))""".stripMargin
     Map(
+      "text_keywords" ->
+        """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+          |dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+          |nd AS (SELECT count(*) AS n_docs FROM documents)
+          |SELECT doc_id, term, tf, df, score FROM (
+          |  SELECT doc_id, term, tf, df,
+          |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) DESC, term) AS rk
+          |  FROM tf JOIN dfc USING (term) CROSS JOIN nd) t
+          |WHERE rk <= 3""".stripMargin,
       "search_vocab" ->
         """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
           |c AS (SELECT term, count(*) AS n, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),

@@ -119,10 +119,63 @@ object GraphMetrics {
     out
   }
 
+  /** Walk length for [[kgRandomWalk]] (steps beyond the start node). */
+  private val WalkSteps = 3
+
+  /** kg_random_walk — deterministic random-walk corpus generation
+    * (the DeepWalk/node2vec data-prep shape): one 3-step walk from
+    * every node of the co-occurrence network, where step k at node c
+    * moves to the neighbor ranked `md5(c|k) mod deg(c)` in c's
+    * id-ordered adjacency list. md5 replaces the RNG, so walks are a
+    * pure function of the graph — rerun-identical on any cluster
+    * layout, and the oracle replays every step. Emitted long:
+    * (start, step, node).
+    *
+    * Scale: each step is ONE equi-join of the frontier against the
+    * ranked adjacency (frontier size = node count, constant), never a
+    * per-walk driver loop; rank + degree are census-sized window/agg
+    * over the edge list. Walk fan-out (multiple walks per node) is a
+    * walk-id column in the hash preimage — same plan shape. */
+  def kgRandomWalk(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.Md5Bits
+    graft.functions.GraftFunctions.registerAll(spark)
+    val e = edges(spark, dir)
+    val adj = e.select(col("p1").as("node"), col("p2").as("nbr"))
+      .union(e.select(col("p2").as("node"), col("p1").as("nbr")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("node")).orderBy(col("nbr"))))
+      .localCheckpoint(eager = true) // feeds every step's join + the degree census
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var frontier = adj.select(col("node").as("start")).distinct()
+      .withColumn("cur", col("start"))
+      .localCheckpoint(eager = true)
+    val owned = scala.collection.mutable.ListBuffer[DataFrame](adj, e, frontier)
+    val rows = Seq.newBuilder[DataFrame]
+    rows += frontier.select(col("start"), lit(0).as("step"), col("cur").as("node"))
+    (1 to WalkSteps).foreach { k =>
+      val idx = pmod(
+        Md5Bits.p60(concat(col("cur").cast("string"), lit("|"), lit(k))), col("deg")) + lit(1)
+      // each step's frontier is checkpointed (node-census-sized) so the
+      // union of all steps doesn't re-run the k² join prefix chain
+      frontier = frontier
+        .join(deg.select(col("node").as("cur"), col("deg")), Seq("cur"))
+        .withColumn("rank", idx.cast("int"))
+        .join(adj.select(col("node").as("cur"), col("rank"), col("nbr")), Seq("cur", "rank"))
+        .select(col("start"), col("nbr").as("cur"))
+        .localCheckpoint(eager = true)
+      owned += frontier
+      rows += frontier.select(col("start"), lit(k).as("step"), col("cur").as("node"))
+    }
+    val out = rows.result().reduce(_ union _).localCheckpoint(eager = true)
+    owned.foreach(graft.util.Checkpoints.free)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_path_alt"         -> (kgPathAlt _),
     "kg_clustering_coeff" -> (kgClusteringCoeff _),
-    "kg_node_sim"         -> (kgNodeSim _))
+    "kg_node_sim"         -> (kgNodeSim _),
+    "kg_random_walk"      -> (kgRandomWalk _))
 
   /** Shared oracle CTE: the weight ≥ 2 co-occurrence edge set. */
   private val E =
@@ -130,7 +183,31 @@ object GraphMetrics {
       |e AS (SELECT a.part AS p1, b.part AS p2 FROM hp a JOIN hp b ON a.o = b.o AND a.part < b.part
       |      GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  private val walkSql: String = {
+    val steps = (1 to WalkSteps).map { k =>
+      s"""w$k AS (
+         |  SELECT w${k - 1}.start, a.nbr AS cur
+         |  FROM w${k - 1}
+         |  JOIN deg d ON d.node = w${k - 1}.cur
+         |  JOIN adj a ON a.node = w${k - 1}.cur
+         |   AND a.rank = (('0x'||substr(md5(CAST(w${k - 1}.cur AS VARCHAR)||'|$k'),1,15))::BIGINT % d.deg) + 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val rows = (0 to WalkSteps).map(k =>
+      s"SELECT start, CAST($k AS INTEGER) AS step, cur AS node FROM w$k")
+      .mkString("\nUNION ALL ")
+    s"""$T, $E,
+       |adj AS (
+       |  SELECT node, nbr, row_number() OVER (PARTITION BY node ORDER BY nbr) AS rank
+       |  FROM (SELECT p1 AS node, p2 AS nbr FROM e UNION ALL SELECT p2, p1 FROM e)),
+       |deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY 1),
+       |w0 AS (SELECT DISTINCT node AS start, node AS cur FROM adj),
+       |$steps
+       |$rows""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kg_random_walk" -> walkSql,
     "kg_path_alt" ->
       s"""$T
          |SELECT s AS x, 'alt_direct' AS form, p, o_id, o_val FROM triples WHERE p='in_region'

@@ -37,6 +37,30 @@ class GraphMetricsSpec extends SparkSpec {
     assert(rows.exists(_.getLong(3) > 0), "no triangles found — graph too sparse to test")
   }
 
+  test("kg_random_walk walks are complete, edge-valid, and deterministic") {
+    val walks = GraphMetrics.kgRandomWalk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byStart = walks.groupBy(_._1)
+    // every start node carries a full-length walk
+    byStart.foreach { case (s, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (0 to 3), s"walk from $s incomplete")
+      assert(rows.find(_._2 == 0).get._3 == s, "step 0 must be the start node")
+    }
+    // every consecutive hop is a real co-occurrence edge
+    val edgeSet = graft.kg.KGQueries.kgCooccur(spark, sf)
+      .collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+    byStart.foreach { case (s, rows) =>
+      rows.sortBy(_._2).map(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet.contains((a, b)), s"walk from $s jumped $a->$b (not an edge)")
+        case _           =>
+      }
+    }
+    // md5-driven: rerun is bit-identical
+    val rerun = GraphMetrics.kgRandomWalk(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(walks.toSet == rerun.toSet)
+  }
+
   test("kg_node_sim jaccard is exact, bounded, and symmetric in its inputs") {
     val rows = GraphMetrics.kgNodeSim(spark, sf)
       .select("a", "b", "common", "deg_a", "deg_b", "union_size").collect()

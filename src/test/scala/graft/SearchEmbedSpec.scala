@@ -51,6 +51,25 @@ class SearchEmbedSpec extends SparkSpec {
     }
   }
 
+  test("text_keywords: at most 3 per doc, scores descend, df consistent with the census") {
+    val rows = Search.textKeywords(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    byDoc.foreach { case (doc, ks) =>
+      assert(ks.length <= 3, s"doc $doc has ${ks.length} keywords")
+      val scores = ks.sortBy(k => (-k._5, k._2)).map(_._5)
+      assert(scores.sameElements(scores.sorted.reverse), s"doc $doc scores not descending")
+      ks.foreach(k => assert(k._3 >= 1 && k._4 >= 1))
+    }
+    // df of a sampled keyword equals its true document frequency
+    val (_, term, _, df, _) = rows.head
+    val trueDf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("t"), col("doc_id"))
+      .filter(col("t") === term).select("doc_id").distinct().count()
+    assert(df == trueDf, s"df($term)=$df but census says $trueDf")
+  }
+
   test("embed_quantize is a faithful int8 code: |qv| <= 127, exact norm, dequant within half-step") {
     val rows = Embed.embedQuantize(spark, sf).collect()
     assert(rows.nonEmpty)
