@@ -15,6 +15,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.Temporal.queries ++
       graft.queries.Incremental.queries ++
+      graft.queries.Robust.queries ++
       graft.kg.KGQueries.queries ++
       graft.kg.Wikibase.queries ++
       graft.kg.GraphMetrics.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.Temporal.oracles ++
       graft.queries.Incremental.oracles ++
+      graft.queries.Robust.oracles ++
       graft.kg.KGQueries.oracles ++
       graft.kg.Wikibase.oracles ++
       graft.kg.GraphMetrics.oracles ++

@@ -221,11 +221,60 @@ object Corpus {
           .otherwise("ok"))
   }
 
+  /** [[corpusShuffle]] geometry: epochs to emit, docs per batch, and
+    * the shuffle-key range per level-1 bucket (p60 keys are uniform on
+    * [0, 2^60), so dividing by 2^46 yields ≤ 2^14 balanced buckets —
+    * each level-1 task sorts ~n/16384 docs regardless of corpus
+    * size). */
+  private val ShuffleEpochs = 2
+  private val BatchSize = 64L
+  private val KeyBktPow = 1L << 46
+
+  /** corpus_shuffle — the data loader's deterministic epoch shuffle:
+    * each epoch is a fresh global permutation (order by
+    * md5(epoch|doc_id)) cut into fixed-size training batches. md5
+    * replaces the RNG: the permutation is a pure function of
+    * (epoch, doc ids) — rerun-identical on any cluster layout, and
+    * every engine with md5 replays it, which is what makes a training
+    * run's data order AUDITABLE (batch k of epoch e is recomputable
+    * forever).
+    *
+    * Scale shape: a naive `row_number() OVER (ORDER BY key)` is a
+    * single-task global sort. The global index is instead the same
+    * two-level prefix sum as [[corpusPack]]: level 1 numbers rows
+    * within (epoch, key div 2^46) buckets — the md5 key is uniform,
+    * so buckets are balanced and each task sorts ~n/2^14 docs; level
+    * 2 cumsums the per-bucket counts (census-sized) into exclusive
+    * offsets joined back on (epoch, bucket). */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val wIn = Window.partitionBy(col("epoch"), col("kbkt"))
+      .orderBy(col("skey"), col("doc_id"))
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("kbkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val keyed = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(array((1 to ShuffleEpochs).map(lit): _*)))
+      .withColumn("skey",
+        p60(concat(col("epoch").cast("string"), lit("|"), col("doc_id").cast("string"))))
+      .withColumn("kbkt", expr(s"skey div ${KeyBktPow}L"))
+    val offsets = keyed.groupBy(col("epoch"), col("kbkt"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", sum(col("cnt")).over(wOff) - col("cnt"))
+      .select(col("epoch"), col("kbkt"), col("off"))
+    keyed
+      .withColumn("rn", row_number().over(wIn))
+      .join(offsets, Seq("epoch", "kbkt"))
+      .withColumn("global_idx", col("off") + col("rn") - 1)
+      .select(col("epoch"), col("doc_id"), col("skey"), col("global_idx"),
+        expr(s"global_idx div ${BatchSize}L").as("batch_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_sample" -> (corpusSample _),
-    "corpus_pack"   -> (corpusPack _),
-    "corpus_mix"    -> (corpusMix _),
-    "corpus_filter" -> (corpusFilter _))
+    "corpus_sample"  -> (corpusSample _),
+    "corpus_pack"    -> (corpusPack _),
+    "corpus_mix"     -> (corpusMix _),
+    "corpus_shuffle" -> (corpusShuffle _),
+    "corpus_filter"  -> (corpusFilter _))
 
   val oracles: Map[String, String] = {
     val thrSql = rates.foldRight(defaultRate.toString) { case ((l, r), acc) =>
@@ -281,6 +330,16 @@ object Corpus {
            |       WHEN NOT is_canonical THEN 'duplicate'
            |       ELSE 'ok' END AS reason
            |FROM base""".stripMargin,
+      "corpus_shuffle" ->
+        s"""WITH k AS (
+           |  SELECT CAST(epoch AS INTEGER) AS epoch, doc_id,
+           |    ${p60Sql("CAST(epoch AS VARCHAR)||'|'||CAST(doc_id AS VARCHAR)")} AS skey
+           |  FROM documents, range(1, ${ShuffleEpochs + 1}) r(epoch)),
+           |g AS (SELECT epoch, doc_id, skey,
+           |        row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id) - 1 AS gi
+           |      FROM k)
+           |SELECT epoch, doc_id, skey, gi::BIGINT AS global_idx,
+           |  (gi // $BatchSize)::BIGINT AS batch_id FROM g""".stripMargin,
       "corpus_pack" ->
         """WITH t AS (
           |  SELECT doc_id, lang,

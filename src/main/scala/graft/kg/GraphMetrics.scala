@@ -119,6 +119,26 @@ object GraphMetrics {
     out
   }
 
+  /** kg_having — SPARQL 1.1 GROUP BY + HAVING with an aggregate
+    * subquery threshold: nations whose customer count exceeds the
+    * per-nation average (the `HAVING (COUNT(?c) > ...)` form, with
+    * the average from a 1-row sub-select broadcast back), label
+    * resolved through the label service. The average is ONE IEEE
+    * division of two counts — identical in any engine. */
+  def kgHaving(spark: SparkSession, dir: String): DataFrame = {
+    val st = Triples.statements(spark, dir)
+    val counts = st.filter(col("p") === "in_nation" && col("s").between(C0, C1 - 1))
+      .groupBy(col("o_id").as("nation")).agg(count(lit(1)).as("n_customers"))
+    val avg = counts.agg(
+      (sum(col("n_customers")).cast("double") / count(lit(1)).cast("double")).as("avg_c"))
+    val labels = st.filter(col("p") === "label" && col("lang") === "en")
+      .select(col("s").as("nation"), col("o_val").as("nation_name"))
+    counts.crossJoin(broadcast(avg))
+      .filter(col("n_customers").cast("double") > col("avg_c"))
+      .join(labels, Seq("nation"))
+      .select(col("nation"), col("nation_name"), col("n_customers"), col("avg_c"))
+  }
+
   /** Walk length for [[kgRandomWalk]] (steps beyond the start node). */
   private val WalkSteps = 3
 
@@ -175,7 +195,8 @@ object GraphMetrics {
     "kg_path_alt"         -> (kgPathAlt _),
     "kg_clustering_coeff" -> (kgClusteringCoeff _),
     "kg_node_sim"         -> (kgNodeSim _),
-    "kg_random_walk"      -> (kgRandomWalk _))
+    "kg_random_walk"      -> (kgRandomWalk _),
+    "kg_having"           -> (kgHaving _))
 
   /** Shared oracle CTE: the weight ≥ 2 co-occurrence edge set. */
   private val E =
@@ -207,6 +228,16 @@ object GraphMetrics {
   }
 
   val oracles: Map[String, String] = Map(
+    "kg_having" ->
+      s"""$T,
+         |counts AS (SELECT o_id AS nation, count(*) AS n_customers FROM triples
+         |           WHERE p='in_nation' AND s BETWEEN $C0 AND ${C1 - 1} GROUP BY 1),
+         |a AS (SELECT CAST(CAST(sum(n_customers) AS BIGINT) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE) AS avg_c FROM counts),
+         |l AS (SELECT s AS nation, o_val AS nation_name FROM triples WHERE p='label' AND lang='en')
+         |SELECT nation, nation_name, n_customers, avg_c
+         |FROM counts CROSS JOIN a JOIN l USING (nation)
+         |WHERE CAST(n_customers AS DOUBLE) > avg_c""".stripMargin,
     "kg_random_walk" -> walkSql,
     "kg_path_alt" ->
       s"""$T

@@ -74,6 +74,25 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpus_shuffle: each epoch is a full permutation, epochs differ, batches are full-sized") {
+    val rows = Corpus.corpusShuffle(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val n = spark.read.parquet(s"$sf/documents.parquet").count()
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1, 2))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until n), s"epoch $e global_idx not a permutation")
+      // every batch but the last is exactly full
+      rs.groupBy(_._4).foreach { case (b, bs) =>
+        if (b < (n - 1) / 64) assert(bs.length == 64, s"epoch $e batch $b has ${bs.length}")
+      }
+    }
+    // the two epochs order the corpus differently
+    val o1 = byEpoch(1).sortBy(_._3).map(_._2).toSeq
+    val o2 = byEpoch(2).sortBy(_._3).map(_._2).toSeq
+    assert(o1 != o2, "epoch permutations identical — shuffle key ignores the epoch")
+  }
+
   test("corpus_pack places every doc where its token window starts") {
     val budget = 2000L
     val rows = Corpus.corpusPack(spark, sf).collect()

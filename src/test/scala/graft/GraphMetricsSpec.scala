@@ -61,6 +61,15 @@ class GraphMetricsSpec extends SparkSpec {
     assert(walks.toSet == rerun.toSet)
   }
 
+  test("kg_having keeps only above-average nations, and excludes at least one") {
+    val rows = GraphMetrics.kgHaving(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val avg = rows.head.getDouble(3)
+    rows.foreach(r => assert(r.getLong(2).toDouble > avg))
+    val nNations = spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(rows.length < nNations, "HAVING filtered nothing — threshold degenerate")
+  }
+
   test("kg_node_sim jaccard is exact, bounded, and symmetric in its inputs") {
     val rows = GraphMetrics.kgNodeSim(spark, sf)
       .select("a", "b", "common", "deg_a", "deg_b", "union_size").collect()
