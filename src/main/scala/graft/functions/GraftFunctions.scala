@@ -268,6 +268,52 @@ object PqNative {
   }
 }
 
+/** interleave16(a, b): native Morton (Z-order) interleave of two
+  * 16-bit quantized coordinates — `a`'s bits land on odd positions,
+  * `b`'s on even, via the classic branch-free mask-spread (5 shift/
+  * mask steps per coordinate, no loop), inside whole-stage codegen.
+  * Z-ordering is the LAYOUT primitive for multi-dimensional locality:
+  * sorting by z co-locates spatial neighbors in the same files, so
+  * min/max file statistics prune 2-D range queries that a single-
+  * column sort cannot. Bit-identical to the 32-term shift-and-or
+  * composition (FunctionsSpec asserts), which is how the DuckDB
+  * oracle replays it. Inputs beyond 16 bits are masked. */
+case class Interleave16(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"interleave16 requires two bigint arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    Interleave16.morton(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.Interleave16$$.MODULE$$.morton($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Interleave16 =
+    copy(left = l, right = r)
+}
+
+object Interleave16 {
+  /** 16 bits → every other of 32 (Morton spread). */
+  def spread(v0: Long): Long = {
+    var v = v0 & 0xFFFFL
+    v = (v | (v << 8)) & 0x00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0FL
+    v = (v | (v << 2)) & 0x33333333L
+    v = (v | (v << 1)) & 0x55555555L
+    v
+  }
+  def morton(a: Long, b: Long): Long = (spread(a) << 1) | spread(b)
+}
+
 /** SQL-function registry for the graft native expressions. Register
   * once per session; all queries reach them via `expr("cosine_sim(...)")`
   * or plain SQL. `hamming64` composes existing codegen'd nodes
@@ -303,8 +349,13 @@ object GraftFunctions {
     info("pq_adc", "pq_adc(uq, codes) - asymmetric PQ distance of a query to a code word"),
     (children: Seq[Expression]) => PqAdc(children(0), children(1)))
 
+  private val interleave16 = (
+    FunctionIdentifier("interleave16"),
+    info("interleave16", "interleave16(a, b) - Morton/Z-order interleave of two 16-bit coordinates"),
+    (children: Seq[Expression]) => Interleave16(children(0), children(1)))
+
   private val all = Seq(
-    cosineSim, hamming64, pqEncode, pqAdc,
+    cosineSim, hamming64, pqEncode, pqAdc, interleave16,
     md5Word("md5_hi32", 0), md5Word("md5_lo32", 1), md5Word("md5_p60", 2))
 
   /** Imperative registration into an existing session. */

@@ -417,7 +417,35 @@ object Wikibase {
     labels.unionAll(claims)
   }
 
+  /** kg_geo_zorder — the Z-order LAYOUT key for the coordinate
+    * statements: quantize lat/lon to 16 bits, Morton-interleave them
+    * (native [[graft.functions.Interleave16]], codegen'd in the scan
+    * stage), and derive the 128×128 spatial cell from the top z bits.
+    * This is the write-side primitive behind 2-D locality at 100 TB:
+    * sorting/range-partitioning the store by `z` before writing puts
+    * spatial neighbors in the same parquet files, so min/max file
+    * stats prune bounding-box queries ([[kgGeoNear]]'s box) that a
+    * one-column sort cannot — the Delta/Iceberg OPTIMIZE ZORDER shape
+    * expressed as a plain deterministic column.
+    *
+    * Determinism: quantization is 3 IEEE ops + floor (identical in
+    * any engine), the interleave is integer bit ops — the oracle
+    * replays it as the 32-term shift-and-or composition. */
+  def kgGeoZorder(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val pts = Tables.customer(spark, dir).select(cid.as("s"),
+      ((col("c_custkey") * 37 % 1800).cast("double") / 10.0 - 90.0).as("lat"),
+      ((col("c_custkey") * 73 % 3600).cast("double") / 10.0 - 180.0).as("lon"))
+    pts
+      .withColumn("qlat", floor((col("lat") + 90.0) / 180.0 * 65535.0).cast("long"))
+      .withColumn("qlon", floor((col("lon") + 180.0) / 360.0 * 65535.0).cast("long"))
+      .withColumn("z", expr("interleave16(qlat, qlon)"))
+      .withColumn("cell", expr("z div 262144")) // 2^18 → 14 top bits = 128×128 grid
+      .select(col("s"), col("qlat"), col("qlon"), col("z"), col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_geo_zorder"      -> (kgGeoZorder _),
     "kg_geo_near"        -> (kgGeoNear _),
     "kg_export_qs"       -> (kgExportQs _),
     "kg_best_rank"       -> (kgBestRank _),
@@ -438,6 +466,24 @@ object Wikibase {
        |  WHERE ord = best_ord AND stmt_rank <> 'deprecated')""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "kg_geo_zorder" -> {
+      val zTerms = (0 until 16).flatMap(i => Seq(
+        s"(((qlat >> $i) & 1) << ${2 * i + 1})",
+        s"(((qlon >> $i) & 1) << ${2 * i})")).mkString(" | ")
+      s"""WITH pts AS (
+         |  SELECT $cidSql AS s,
+         |    CAST(c_custkey * 37 % 1800 AS DOUBLE) / 10.0e0 - 90.0e0 AS lat,
+         |    CAST(c_custkey * 73 % 3600 AS DOUBLE) / 10.0e0 - 180.0e0 AS lon
+         |  FROM customer),
+         |q AS (
+         |  SELECT s,
+         |    CAST(floor((lat + 90.0e0) / 180.0e0 * 65535.0e0) AS BIGINT) AS qlat,
+         |    CAST(floor((lon + 180.0e0) / 360.0e0 * 65535.0e0) AS BIGINT) AS qlon
+         |  FROM pts)
+         |SELECT s, qlat, qlon, ($zTerms)::BIGINT AS z,
+         |  (($zTerms) // 262144)::BIGINT AS cell
+         |FROM q""".stripMargin
+    },
     "kg_geo_near" ->
       s"""WITH pts AS (
          |  SELECT $cidSql AS s,

@@ -61,6 +61,29 @@ class FunctionsSpec extends SparkSpec {
     assert(df.filter(col("h1") =!= col("h2")).count() == 0)
   }
 
+  test("interleave16 equals the shift-and-or composition, reference impl, and masks high bits") {
+    GraftFunctions.registerAll(spark)
+    val comp = (0 until 16).flatMap(i => Seq(
+      s"((shiftright(a, $i) & 1L) << ${2 * i + 1})",
+      s"((shiftright(b, $i) & 1L) << ${2 * i})")).mkString(" | ")
+    val df = spark.range(2000)
+      .selectExpr("id", "(id * 2654435761) % 65536 AS a", "(id * 40503) % 65536 AS b")
+      .withColumn("zn", expr("interleave16(a, b)"))
+      .withColumn("zc", expr(comp))
+    assert(df.filter(col("zn") =!= col("zc")).count() == 0)
+    // scala reference round trip: de-interleave recovers both inputs
+    df.limit(100).collect().foreach { r =>
+      val (a, b, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      def unspread(v: Long): Long =
+        (0 until 16).map(i => ((v >> (2 * i)) & 1L) << i).reduce(_ | _)
+      assert(unspread(z >> 1) == a && unspread(z) == b, s"z=$z not bijective for ($a,$b)")
+    }
+    // inputs beyond 16 bits are masked, not wrapped into neighbors' bits
+    val big = spark.sql("SELECT interleave16(65536L + 3L, 2L) AS z").head().getLong(0)
+    val small = spark.sql("SELECT interleave16(3L, 2L) AS z").head().getLong(0)
+    assert(big == small)
+  }
+
   test("extensions injection: functions available without registerAll") {
     // SparkSpec's session comes from GraftSession.builder, which wires
     // GraftExtensions — so SQL resolution must work with no imperative

@@ -166,6 +166,24 @@ class WikibaseSpec extends SparkSpec {
     assert(d.zip(d.tail).forall { case (a, b) => a <= b })
   }
 
+  test("geo_zorder: z decodes back to the quantized coordinates, cells bound both axes") {
+    val rows = Wikibase.kgGeoZorder(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    def unspread(v: Long): Long =
+      (0 until 16).map(i => ((v >> (2 * i)) & 1L) << i).reduce(_ | _)
+    rows.foreach { case (qlat, qlon, z, _) =>
+      assert(unspread(z >> 1) == qlat && unspread(z) == qlon, s"z=$z not bijective")
+    }
+    // a cell (top 14 z bits = top 7 bits per axis) bounds BOTH axes to
+    // a 512-quantized-unit square — the 2-D locality a 1-D sort lacks
+    rows.groupBy(_._4).foreach { case (cell, pts) =>
+      val lats = pts.map(_._1); val lons = pts.map(_._2)
+      assert(lats.max - lats.min < 512, s"cell $cell lat spread ${lats.max - lats.min}")
+      assert(lons.max - lons.min < 512, s"cell $cell lon spread ${lons.max - lons.min}")
+    }
+  }
+
   test("sample_distinct: per-nation distinct counts match a direct computation") {
     val got = Wikibase.kgSampleDistinct(spark, sf).collect()
       .map(r => r.getAs[Long]("n") ->
