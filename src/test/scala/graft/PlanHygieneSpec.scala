@@ -15,7 +15,10 @@ class PlanHygieneSpec extends SparkSpec {
     "sim_ann_pq"          -> "query-set × code column ADC scan (broadcast queries)",
     "search_bm25"         -> "1-row corpus-stats broadcast",
     "search_vocab"        -> "1-row total broadcast",
-    "corpus_mix"          -> "1-row corpus-total broadcast into the langs census")
+    "corpus_mix"          -> "1-row corpus-total broadcast into the langs census",
+    "sketch_bloom"        -> "1-row filter-sizing stats (n_build, m_bits) broadcast",
+    "kg_having"           -> "1-row aggregate-subquery threshold broadcast",
+    "text_keywords"       -> "1-row corpus-size broadcast into the tf/df join")
 
   test("no query plans a cartesian product; nested-loop joins only where bounded by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()
