@@ -346,7 +346,64 @@ object ER {
       .withColumn("is_new", col("exact_dup_of").isNull && col("near_dup_of").isNull)
   }
 
+  /** Fellegi–Sunter field weights as EXACT pre-reduced rationals:
+    * (agreeNum/agreeDen) = m/u and (disNum/disDen) = (1−m)/(1−u).
+    * A production run fits m/u by EM (Splink-style) and scores with
+    * log₂ weight SUMS; the likelihood-ratio PRODUCT here is the same
+    * classifier under a monotone transform, and keeping it rational
+    * makes the score integer-exact — no float logs in the oracle.
+    * The `require`s prove each hand-reduced pair against its m/u
+    * definition in exact integer cross-multiplication. */
+  private final case class FsField(agreeNum: Long, agreeDen: Long, disNum: Long, disDen: Long)
+  // name: m=9/10, u=1/20; brand: m=4/5, u=1/25; type: m=3/4, u=1/10
+  private val fsName  = FsField(18, 1, 2, 19)
+  private val fsBrand = FsField(20, 1, 5, 24)
+  private val fsType  = FsField(15, 2, 5, 18)
+  locally {
+    def check(f: FsField, mN: Long, mD: Long, uN: Long, uD: Long): Unit = {
+      require(f.agreeNum * mD * uN == f.agreeDen * mN * uD, "agree ratio != m/u")
+      require(f.disNum * (uD - uN) * mD == f.disDen * (mD - mN) * uD, "disagree ratio != (1-m)/(1-u)")
+    }
+    check(fsName, 9, 10, 1, 20); check(fsBrand, 4, 5, 1, 25); check(fsType, 3, 4, 1, 10)
+  }
+  /** Match iff the likelihood ratio exceeds [[FsThreshold]] — with
+    * these weights that means ≥ 2 field agreements. */
+  private val FsThreshold = 10L
+
+  /** er_fs_score — Fellegi–Sunter probabilistic match scoring over the
+    * blocked candidate pairs: per-field agreement (name = thresholded
+    * levenshtein ≤ 2, brand/type = equality) selects each field's
+    * m/u or (1−m)/(1−u) arm; the likelihood ratio is the product,
+    * carried as exact integer numerator/denominator. Pure codegen over
+    * the pair stream — the same salted block join as er_blocking, no
+    * new shuffle shape. */
+  def erFsScore(spark: SparkSession, dir: String): DataFrame = {
+    val attrs = Tables.part(spark, dir)
+      .select(col("p_partkey").as("id"), col("p_brand").as("brand"), col("p_type").as("ptype"))
+    val pairs = blockedPairs(blockedParts(spark, dir))
+      .select(col("id_a"), col("id_b"), col("norm_a"), col("norm_b"))
+      .join(attrs.select(col("id").as("id_a"), col("brand").as("brand_a"), col("ptype").as("ptype_a")), Seq("id_a"))
+      .join(attrs.select(col("id").as("id_b"), col("brand").as("brand_b"), col("ptype").as("ptype_b")), Seq("id_b"))
+      .withColumn("name_agree", levenshtein(col("norm_a"), col("norm_b"), 2) >= 0)
+      .withColumn("brand_agree", col("brand_a") === col("brand_b"))
+      .withColumn("type_agree", col("ptype_a") === col("ptype_b"))
+    def arm(flag: String, f: FsField, num: Boolean) =
+      when(col(flag), lit(if (num) f.agreeNum else f.agreeDen))
+        .otherwise(lit(if (num) f.disNum else f.disDen))
+    pairs
+      .withColumn("w_num",
+        arm("name_agree", fsName, num = true) * arm("brand_agree", fsBrand, num = true) *
+          arm("type_agree", fsType, num = true))
+      .withColumn("w_den",
+        arm("name_agree", fsName, num = false) * arm("brand_agree", fsBrand, num = false) *
+          arm("type_agree", fsType, num = false))
+      .select(col("id_a"), col("id_b"), col("name_agree"), col("brand_agree"),
+        col("type_agree"), col("w_num"), col("w_den"),
+        (col("w_num") > lit(FsThreshold) * col("w_den")).as("is_match"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fs_score"             -> (erFsScore _),
     "er_incremental"          -> (erIncremental _),
     "er_canonicalize"         -> (erCanonicalize _),
     "er_normalize"            -> (erNormalize _),
@@ -359,6 +416,27 @@ object ER {
   private val N = normSql("p_name")
 
   val oracles: Map[String, String] = Map(
+    "er_fs_score" ->
+      s"""WITH p AS (SELECT p_partkey AS id, $N AS norm, p_brand AS brand, p_type AS ptype FROM part),
+         |b AS (SELECT id, norm, brand, ptype, string_split(norm, ' ')[1] AS blk FROM p),
+         |pr AS (
+         |  SELECT a.id AS id_a, x.id AS id_b,
+         |    (levenshtein(a.norm, x.norm) <= 2) AS name_agree,
+         |    (a.brand = x.brand) AS brand_agree,
+         |    (a.ptype = x.ptype) AS type_agree
+         |  FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id),
+         |w AS (
+         |  SELECT id_a, id_b, name_agree, brand_agree, type_agree,
+         |    (CASE WHEN name_agree THEN ${fsName.agreeNum} ELSE ${fsName.disNum} END
+         |     * CASE WHEN brand_agree THEN ${fsBrand.agreeNum} ELSE ${fsBrand.disNum} END
+         |     * CASE WHEN type_agree THEN ${fsType.agreeNum} ELSE ${fsType.disNum} END)::BIGINT AS w_num,
+         |    (CASE WHEN name_agree THEN ${fsName.agreeDen} ELSE ${fsName.disDen} END
+         |     * CASE WHEN brand_agree THEN ${fsBrand.agreeDen} ELSE ${fsBrand.disDen} END
+         |     * CASE WHEN type_agree THEN ${fsType.agreeDen} ELSE ${fsType.disDen} END)::BIGINT AS w_den
+         |  FROM pr)
+         |SELECT id_a, id_b, name_agree, brand_agree, type_agree, w_num, w_den,
+         |  (w_num > $FsThreshold * w_den) AS is_match
+         |FROM w""".stripMargin,
     "er_incremental" ->
       s"""WITH reg AS (
          |  SELECT norm, min(id) AS canonical_id FROM (

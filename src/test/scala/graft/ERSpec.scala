@@ -45,6 +45,25 @@ class ERSpec extends SparkSpec {
     assert(linked.groupBy("id").count().filter(col("count") =!= 1).count() == 0)
   }
 
+  test("er_fs_score: likelihood ratio is the exact arm product; match iff >= 2 agreements") {
+    val rows = ER.erFsScore(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, ba, ta) = (r.getBoolean(2), r.getBoolean(3), r.getBoolean(4))
+      val (num, den, m) = (r.getLong(5), r.getLong(6), r.getBoolean(7))
+      val expNum = (if (na) 18L else 2L) * (if (ba) 20L else 5L) * (if (ta) 15L else 5L)
+      val expDen = (if (na) 1L else 19L) * (if (ba) 1L else 24L) * (if (ta) 2L else 18L)
+      assert(num == expNum && den == expDen, s"arm product wrong for ($na,$ba,$ta)")
+      assert(m == (num > 10L * den))
+      // with these weights, the threshold is exactly the 2-agreement line
+      val agreements = Seq(na, ba, ta).count(identity)
+      assert(m == (agreements >= 2),
+        s"classification diverged from the 2-agreement line at ($na,$ba,$ta)")
+    }
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)),
+      "score never crosses the threshold — weights degenerate")
+  }
+
   test("er_incremental resolves the batch against the registry exactly") {
     val parts = spark.read.parquet(s"$sf/part.parquet")
       .selectExpr("p_partkey AS id",
