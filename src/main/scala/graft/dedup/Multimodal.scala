@@ -129,10 +129,48 @@ object Multimodal {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"),
         countDistinct(col("fmt")).as("n_formats"))
 
+  /** [[mmShard]] byte budget per shard. */
+  private val ShardBytes = 4096L
+  private val ShardBktDocs = 1000L
+
+  /** mm_shard — WebDataset-style shard packing for binary payloads:
+    * each media object gets a (shard, byte_offset) address from the
+    * per-format byte prefix sum — greedy placement where the object's
+    * byte window STARTS (shards overflow by ≤ 1 object, the
+    * corpus_pack contract), and the WITHIN-shard offset is what makes
+    * a packed shard randomly addressable (the tar-index a data loader
+    * seeks by). Same two-level distributed prefix sum as corpus_pack:
+    * format cardinality is small, so the level-1 window runs within
+    * (fmt, doc_id div B) buckets and only bucket totals cumsum per
+    * format. */
+  def mmShard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wIn = Window.partitionBy(col("fmt"), col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.partitionBy(col("fmt")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = records(spark, dir).toDF()
+      .select(col("doc_id"), col("fmt"), length(col("payload")).cast("long").as("n_bytes"))
+      .withColumn("bkt", expr(s"doc_id div ${ShardBktDocs}L"))
+    val offsets = base.groupBy(col("fmt"), col("bkt"))
+      .agg(sum(col("n_bytes")).as("tot"))
+      .withColumn("off", sum(col("tot")).over(wOff) - col("tot"))
+      .select(col("fmt"), col("bkt"), col("off"))
+    base
+      .withColumn("cum_in", sum(col("n_bytes")).over(wIn))
+      .join(offsets, Seq("fmt", "bkt"))
+      .withColumn("start", col("off") + col("cum_in") - col("n_bytes"))
+      .withColumn("shard_idx", expr(s"start div ${ShardBytes}L"))
+      .select(col("doc_id"), col("fmt"), col("n_bytes"), col("shard_idx"),
+        (col("start") - col("shard_idx") * lit(ShardBytes)).as("byte_offset"),
+        concat_ws("-", col("fmt"), col("shard_idx")).as("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"        -> (mmMeta _),
     "mm_framesample" -> (mmFrameSample _),
-    "mm_dedup"       -> (mmDedup _))
+    "mm_dedup"       -> (mmDedup _),
+    "mm_shard"       -> (mmShard _))
 
   /** Both multimodal stages replay exactly in DuckDB. mm_meta's stub
     * features derive from md5_p60 of the payload — md5 hashes raw
@@ -159,6 +197,21 @@ object Multimodal {
       """SELECT md5(text) AS h, count(*) AS n_copies, min(doc_id) AS keep_id,
         |  count(DISTINCT 'img/' || source) AS n_formats
         |FROM documents GROUP BY 1""".stripMargin,
+    "mm_shard" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, 'img/' || source AS fmt,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, fmt, n_bytes,
+         |    CAST(sum(n_bytes) OVER (PARTITION BY fmt ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - n_bytes AS start
+         |  FROM t)
+         |SELECT doc_id, fmt, n_bytes,
+         |  CAST(start // $ShardBytes AS BIGINT) AS shard_idx,
+         |  CAST(start - (start // $ShardBytes) * $ShardBytes AS BIGINT) AS byte_offset,
+         |  fmt || '-' || (start // $ShardBytes)::VARCHAR AS shard
+         |FROM c""".stripMargin,
     "mm_framesample" ->
       s"""WITH d AS (SELECT doc_id,
          |        CASE WHEN strlen(text) = length(text) THEN text

@@ -422,6 +422,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("mm_shard: contiguous byte addresses, offsets inside the budget, greedy placement") {
+    val rows = Multimodal.mmShard(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (fmt, objs) =>
+      val ordered = objs.sortBy(_._1)
+      // addresses are a contiguous byte layout: each object starts
+      // exactly where the previous one ends
+      var expectStart = 0L
+      ordered.foreach { case (id, _, n, shard, off) =>
+        assert(shard == expectStart / 4096, s"$fmt/$id shard_idx")
+        assert(off == expectStart - shard * 4096, s"$fmt/$id byte_offset")
+        assert(off >= 0 && off < 4096, s"$fmt/$id offset outside budget")
+        expectStart += n
+      }
+    }
+  }
+
   test("mm_meta: deterministic features, one row per doc, stub recomputes in-JVM") {
     val a = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
     val b = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
