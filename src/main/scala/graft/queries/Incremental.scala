@@ -89,10 +89,66 @@ object Incremental {
         (coalesce(col("n_s"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n_orders"))
   }
 
+  /** q_cdc_merge — change-data-capture apply (the Delta/Iceberg MERGE
+    * shape): a base snapshot plus an op log (insert/update/delete,
+    * each with a sequence number) → the new snapshot, where the
+    * LATEST op per key wins and a final delete removes the key. One
+    * shuffle on the key for the per-key argmax window; the op log is
+    * synthesized deterministically from the customer table (updates
+    * at seq 1, deletes at seq 2, re-inserts at seq 3, brand-new keys
+    * at seq 1) so every CDC path — update-only, delete, delete-then-
+    * reinsert, fresh insert — is exercised and oracle-checked.
+    *
+    * Scale note: per-key argmax is the map-side-combinable max_by
+    * pattern; at 100 TB the base snapshot would live bucketed on the
+    * key (see [[qIncrementalAgg]]'s store) so only the op log
+    * shuffles — same merge layout, omitted here to keep the CDC
+    * semantics the subject. */
+  def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val base = c.select(col("c_custkey").as("key"), col("c_name").as("name"),
+      lit(0L).as("seq"), lit("I").as("op"))
+    val updates = c.filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("key"), concat(lit("UPD1 "), col("c_name")).as("name"),
+        lit(1L).as("seq"), lit("U").as("op"))
+    val deletes = c.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"), lit(null).cast("string").as("name"),
+        lit(2L).as("seq"), lit("D").as("op"))
+    val reinserts = c.filter(col("c_custkey") % 14 === 0)
+      .select(col("c_custkey").as("key"), concat(lit("REINS "), col("c_name")).as("name"),
+        lit(3L).as("seq"), lit("I").as("op"))
+    val fresh = c.filter(col("c_custkey") % 11 === 0)
+      .select((col("c_custkey") + lit(1000000000L)).as("key"),
+        concat(lit("NEW "), col("c_name")).as("name"), lit(1L).as("seq"), lit("I").as("op"))
+    val log = base.union(updates).union(deletes).union(reinserts).union(fresh)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq").desc)
+    log.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("name"), col("seq").as("last_seq"), col("op").as("last_op"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_incremental_agg" -> (qIncrementalAgg _))
+    "q_incremental_agg" -> (qIncrementalAgg _),
+    "q_cdc_merge"       -> (qCdcMerge _))
 
   val oracles: Map[String, String] = Map(
+    "q_cdc_merge" ->
+      """WITH log AS (
+        |  SELECT c_custkey AS key, c_name AS name, 0 AS seq, 'I' AS op FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPD1 ' || c_name, 1, 'U' FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR), 2, 'D' FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'REINS ' || c_name, 3, 'I' FROM customer WHERE c_custkey % 14 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000000, 'NEW ' || c_name, 1, 'I' FROM customer WHERE c_custkey % 11 = 0),
+        |r AS (SELECT key, name, seq, op,
+        |        row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |      FROM log)
+        |SELECT key, name, CAST(seq AS BIGINT) AS last_seq, op AS last_op
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
     "q_incremental_agg" ->
       """SELECT o_custkey,
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(25,4)) AS DOUBLE) AS revenue,

@@ -24,4 +24,25 @@ class IncrementalSpec extends SparkSpec {
       "batch covers everything — split degenerate")
     Incremental.resetStores()
   }
+
+  test("q_cdc_merge: every CDC path lands in the right final state") {
+    val out = Incremental.qCdcMerge(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getString(3))).toMap
+    val keys = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0))
+    keys.foreach { k =>
+      (k % 14 == 0, k % 7 == 0, k % 4 == 0) match {
+        case (true, _, _) => // delete then re-insert: latest op wins
+          assert(out(k)._1.startsWith("REINS ") && out(k)._3 == "I", s"key $k")
+        case (_, true, _) => // deleted, never resurrected
+          assert(!out.contains(k), s"key $k should be deleted")
+        case (_, _, true) => // updated in place
+          assert(out(k)._1.startsWith("UPD1 ") && out(k)._3 == "U", s"key $k")
+        case _ => // untouched rows survive from the base snapshot
+          assert(out.contains(k) && out(k)._2 == 0L, s"key $k")
+      }
+      if (k % 11 == 0) // fresh inserts land under the new key space
+        assert(out(k + 1000000000L)._1.startsWith("NEW "), s"fresh key $k")
+    }
+  }
 }
