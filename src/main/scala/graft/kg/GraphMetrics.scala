@@ -139,6 +139,24 @@ object GraphMetrics {
       .select(col("nation"), col("nation_name"), col("n_customers"), col("avg_c"))
   }
 
+  /** kg_void_stats — VoID-class schema profiling of the statement
+    * store (the dataset-description census a curator publishes as
+    * `void:propertyPartition` and uses to validate mappings): per
+    * predicate, statement count, distinct subjects, distinct entity
+    * objects, distinct literal values, and the functionality verdict
+    * (functional ⟺ no subject carries the predicate twice — the
+    * owl:FunctionalProperty check). One map-side-partial groupBy(p);
+    * output is predicate-dictionary-sized at any corpus size. */
+  def kgVoidStats(spark: SparkSession, dir: String): DataFrame =
+    Triples.statements(spark, dir)
+      .groupBy(col("p"))
+      .agg(
+        count(lit(1)).as("n_statements"),
+        count_distinct(col("s")).as("n_subjects"),
+        count_distinct(col("o_id")).as("n_entity_objects"),
+        count_distinct(col("o_val")).as("n_literal_values"))
+      .withColumn("is_functional", col("n_statements") === col("n_subjects"))
+
   /** Walk length for [[kgRandomWalk]] (steps beyond the start node). */
   private val WalkSteps = 3
 
@@ -196,7 +214,8 @@ object GraphMetrics {
     "kg_clustering_coeff" -> (kgClusteringCoeff _),
     "kg_node_sim"         -> (kgNodeSim _),
     "kg_random_walk"      -> (kgRandomWalk _),
-    "kg_having"           -> (kgHaving _))
+    "kg_having"           -> (kgHaving _),
+    "kg_void_stats"       -> (kgVoidStats _))
 
   /** Shared oracle CTE: the weight ≥ 2 co-occurrence edge set. */
   private val E =
@@ -228,6 +247,14 @@ object GraphMetrics {
   }
 
   val oracles: Map[String, String] = Map(
+    "kg_void_stats" ->
+      s"""$T
+         |SELECT p, count(*) AS n_statements,
+         |  count(DISTINCT s) AS n_subjects,
+         |  count(DISTINCT o_id) AS n_entity_objects,
+         |  count(DISTINCT o_val) AS n_literal_values,
+         |  (count(*) = count(DISTINCT s)) AS is_functional
+         |FROM triples GROUP BY p""".stripMargin,
     "kg_having" ->
       s"""$T,
          |counts AS (SELECT o_id AS nation, count(*) AS n_customers FROM triples

@@ -58,6 +58,29 @@ class SketchSpec extends SparkSpec {
       s"overcount ${r.getLong(3)} above e/w*N bound $bound for '${r.getString(0)}'"))
   }
 
+  test("deployment path: spark's bloom_filter_agg agrees on members, small fp rate") {
+    // the relational position-set form is the oracle-replayable
+    // skeleton; the production probe is a broadcast bitset — Spark's
+    // own bloom_filter_agg/might_contain IS that path (different hash
+    // family, so different fp SET, but the membership contract and
+    // size/fpp economics are the same)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val build = docs.filter(col("doc_id") % 3 =!= 0).select("text").distinct()
+    // distributed build (aggregated per partition, merged) — the
+    // broadcast-able bitset object
+    val bf = build.stat.bloomFilter("text", 1000L, 0.03)
+    val actual = docs.join(build.withColumn("m", lit(1)), Seq("text"), "left")
+      .select(col("doc_id"), col("text"), (coalesce(col("m"), lit(0)) === 1).as("actual"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    actual.foreach { case (id, text, isMember) =>
+      if (isMember) assert(bf.mightContain(text), s"native bloom false negative on doc $id")
+    }
+    val fps = actual.count { case (_, text, isMember) => !isMember && bf.mightContain(text) }
+    val nonMembers = actual.count(!_._3)
+    assert(nonMembers == 0 || fps.toDouble / nonMembers < 0.2,
+      s"native bloom fp rate $fps/$nonMembers implausibly high")
+  }
+
   test("sketch_bloom has zero false negatives and data-sized m") {
     val rows = Sketch.sketchBloom(spark, sf)
       .select("doc_id", "bloom_hit", "actual", "is_fp", "n_build", "m_bits").collect()
