@@ -16,6 +16,7 @@ object SparkEntry {
       graft.queries.Temporal.queries ++
       graft.queries.Incremental.queries ++
       graft.queries.Robust.queries ++
+      graft.queries.Events.queries ++
       graft.kg.KGQueries.queries ++
       graft.kg.Wikibase.queries ++
       graft.kg.GraphMetrics.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       graft.queries.Temporal.oracles ++
       graft.queries.Incremental.oracles ++
       graft.queries.Robust.oracles ++
+      graft.queries.Events.oracles ++
       graft.kg.KGQueries.oracles ++
       graft.kg.Wikibase.oracles ++
       graft.kg.GraphMetrics.oracles ++
