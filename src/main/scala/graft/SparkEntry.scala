@@ -20,6 +20,7 @@ object SparkEntry {
       graft.kg.KGQueries.queries ++
       graft.kg.Wikibase.queries ++
       graft.kg.GraphMetrics.queries ++
+      graft.kg.Sparql.queries ++
       graft.er.ER.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Embed.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.kg.KGQueries.oracles ++
       graft.kg.Wikibase.oracles ++
       graft.kg.GraphMetrics.oracles ++
+      graft.kg.Sparql.oracles ++
       graft.er.ER.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Embed.oracles ++

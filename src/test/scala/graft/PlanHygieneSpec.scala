@@ -18,7 +18,8 @@ class PlanHygieneSpec extends SparkSpec {
     "corpus_mix"          -> "1-row corpus-total broadcast into the langs census",
     "sketch_bloom"        -> "1-row filter-sizing stats (n_build, m_bits) broadcast",
     "kg_having"           -> "1-row aggregate-subquery threshold broadcast",
-    "text_keywords"       -> "1-row corpus-size broadcast into the tf/df join")
+    "text_keywords"       -> "1-row corpus-size broadcast into the tf/df join",
+    "q_gap_fill"          -> "calendar axis × type dictionary (both bounded)")
 
   test("no query plans a cartesian product; nested-loop joins only where bounded by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

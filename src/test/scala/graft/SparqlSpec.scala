@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.kg.Sparql
+
+class SparqlSpec extends SparkSpec {
+
+  test("flagship text query runs, binds all four vars, and OPTIONAL keeps row coverage") {
+    val df = Sparql.kgSparql(spark, sf)
+    assert(df.columns.toSeq == Seq("c", "n", "nname", "cname"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // the OPTIONAL label exists for every customer in this store, and
+    // some customers carry a second (de) label — fan-out is real
+    assert(rows.forall(r => !r.isNullAt(2)), "required nname null")
+    val perC = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perC.exists(_ > 1), "no multi-label fan-out — OPTIONAL join suspect")
+  }
+
+  test("a text BGP compiles to the same result as the hand-built DSL query") {
+    // kg_bgp_join's shape as text: customers in ASIA through the
+    // nation/region chain
+    val text =
+      """SELECT ?c ?n WHERE {
+        |  ?c in_nation ?n .
+        |  ?n in_region ?r .
+        |  ?r label "ASIA" .
+        |}""".stripMargin
+    val got = Sparql.run(spark, sf, text)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st = graft.kg.Triples.statements(spark, sf)
+    val asia = st.filter(col("p") === "label" && col("o_val") === "ASIA").select(col("s").as("r"))
+    val nInR = st.filter(col("p") === "in_region")
+      .select(col("s").as("n"), col("o_id").as("r")).join(asia, "r")
+    val exp = st.filter(col("p") === "in_nation")
+      .select(col("s").as("c"), col("o_id").as("n")).join(nInR.select("n"), "n")
+      .select("c", "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"text-compiled BGP diverges: ${got.size} vs ${exp.size}")
+  }
+
+  test("ORDER BY + LIMIT compile to a deterministic top-n") {
+    val text =
+      """SELECT ?n ?lbl WHERE { ?n label ?lbl . ?n in_region ?r . }
+        |ORDER BY ?lbl LIMIT 5""".stripMargin
+    val rows = Sparql.run(spark, sf, text).collect().map(_.getString(1))
+    assert(rows.length == 5 && rows.sameElements(rows.sorted))
+  }
+
+  test("unsupported syntax fails loudly, never silently drops patterns") {
+    def fails(q: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
+      assert(e.getMessage.contains(fragment), s"message '${e.getMessage}' lacks '$fragment'")
+    }
+    fails("SELECT ?x WHERE { ?x knows ?y . FILTER(BOUND(?y)) }", "unsupported FILTER")
+    fails("SELECT ?x WHERE { ?x a ?y ?z . }", "unsupported pattern")
+    fails("SELECT ?x WHERE { ?x in_nation ?y . ?a label ?b . }", "not connected")
+    fails("DESCRIBE <x>", "unsupported query shape")
+  }
+
+  test("typing rule: object vars that appear as subjects bind ids, others bind literals") {
+    val q = Sparql.parse(
+      "SELECT ?c ?n ?lbl WHERE { ?c in_nation ?n . ?n label ?lbl . }")
+    val df = Sparql.compile(spark, sf, q)
+    assert(df.schema("n").dataType.typeName == "long")
+    assert(df.schema("lbl").dataType.typeName == "string")
+  }
+}
