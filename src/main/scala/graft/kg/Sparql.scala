@@ -10,11 +10,21 @@ import Triples.{sqlCte => T}
   * plans the hand-built queries use — the "run your existing queries"
   * surface. Covers the constructs the reference's query files
   * actually exercise (the .rq files under data-publishing/factgrid/
-  * queries): basic
-  * graph patterns, literal objects, OPTIONAL single patterns,
-  * FILTER(REGEX(?v, "...")) and FILTER(?v = "..."), ORDER BY, LIMIT.
-  * PREFIX declarations and comments are accepted and ignored
-  * (predicates here are the store's local names).
+  * queries — lokale-from-factgrid.rq is the shape target): basic
+  * graph patterns with `;` subject continuation, literal / numeric /
+  * prefixed-name objects, multi-pattern OPTIONAL groups
+  * (all-or-nothing, compiled as ONE left join of the inner-joined
+  * group), `{…} UNION {…}` chains, FILTER(REGEX(?v, "...")) and
+  * FILTER(?v = "..."), SELECT DISTINCT, ORDER BY, LIMIT. PREFIX
+  * declarations and comments are accepted and ignored.
+  *
+  * Dialect maps: reference queries use prefixed names (`fgt:P2`,
+  * `fg:Q40454`). `predAliases` maps prefixed predicates onto the
+  * store's local names and `entityAliases` maps prefixed entities
+  * onto statement ids — translate once per deployment, run the .rq
+  * text unchanged (SparqlSpec runs lokale-from-factgrid.rq's pattern
+  * structure through exactly this path). Unknown prefixed names fail
+  * loudly.
   *
   * Typing rule — SCHEMA-driven, the `wikibase:propertyType` idea:
   * subjects always bind `s` (long); an object variable binds `o_id`
@@ -26,11 +36,11 @@ import Triples.{sqlCte => T}
   *
   * Compilation is PLAN-NATIVE, not interpretive: each triple pattern
   * becomes a predicate-pruned scan of the statements relation, shared
-  * variables become equi-join keys (shuffle on the variable — exactly
-  * the hand-written BGP shape Catalyst already optimizes), OPTIONAL
-  * becomes a left outer join, FILTERs push onto their pattern columns.
-  * A query arriving as text therefore costs the same as one written
-  * against the DSL. */
+  * variables become equi-join keys (the hand-written BGP shape
+  * Catalyst already optimizes), an OPTIONAL group one left outer
+  * join, a UNION chain a union of its branch sub-plans joined back on
+  * the shared variables. A query arriving as text therefore costs the
+  * same as one written against the DSL. */
 object Sparql {
 
   sealed trait Term
@@ -38,37 +48,54 @@ object Sparql {
   final case class Lit(value: String) extends Term
   final case class Num(value: Long) extends Term
 
-  final case class Pattern(s: Term, p: String, o: Term, optional: Boolean)
+  final case class Pattern(s: Term, p: String, o: Term)
   sealed trait Filt
   final case class FRegex(v: String, re: String) extends Filt
   final case class FEq(v: String, value: String) extends Filt
 
   final case class Query(
-      select: Seq[String], patterns: Seq[Pattern], filters: Seq[Filt],
+      select: Seq[String], distinct: Boolean,
+      patterns: Seq[Pattern],            // required BGP
+      optionals: Seq[Seq[Pattern]],      // one entry per OPTIONAL group
+      unions: Seq[Seq[Seq[Pattern]]],    // one entry per UNION chain; inner = branches
+      filters: Seq[Filt],
       orderBy: Seq[String], limit: Option[Int])
 
   // ---- parser --------------------------------------------------------
 
-  private val SelectRe = """(?is).*?SELECT\s+((?:\?\w+\s*)+)\s*WHERE\s*\{(.*)\}\s*(ORDER\s+BY\s+((?:\?\w+\s*)+))?\s*(LIMIT\s+(\d+))?\s*""".r
-  private val OptionalRe = """(?is)OPTIONAL\s*\{([^}]*)\}""".r
+  private val SelectRe = """(?is).*?SELECT\s+(DISTINCT\s+)?((?:\?\w+\s*)+)\s*WHERE\s*\{(.*)\}\s*(ORDER\s+BY\s+((?:\?\w+\s*)+))?\s*(LIMIT\s+(\d+))?\s*""".r
+  private val OptionalRe = """(?is)OPTIONAL\s*\{([^{}]*)\}""".r
+  private val UnionRe = """(?is)\{([^{}]*)\}(\s*UNION\s*\{[^{}]*\})+""".r
+  private val UnionBranchRe = """(?is)\{([^{}]*)\}""".r
   // filter body: non-paren runs or ONE nested level (REGEX(...)-deep)
   private val FilterRe = """(?is)FILTER\s*\(\s*((?:[^()]|\([^()]*\))*)\s*\)\s*\.?""".r
   private val RegexRe = """(?is)REGEX\s*\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)""".r
   private val EqRe = """(?is)\?(\w+)\s*=\s*"([^"]*)"""".r
+  private val PrefixedRe = """\w+:\w+""".r
 
   private def term(tok: String): Term = tok.trim match {
     case t if t.startsWith("?")                      => V(t.drop(1))
     case t if t.startsWith("\"") && t.endsWith("\"") => Lit(t.drop(1).dropRight(1))
     case t if t.matches("-?\\d+")                    => Num(t.toLong)
+    case t if PrefixedRe.matches(t)                  => Lit("\u0000prefixed:" + t) // resolved at compile
     case t => throw new IllegalArgumentException(s"unsupported term: '$t'")
   }
 
-  private def triples(body: String, optional: Boolean): Seq[Pattern] =
-    body.split("\\.").map(_.trim).filter(_.nonEmpty).map { stmt =>
-      // a triple is three whitespace-separated tokens, quotes may hold spaces
-      val toks = ("\"[^\"]*\"|\\S+".r).findAllIn(stmt).toList
-      require(toks.length == 3, s"unsupported pattern (need 's p o .'): '$stmt'")
-      Pattern(term(toks(0)), toks(1), term(toks(2)), optional)
+  /** Statements: `.`-separated, each a triple with optional `;`
+    * continuations reusing the subject (`?s p1 o1; p2 o2 .`). */
+  private def triples(body: String): Seq[Pattern] =
+    body.split("\\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)").map(_.trim).filter(_.nonEmpty).flatMap { stmt =>
+      val groups = stmt.split(";").map(_.trim).filter(_.nonEmpty)
+      val headToks = ("\"[^\"]*\"|\\S+".r).findAllIn(groups.head).toList
+      require(headToks.length == 3, s"unsupported pattern (need 's p o'): '${groups.head}'")
+      val subj = term(headToks.head)
+      val first = Pattern(subj, headToks(1), term(headToks(2)))
+      val rest = groups.tail.map { g =>
+        val toks = ("\"[^\"]*\"|\\S+".r).findAllIn(g).toList
+        require(toks.length == 2, s"unsupported ';' continuation (need 'p o'): '$g'")
+        Pattern(subj, toks.head, term(toks(1)))
+      }
+      first +: rest
     }.toSeq
 
   /** Parse the supported SPARQL subset; throws with the offending
@@ -80,11 +107,17 @@ object Sparql {
       .filterNot(_.trim.toUpperCase.startsWith("PREFIX"))
       .mkString("\n")
     q match {
-      case SelectRe(vars, body0, _, order, _, limit) =>
+      case SelectRe(distinct, vars, body0, _, order, _, limit) =>
         var body = body0
-        val opts = OptionalRe.findAllMatchIn(body).toList
-          .flatMap(m => triples(m.group(1), optional = true))
+        // OPTIONAL groups first — they are keyword-anchored, so
+        // removing them means a bare `{...} UNION {...}` chain can
+        // never accidentally capture an OPTIONAL's braces as a branch
+        val opts = OptionalRe.findAllMatchIn(body).toList.map(m => triples(m.group(1)))
         body = OptionalRe.replaceAllIn(body, " ")
+        val unions = UnionRe.findAllMatchIn(body).toList.map { m =>
+          UnionBranchRe.findAllMatchIn(m.matched).toList.map(b => triples(b.group(1)))
+        }
+        body = UnionRe.replaceAllIn(body, " ")
         val filts = FilterRe.findAllMatchIn(body).toList.map { m =>
           m.group(1).trim match {
             case RegexRe(v, re)  => FRegex(v, re)
@@ -93,11 +126,14 @@ object Sparql {
           }
         }
         body = FilterRe.replaceAllIn(body, " ")
-        val pats = triples(body, optional = false) ++ opts
-        require(pats.nonEmpty, "empty graph pattern")
+        require(!body.contains("{") && !body.contains("}"),
+          s"unsupported nested group in: '${body.trim.take(80)}'")
+        val pats = triples(body)
+        require(pats.nonEmpty || unions.nonEmpty, "empty graph pattern")
         Query(
           select = vars.trim.split("\\s+").map(_.stripPrefix("?")).toSeq,
-          patterns = pats,
+          distinct = distinct != null,
+          patterns = pats, optionals = opts, unions = unions,
           filters = filts,
           orderBy = Option(order).map(_.trim.split("\\s+").map(_.stripPrefix("?")).toSeq)
             .getOrElse(Seq.empty),
@@ -108,19 +144,34 @@ object Sparql {
 
   // ---- compiler ------------------------------------------------------
 
-  /** Compile a parsed query against the statement store. */
   /** Predicates whose objects are entities, per the store's mapping
     * dictionary — the typing source (see object doc). */
   private lazy val entityPreds: Set[String] =
     Triples.rules.collect { case r if r.oNs.isDefined => r.p }.toSet
 
-  def compile(spark: SparkSession, dir: String, q: Query): DataFrame = {
+  def compile(spark: SparkSession, dir: String, q: Query,
+      predAliases: Map[String, String] = Map.empty,
+      entityAliases: Map[String, Long] = Map.empty): DataFrame = {
     val st = Triples.statements(spark, dir)
+
+    def pred(p: String): String =
+      if (PrefixedRe.matches(p)) predAliases.getOrElse(p,
+        throw new IllegalArgumentException(s"prefixed predicate '$p' has no alias in the dialect map"))
+      else p
+    def resolve(t: Term): Term = t match {
+      case Lit(v) if v.startsWith("\u0000prefixed:") =>
+        val name = v.stripPrefix("\u0000prefixed:")
+        Num(entityAliases.getOrElse(name,
+          throw new IllegalArgumentException(s"prefixed entity '$name' has no alias in the dialect map")))
+      case other => other
+    }
+
+    val allGroups = (q.patterns +: q.optionals) ++ q.unions.flatten
     // type-conflict check: every binding site of a var must agree
-    val varKinds = q.patterns.flatMap { p =>
-      (p.s match { case V(n) => Seq(n -> "entity"); case _ => Nil }) ++
-        (p.o match {
-          case V(n) => Seq(n -> (if (entityPreds(p.p)) "entity" else "literal"))
+    val varKinds = allGroups.flatten.flatMap { p0 =>
+      (p0.s match { case V(n) => Seq(n -> "entity"); case _ => Nil }) ++
+        (p0.o match {
+          case V(n) => Seq(n -> (if (entityPreds(pred(p0.p))) "entity" else "literal"))
           case _ => Nil
         })
     }
@@ -129,7 +180,8 @@ object Sparql {
         s"type conflict: ?$v bound as both entity and literal across patterns")
     }
 
-    def frame(p: Pattern): DataFrame = {
+    def frame(p0: Pattern): DataFrame = {
+      val p = Pattern(resolve(p0.s), pred(p0.p), resolve(p0.o))
       var df = st.filter(col("p") === p.p)
       val cols = scala.collection.mutable.ListBuffer[Column]()
       p.s match {
@@ -144,44 +196,69 @@ object Sparql {
         case Num(v) => df = df.filter(col("o_id") === v)
         case Lit(v) => df = df.filter(col("o_val") === v)
       }
-      require(cols.nonEmpty, s"pattern binds no variables: $p")
+      require(cols.nonEmpty, s"pattern binds no variables: $p0")
       df.select(cols.toSeq: _*)
     }
 
-    val (required, optional) = q.patterns.partition(!_.optional)
-    require(required.nonEmpty, "OPTIONAL-only patterns unsupported")
     def joinKeys(a: DataFrame, b: DataFrame): Seq[String] =
       a.columns.toSeq.intersect(b.columns.toSeq)
-    var acc = frame(required.head)
-    required.tail.foreach { p =>
-      val f = frame(p)
-      val keys = joinKeys(acc, f)
-      require(keys.nonEmpty, s"pattern not connected to the rest of the BGP: $p")
-      acc = acc.join(f, keys)
+    /** Inner-join a pattern group into one frame (a BGP). */
+    def bgp(pats: Seq[Pattern]): DataFrame = {
+      var acc = frame(pats.head)
+      pats.tail.foreach { p =>
+        val f = frame(p)
+        val keys = joinKeys(acc, f)
+        require(keys.nonEmpty, s"pattern not connected to the rest of the BGP: $p")
+        acc = acc.join(f, keys)
+      }
+      acc
     }
-    optional.foreach { p =>
-      val f = frame(p)
+
+    var acc =
+      if (q.patterns.nonEmpty) bgp(q.patterns)
+      else { // UNION-only body: first chain is the root
+        require(q.unions.nonEmpty, "empty graph pattern"); null
+      }
+    q.unions.foreach { branches =>
+      val frames = branches.map(bgp)
+      val cols0 = frames.head.columns.toSeq.sorted
+      frames.tail.foreach(f => require(f.columns.toSeq.sorted == cols0,
+        s"UNION branches bind different variables: $cols0 vs ${f.columns.toSeq.sorted}"))
+      val u = frames.map(_.select(cols0.map(col): _*)).reduce(_ union _)
+      acc = if (acc == null) u else {
+        val keys = joinKeys(acc, u)
+        require(keys.nonEmpty, "UNION block not connected to the rest of the BGP")
+        acc.join(u, keys)
+      }
+    }
+    q.optionals.foreach { group =>
+      val f = bgp(group) // all-or-nothing: the group inner-joins first
       val keys = joinKeys(acc, f)
-      require(keys.nonEmpty, s"OPTIONAL pattern not connected: $p")
+      require(keys.nonEmpty, s"OPTIONAL group not connected: $group")
       acc = acc.join(f, keys, "left_outer")
     }
     q.filters.foreach {
       case FRegex(v, re) => acc = acc.filter(col(v).rlike(re))
       case FEq(v, value) => acc = acc.filter(col(v) === value)
     }
+    acc = acc.select(q.select.map(col): _*)
+    if (q.distinct) acc = acc.distinct()
     if (q.orderBy.nonEmpty) acc = acc.orderBy(q.orderBy.map(col): _*)
     q.limit.foreach(n => acc = acc.limit(n))
-    acc.select(q.select.map(col): _*)
+    acc
   }
 
-  def run(spark: SparkSession, dir: String, queryText: String): DataFrame =
-    compile(spark, dir, parse(queryText))
+  def run(spark: SparkSession, dir: String, queryText: String,
+      predAliases: Map[String, String] = Map.empty,
+      entityAliases: Map[String, Long] = Map.empty): DataFrame =
+    compile(spark, dir, parse(queryText), predAliases, entityAliases)
 
   // ---- registry ------------------------------------------------------
 
   /** The flagship text query (the companions/label shape of the
     * reference's .rq files): BUILDING customers with their nation and
-    * its label, OPTIONAL (possibly multiple) customer labels, NATION_1x only. */
+    * its label, OPTIONAL (possibly multiple) customer labels,
+    * NATION_1x only. */
   val flagship: String =
     """PREFIX g: <http://graft.local/>   # accepted and ignored
       |SELECT ?c ?n ?nname ?cname WHERE {

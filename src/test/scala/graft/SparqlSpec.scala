@@ -48,6 +48,51 @@ class SparqlSpec extends SparkSpec {
     assert(rows.length == 5 && rows.sameElements(rows.sorted))
   }
 
+  test("reference dialect: lokale-from-factgrid.rq's shape runs via alias maps") {
+    // the reference query's structure verbatim (prefixed names,
+    // ';' continuation, UNION chain, multi-pattern OPTIONAL group) —
+    // only the vocabulary is translated through the dialect maps
+    val st = graft.kg.Triples.statements(spark, sf)
+    val nation = st.filter(col("p") === "label" && col("o_val") === "NATION_2")
+      .select("s").head().getLong(0)
+    val text =
+      """PREFIX fg: <https://database.factgrid.de/entity/>
+        |PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+        |SELECT DISTINCT ?item ?n ?lbl WHERE {
+        |  ?item fgt:P2 fg:Q40454 .
+        |  { ?item mktsegment "BUILDING" . }
+        |  UNION
+        |  { ?item fgt:P2 fg:Q40454;
+        |      mktsegment "MACHINERY" . }
+        |  OPTIONAL {
+        |    ?item in_nation ?n .
+        |    ?n label ?lbl .
+        |  }
+        |}""".stripMargin
+    val got = Sparql.run(spark, sf, text,
+        predAliases = Map("fgt:P2" -> "in_nation"),
+        entityAliases = Map("fg:Q40454" -> nation))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // DSL-built expectation
+    val inNation = st.filter(col("p") === "in_nation" && col("o_id") === nation)
+      .select(col("s").as("item"))
+    val seg = st.filter(col("p") === "mktsegment" &&
+        col("o_val").isin("BUILDING", "MACHINERY"))
+      .select(col("s").as("item"))
+    val nLbl = st.filter(col("p") === "label" && col("o_val").startsWith("NATION_"))
+      .select(col("s").as("n"), col("o_val").as("lbl"))
+    val exp = inNation.join(seg, "item")
+      .withColumn("n", lit(nation)).join(nLbl, "n")
+      .select("item", "n", "lbl").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got.nonEmpty && got == exp,
+      s"translated reference query diverges: got ${got.size}, expected ${exp.size}")
+    // a prefixed name missing from the dialect map fails loudly
+    val e = intercept[IllegalArgumentException](
+      Sparql.run(spark, sf, text, predAliases = Map("fgt:P2" -> "in_nation")))
+    assert(e.getMessage.contains("no alias"))
+  }
+
   test("unsupported syntax fails loudly, never silently drops patterns") {
     def fails(q: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
