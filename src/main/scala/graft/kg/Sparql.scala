@@ -53,17 +53,23 @@ object Sparql {
   final case class FRegex(v: String, re: String) extends Filt
   final case class FEq(v: String, value: String) extends Filt
 
+  /** `(COUNT(DISTINCT? ?v) AS ?alias)` projection. */
+  final case class Agg(distinct: Boolean, v: String, alias: String)
+
   final case class Query(
-      select: Seq[String], distinct: Boolean,
+      select: Seq[String], aggs: Seq[Agg], distinct: Boolean,
       patterns: Seq[Pattern],            // required BGP
       optionals: Seq[Seq[Pattern]],      // one entry per OPTIONAL group
       unions: Seq[Seq[Seq[Pattern]]],    // one entry per UNION chain; inner = branches
       filters: Seq[Filt],
+      groupBy: Seq[String],
       orderBy: Seq[String], limit: Option[Int])
 
   // ---- parser --------------------------------------------------------
 
-  private val SelectRe = """(?is).*?SELECT\s+(DISTINCT\s+)?((?:\?\w+\s*)+)\s*WHERE\s*\{(.*)\}\s*(ORDER\s+BY\s+((?:\?\w+\s*)+))?\s*(LIMIT\s+(\d+))?\s*""".r
+  private val SelectRe = """(?is).*?SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*(GROUP\s+BY\s+((?:\?\w+\s*)+))?\s*(ORDER\s+BY\s+((?:\?\w+\s*)+))?\s*(LIMIT\s+(\d+))?\s*""".r
+  private val ProjVarRe = """\?(\w+)""".r
+  private val ProjAggRe = """(?i)\(\s*COUNT\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)""".r
   private val OptionalRe = """(?is)OPTIONAL\s*\{([^{}]*)\}""".r
   private val UnionRe = """(?is)\{([^{}]*)\}(\s*UNION\s*\{[^{}]*\})+""".r
   private val UnionBranchRe = """(?is)\{([^{}]*)\}""".r
@@ -107,7 +113,13 @@ object Sparql {
       .filterNot(_.trim.toUpperCase.startsWith("PREFIX"))
       .mkString("\n")
     q match {
-      case SelectRe(distinct, vars, body0, _, order, _, limit) =>
+      case SelectRe(distinct, proj, body0, _, group, _, order, _, limit) =>
+        // the projection is plain vars and COUNT aggregates, in order
+        val aggs = ProjAggRe.findAllMatchIn(proj).toList
+          .map(m => Agg(m.group(1) != null, m.group(2), m.group(3)))
+        val plainVars = ProjVarRe.findAllMatchIn(ProjAggRe.replaceAllIn(proj, " "))
+          .toList.map(_.group(1))
+        require(aggs.nonEmpty || plainVars.nonEmpty, "empty SELECT projection")
         var body = body0
         // OPTIONAL groups first — they are keyword-anchored, so
         // removing them means a bare `{...} UNION {...}` chain can
@@ -130,11 +142,20 @@ object Sparql {
           s"unsupported nested group in: '${body.trim.take(80)}'")
         val pats = triples(body)
         require(pats.nonEmpty || unions.nonEmpty, "empty graph pattern")
+        val groupVars = Option(group)
+          .map(_.trim.split("\\s+").map(_.stripPrefix("?")).toSeq).getOrElse(Seq.empty)
+        // aggregates ⟺ GROUP BY, and the group keys are exactly the
+        // plain projected vars (both empty = one global aggregate row)
+        require(if (aggs.isEmpty) groupVars.isEmpty
+          else groupVars.sorted == plainVars.sorted,
+          s"aggregate SELECT needs GROUP BY exactly over its plain variables " +
+            s"(got GROUP BY ${groupVars.mkString(",")} vs vars ${plainVars.mkString(",")})")
         Query(
-          select = vars.trim.split("\\s+").map(_.stripPrefix("?")).toSeq,
+          select = plainVars, aggs = aggs,
           distinct = distinct != null,
           patterns = pats, optionals = opts, unions = unions,
           filters = filts,
+          groupBy = groupVars,
           orderBy = Option(order).map(_.trim.split("\\s+").map(_.stripPrefix("?")).toSeq)
             .getOrElse(Seq.empty),
           limit = Option(limit).map(_.toInt))
@@ -241,7 +262,13 @@ object Sparql {
       case FRegex(v, re) => acc = acc.filter(col(v).rlike(re))
       case FEq(v, value) => acc = acc.filter(col(v) === value)
     }
-    acc = acc.select(q.select.map(col): _*)
+    if (q.aggs.nonEmpty) {
+      val aggCols = q.aggs.map(a =>
+        (if (a.distinct) count_distinct(col(a.v)) else count(col(a.v))).as(a.alias))
+      acc = acc.groupBy(q.groupBy.map(col): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select((q.select ++ q.aggs.map(_.alias)).map(col): _*)
+    } else acc = acc.select(q.select.map(col): _*)
     if (q.distinct) acc = acc.distinct()
     if (q.orderBy.nonEmpty) acc = acc.orderBy(q.orderBy.map(col): _*)
     q.limit.foreach(n => acc = acc.limit(n))
@@ -275,8 +302,26 @@ object Sparql {
   def kgSparql(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, flagship)
 
+  /** Second gated text query: UNION chain + COUNT/GROUP BY (the
+    * census shape of the reference's property-survey queries),
+    * written in the reference's prefixed vocabulary and run through
+    * the dialect maps. */
+  val censusText: String =
+    """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+      |SELECT ?n (COUNT(?c) AS ?n_members) (COUNT(DISTINCT ?seg) AS ?n_segments) WHERE {
+      |  { ?c fgt:P2 ?n . ?c mktsegment "BUILDING" . ?c mktsegment ?seg . }
+      |  UNION
+      |  { ?c fgt:P2 ?n . ?c mktsegment "MACHINERY" . ?c mktsegment ?seg . }
+      |} GROUP BY ?n""".stripMargin
+
+  /** kg_sparql_agg — [[censusText]] through the dialect map; UNION +
+    * aggregate compilation under the hash gate. */
+  def kgSparqlAgg(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, censusText, predAliases = Map("fgt:P2" -> "in_nation"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kg_sparql" -> (kgSparql _))
+    "kg_sparql"     -> (kgSparql _),
+    "kg_sparql_agg" -> (kgSparqlAgg _))
 
   val oracles: Map[String, String] = Map(
     "kg_sparql" ->
@@ -289,5 +334,19 @@ object Sparql {
          |  ON seg.s = cn.s
          |LEFT JOIN (SELECT s, o_val FROM triples WHERE p = 'label' AND o_val IS NOT NULL) cl
          |  ON cl.s = cn.s
-         |WHERE regexp_matches(nl.o_val, '^NATION_1')""".stripMargin)
+         |WHERE regexp_matches(nl.o_val, '^NATION_1')""".stripMargin,
+    "kg_sparql_agg" ->
+      s"""$T,
+         |seg AS (SELECT s, o_val FROM triples WHERE p = 'mktsegment' AND o_val IS NOT NULL),
+         |cn AS (SELECT s, o_id FROM triples WHERE p = 'in_nation'),
+         |u AS (
+         |  SELECT cn.s AS c, cn.o_id AS n, sv.o_val AS seg
+         |  FROM cn JOIN seg sb ON sb.s = cn.s AND sb.o_val = 'BUILDING'
+         |  JOIN seg sv ON sv.s = cn.s
+         |  UNION ALL
+         |  SELECT cn.s, cn.o_id, sv.o_val
+         |  FROM cn JOIN seg sm ON sm.s = cn.s AND sm.o_val = 'MACHINERY'
+         |  JOIN seg sv ON sv.s = cn.s)
+         |SELECT n, count(c) AS n_members, count(DISTINCT seg) AS n_segments
+         |FROM u GROUP BY n""".stripMargin)
 }

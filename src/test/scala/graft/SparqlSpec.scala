@@ -93,6 +93,23 @@ class SparqlSpec extends SparkSpec {
     assert(e.getMessage.contains("no alias"))
   }
 
+  test("aggregates: COUNT/COUNT DISTINCT with GROUP BY compile and guard their contract") {
+    val rows = Sparql.kgSparqlAgg(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, members, segs) =>
+      assert(members >= 1 && segs >= 1 && segs <= 2) // only BUILDING/MACHINERY branches
+    }
+    // GROUP BY must cover exactly the plain vars
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?n ?x (COUNT(?c) AS ?k) WHERE { ?c in_nation ?n . } GROUP BY ?n"))
+    assert(e.getMessage.contains("GROUP BY"))
+    // GROUP BY without aggregates is rejected too
+    val e2 = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?n WHERE { ?c in_nation ?n . } GROUP BY ?n"))
+    assert(e2.getMessage.contains("GROUP BY") || e2.getMessage.contains("aggregate"))
+  }
+
   test("unsupported syntax fails loudly, never silently drops patterns") {
     def fails(q: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
