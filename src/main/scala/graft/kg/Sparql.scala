@@ -62,6 +62,8 @@ object Sparql {
       optionals: Seq[Seq[Pattern]],      // one entry per OPTIONAL group
       unions: Seq[Seq[Seq[Pattern]]],    // one entry per UNION chain; inner = branches
       filters: Seq[Filt],
+      binds: Map[String, Term],          // BIND(const AS ?var) seeds
+      values: Map[String, Seq[Term]],    // VALUES ?var { ... } restrictions
       groupBy: Seq[String],
       orderBy: Seq[String], limit: Option[Int])
 
@@ -78,6 +80,8 @@ object Sparql {
   private val RegexRe = """(?is)REGEX\s*\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)""".r
   private val EqRe = """(?is)\?(\w+)\s*=\s*"([^"]*)"""".r
   private val PrefixedRe = """\w+:\w+""".r
+  private val BindRe = """(?is)BIND\s*\(\s*(\S+)\s+AS\s+\?(\w+)\s*\)\s*\.?""".r
+  private val ValuesRe = """(?is)VALUES\s+\?(\w+)\s*\{([^{}]*)\}""".r
 
   private def term(tok: String): Term = tok.trim match {
     case t if t.startsWith("?")                      => V(t.drop(1))
@@ -121,9 +125,18 @@ object Sparql {
           .toList.map(_.group(1))
         require(aggs.nonEmpty || plainVars.nonEmpty, "empty SELECT projection")
         var body = body0
-        // OPTIONAL groups first — they are keyword-anchored, so
-        // removing them means a bare `{...} UNION {...}` chain can
-        // never accidentally capture an OPTIONAL's braces as a branch
+        // keyword-anchored groups first (BIND/VALUES/OPTIONAL) — once
+        // removed, a bare `{...} UNION {...}` chain can never
+        // accidentally capture another construct's braces as a branch
+        val binds = BindRe.findAllMatchIn(body).toList
+          .map(m => m.group(2) -> term(m.group(1))).toMap
+        body = BindRe.replaceAllIn(body, " ")
+        val values = ValuesRe.findAllMatchIn(body).toList.map { m =>
+          val terms = ("\"[^\"]*\"|\\S+".r).findAllIn(m.group(2)).toList.map(term)
+          require(terms.nonEmpty, s"empty VALUES block for ?${m.group(1)}")
+          m.group(1) -> terms.toSeq
+        }.toMap
+        body = ValuesRe.replaceAllIn(body, " ")
         val opts = OptionalRe.findAllMatchIn(body).toList.map(m => triples(m.group(1)))
         body = OptionalRe.replaceAllIn(body, " ")
         val unions = UnionRe.findAllMatchIn(body).toList.map { m =>
@@ -155,6 +168,7 @@ object Sparql {
           distinct = distinct != null,
           patterns = pats, optionals = opts, unions = unions,
           filters = filts,
+          binds = binds, values = values,
           groupBy = groupVars,
           orderBy = Option(order).map(_.trim.split("\\s+").map(_.stripPrefix("?")).toSeq)
             .getOrElse(Seq.empty),
@@ -187,7 +201,19 @@ object Sparql {
       case other => other
     }
 
-    val allGroups = (q.patterns +: q.optionals) ++ q.unions.flatten
+    // BIND(const AS ?var) seeds substitute the constant into every
+    // pattern position of the var (the seed-item idiom of the
+    // reference's network-* queries)
+    val binds = q.binds.map { case (v, t) => v -> resolve(t) }
+    def subst(p: Pattern): Pattern = Pattern(
+      p.s match { case V(n) if binds.contains(n) => binds(n); case s => s },
+      p.p,
+      p.o match { case V(n) if binds.contains(n) => binds(n); case o => o })
+    val patterns = q.patterns.map(subst)
+    val optionals = q.optionals.map(_.map(subst))
+    val unions = q.unions.map(_.map(_.map(subst)))
+
+    val allGroups = (patterns +: optionals) ++ unions.flatten
     // type-conflict check: every binding site of a var must agree
     val varKinds = allGroups.flatten.flatMap { p0 =>
       (p0.s match { case V(n) => Seq(n -> "entity"); case _ => Nil }) ++
@@ -236,11 +262,11 @@ object Sparql {
     }
 
     var acc =
-      if (q.patterns.nonEmpty) bgp(q.patterns)
+      if (patterns.nonEmpty) bgp(patterns)
       else { // UNION-only body: first chain is the root
-        require(q.unions.nonEmpty, "empty graph pattern"); null
+        require(unions.nonEmpty, "empty graph pattern"); null
       }
-    q.unions.foreach { branches =>
+    unions.foreach { branches =>
       val frames = branches.map(bgp)
       val cols0 = frames.head.columns.toSeq.sorted
       frames.tail.foreach(f => require(f.columns.toSeq.sorted == cols0,
@@ -252,15 +278,33 @@ object Sparql {
         acc.join(u, keys)
       }
     }
-    q.optionals.foreach { group =>
+    optionals.foreach { group =>
       val f = bgp(group) // all-or-nothing: the group inner-joins first
       val keys = joinKeys(acc, f)
       require(keys.nonEmpty, s"OPTIONAL group not connected: $group")
       acc = acc.join(f, keys, "left_outer")
     }
+    // VALUES ?v { ... } — inline-data restriction on a bound column
+    q.values.foreach { case (v, terms0) =>
+      val terms = terms0.map(resolve)
+      require(acc.columns.contains(v), s"VALUES variable ?$v not bound by the pattern")
+      val kinds = terms.map { case Num(_) => "n"; case Lit(_) => "l"; case V(x) =>
+        throw new IllegalArgumentException(s"variable ?$x inside VALUES block") }.distinct
+      require(kinds.size == 1, s"VALUES ?$v mixes entity and literal terms")
+      acc =
+        if (kinds.head == "n") acc.filter(col(v).isin(terms.collect { case Num(x) => x }: _*))
+        else acc.filter(col(v).isin(terms.collect { case Lit(x) => x }: _*))
+    }
     q.filters.foreach {
       case FRegex(v, re) => acc = acc.filter(col(v).rlike(re))
       case FEq(v, value) => acc = acc.filter(col(v) === value)
+    }
+    // a BIND-seeded var in the projection surfaces as its constant
+    q.select.filter(binds.contains).foreach { v =>
+      acc = acc.withColumn(v, binds(v) match {
+        case Num(x) => lit(x); case Lit(x) => lit(x)
+        case V(x)   => throw new IllegalArgumentException(s"BIND of variable ?$x unsupported")
+      })
     }
     if (q.aggs.nonEmpty) {
       val aggCols = q.aggs.map(a =>

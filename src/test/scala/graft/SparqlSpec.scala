@@ -110,6 +110,37 @@ class SparqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("GROUP BY") || e2.getMessage.contains("aggregate"))
   }
 
+  test("BIND seeds and VALUES restrictions compile (the network-*.rq seed idiom)") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    val nation = st.filter(col("p") === "label" && col("o_val") === "NATION_3")
+      .select("s").head().getLong(0)
+    // BIND: seed the root entity, walk out, project the seed back
+    val text =
+      s"""PREFIX fg: <https://database.factgrid.de/entity/>
+         |SELECT ?root ?c ?seg WHERE {
+         |  BIND(fg:Q3 AS ?root)
+         |  ?c in_nation ?root .
+         |  ?c mktsegment ?seg .
+         |  VALUES ?seg { "BUILDING" "MACHINERY" }
+         |}""".stripMargin
+    val rows = Sparql.run(spark, sf, text, entityAliases = Map("fg:Q3" -> nation))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 == nation), "projected BIND seed wrong")
+    assert(rows.map(_._3).distinct.toSet.subsetOf(Set("BUILDING", "MACHINERY")))
+    // expected membership from a direct computation
+    val exp = st.filter(col("p") === "in_nation" && col("o_id") === nation)
+      .select(col("s")).collect().map(_.getLong(0)).toSet
+    val segs = st.filter(col("p") === "mktsegment" &&
+        col("o_val").isin("BUILDING", "MACHINERY"))
+      .select(col("s")).collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._2).toSet == exp.intersect(segs))
+    // VALUES over an unbound var fails loudly
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      """SELECT ?c WHERE { ?c in_nation ?n . VALUES ?zzz { "x" } }"""))
+    assert(e.getMessage.contains("not bound"))
+  }
+
   test("unsupported syntax fails loudly, never silently drops patterns") {
     def fails(q: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
