@@ -245,7 +245,15 @@ object Corpus {
     * within (epoch, key div 2^46) buckets — the md5 key is uniform,
     * so buckets are balanced and each task sorts ~n/2^14 docs; level
     * 2 cumsums the per-bucket counts (census-sized) into exclusive
-    * offsets joined back on (epoch, bucket). */
+    * offsets joined back on (epoch, bucket).
+    *
+    * The keyed frame feeds both the offset census and the final join
+    * WITHOUT a checkpoint — deliberate, same call as [[corpusPack]]:
+    * the census branch reduces map-side immediately, so the recompute
+    * costs one narrow scan + md5 pass, while a checkpoint would pin a
+    * corpus-row-count frame in cluster storage. Checkpoints are for
+    * frames SMALLER than their recompute (vocab/census), not
+    * corpus-sized ones. */
   def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark)
     val wIn = Window.partitionBy(col("epoch"), col("kbkt"))

@@ -142,7 +142,10 @@ object Multimodal {
     * seeks by). Same two-level distributed prefix sum as corpus_pack:
     * format cardinality is small, so the level-1 window runs within
     * (fmt, doc_id div B) buckets and only bucket totals cumsum per
-    * format. */
+    * format. `base` feeds the offset census and the join without a
+    * checkpoint — the census reduces map-side immediately, and
+    * pinning a corpus-row-count frame would cost more than the narrow
+    * rescan (the corpus_pack/corpus_shuffle call). */
   def mmShard(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wIn = Window.partitionBy(col("fmt"), col("bkt")).orderBy(col("doc_id"))

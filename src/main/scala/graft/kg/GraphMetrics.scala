@@ -71,13 +71,7 @@ object GraphMetrics {
     * den 0 (coefficient undefined, the caller's NaN). */
   def kgClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
-      .join(e.as("e3"),
-        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val tri = KGQueries.triangleCensus(e) // the one shared triangle plan
     val deg = e.select(col("p1").as("node"), col("p2").as("nbr"))
       .union(e.select(col("p2").as("node"), col("p1").as("nbr")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -230,7 +224,7 @@ object GraphMetrics {
          |  FROM w${k - 1}
          |  JOIN deg d ON d.node = w${k - 1}.cur
          |  JOIN adj a ON a.node = w${k - 1}.cur
-         |   AND a.rank = (('0x'||substr(md5(CAST(w${k - 1}.cur AS VARCHAR)||'|$k'),1,15))::BIGINT % d.deg) + 1)"""
+         |   AND a.rank = (${graft.dedup.Md5Bits.p60Sql(s"CAST(w${k - 1}.cur AS VARCHAR)||'|$k'")} % d.deg) + 1)"""
         .stripMargin
     }.mkString(",\n")
     val rows = (0 to WalkSteps).map(k =>

@@ -369,20 +369,28 @@ object KGQueries {
     * and the standard degree-ordered orientation (low-degree node
     * first) is exactly what `p1 < p2` approximates on this id-assigned
     * graph; no global cross join anywhere. */
+  /** Per-node triangle participation census over a CHECKPOINTED
+    * `(p1 < p2)`-oriented edge frame — the two-path + closing-edge
+    * equi-join plan, shared by [[kgTriangles]] and
+    * [[GraphMetrics.kgClusteringCoeff]] (one algorithm, one place). */
+  private[kg] def triangleCensus(e: DataFrame): DataFrame = {
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(e.as("e3"),
+        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
+      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def kgTriangles(spark: SparkSession, dir: String): DataFrame = {
     // the edge set feeds all three join legs — materialize the
     // cooccur aggregation ONCE (it is itself a join + groupBy over
     // has_part) instead of letting each leg re-run that plan
     val e = kgCooccur(spark, dir).select(col("p1"), col("p2"))
       .localCheckpoint(eager = true)
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
-      .join(e.as("e3"),
-        col("e3.p1") === col("e1.p1") && col("e3.p2") === col("e2.p2"))
-      .select(col("e1.p1").as("a"), col("e1.p2").as("b"), col("e2.p2").as("c"))
-    val out = tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node"))
-      .agg(count(lit(1)).as("n_triangles"))
+    val out = triangleCensus(e)
       .localCheckpoint(eager = true) // node census only — small
     graft.util.Checkpoints.free(e)
     out

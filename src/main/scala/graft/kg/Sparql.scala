@@ -80,6 +80,9 @@ object Sparql {
   private val RegexRe = """(?is)REGEX\s*\(\s*\?(\w+)\s*,\s*"([^"]*)"\s*\)""".r
   private val EqRe = """(?is)\?(\w+)\s*=\s*"([^"]*)"""".r
   private val PrefixedRe = """\w+:\w+""".r
+  /** Placeholder left where a keyword group was extracted — a marker
+    * surviving inside a UNION chain means the group was branch-scoped. */
+  private val Marker = '\u0001'
   private val BindRe = """(?is)BIND\s*\(\s*(\S+)\s+AS\s+\?(\w+)\s*\)\s*\.?""".r
   private val ValuesRe = """(?is)VALUES\s+\?(\w+)\s*\{([^{}]*)\}""".r
 
@@ -91,11 +94,19 @@ object Sparql {
     case t => throw new IllegalArgumentException(s"unsupported term: '$t'")
   }
 
+  /** Split only OUTSIDE double quotes (even quote count ahead). */
+  private def quoteAwareSplit(s: String, sep: Char): Array[String] =
+    s.split(java.util.regex.Pattern.quote(sep.toString) +
+      "(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)")
+
   /** Statements: `.`-separated, each a triple with optional `;`
-    * continuations reusing the subject (`?s p1 o1; p2 o2 .`). */
+    * continuations reusing the subject (`?s p1 o1; p2 o2 .`); both
+    * separators are quote-aware so literals may hold `.`/`;`. */
   private def triples(body: String): Seq[Pattern] =
-    body.split("\\.(?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)").map(_.trim).filter(_.nonEmpty).flatMap { stmt =>
-      val groups = stmt.split(";").map(_.trim).filter(_.nonEmpty)
+    quoteAwareSplit(body, '.').map(_.trim).filter(_.nonEmpty).flatMap { stmt =>
+      require(!stmt.toUpperCase.contains("FILTER"),
+        s"FILTER inside a nested group (OPTIONAL / UNION branch) is unsupported: '$stmt'")
+      val groups = quoteAwareSplit(stmt, ';').map(_.trim).filter(_.nonEmpty)
       val headToks = ("\"[^\"]*\"|\\S+".r).findAllIn(groups.head).toList
       require(headToks.length == 3, s"unsupported pattern (need 's p o'): '${groups.head}'")
       val subj = term(headToks.head)
@@ -111,9 +122,20 @@ object Sparql {
   /** Parse the supported SPARQL subset; throws with the offending
     * fragment on anything outside it. */
   def parse(q0: String): Query = {
-    // strip comments and PREFIX lines
+    // strip comments (quote-aware: a '#' inside a string literal is
+    // content, not a comment) and PREFIX lines
     val q = q0.linesIterator
-      .map(l => l.indexOf('#') match { case -1 => l; case i => l.take(i) })
+      .map { l =>
+        val sb = new StringBuilder; var inQ = false; var done = false
+        l.foreach { ch =>
+          if (!done) {
+            if (ch == '"') { inQ = !inQ; sb += ch }
+            else if (ch == '#' && !inQ) done = true
+            else sb += ch
+          }
+        }
+        sb.toString
+      }
       .filterNot(_.trim.toUpperCase.startsWith("PREFIX"))
       .mkString("\n")
     q match {
@@ -127,22 +149,30 @@ object Sparql {
         var body = body0
         // keyword-anchored groups first (BIND/VALUES/OPTIONAL) — once
         // removed, a bare `{...} UNION {...}` chain can never
-        // accidentally capture another construct's braces as a branch
+        // accidentally capture another construct's braces as a branch.
+        // Each leaves a Marker byte so a keyword group that lived
+        // INSIDE a union branch is detected (branch-scoped OPTIONAL
+        // has different semantics than the hoisted global one — reject
+        // loudly rather than silently compile the wrong query).
         val binds = BindRe.findAllMatchIn(body).toList
           .map(m => m.group(2) -> term(m.group(1))).toMap
-        body = BindRe.replaceAllIn(body, " ")
+        body = BindRe.replaceAllIn(body, " ")
         val values = ValuesRe.findAllMatchIn(body).toList.map { m =>
           val terms = ("\"[^\"]*\"|\\S+".r).findAllIn(m.group(2)).toList.map(term)
           require(terms.nonEmpty, s"empty VALUES block for ?${m.group(1)}")
           m.group(1) -> terms.toSeq
         }.toMap
-        body = ValuesRe.replaceAllIn(body, " ")
+        body = ValuesRe.replaceAllIn(body, " ")
         val opts = OptionalRe.findAllMatchIn(body).toList.map(m => triples(m.group(1)))
-        body = OptionalRe.replaceAllIn(body, " ")
+        body = OptionalRe.replaceAllIn(body, " ")
         val unions = UnionRe.findAllMatchIn(body).toList.map { m =>
+          require(!m.matched.contains(Marker),
+            "OPTIONAL/BIND/VALUES inside a UNION branch is unsupported " +
+              "(branch-scoped semantics differ from the global form)")
           UnionBranchRe.findAllMatchIn(m.matched).toList.map(b => triples(b.group(1)))
         }
         body = UnionRe.replaceAllIn(body, " ")
+        body = body.replace(Marker, ' ')
         val filts = FilterRe.findAllMatchIn(body).toList.map { m =>
           m.group(1).trim match {
             case RegexRe(v, re)  => FRegex(v, re)
@@ -189,10 +219,18 @@ object Sparql {
       entityAliases: Map[String, Long] = Map.empty): DataFrame = {
     val st = Triples.statements(spark, dir)
 
-    def pred(p: String): String =
+    def pred(p: String): String = {
+      // a variable predicate or the rdf:type shorthand would compile
+      // to a constant-string filter that matches nothing — reject
+      // loudly per the no-silently-wrong-results contract
+      require(!p.startsWith("?"),
+        s"variable predicate '$p' unsupported (enumerate predicates explicitly)")
+      require(p != "a",
+        "rdf:type shorthand 'a' unsupported — use the store's type predicate name")
       if (PrefixedRe.matches(p)) predAliases.getOrElse(p,
         throw new IllegalArgumentException(s"prefixed predicate '$p' has no alias in the dialect map"))
       else p
+    }
     def resolve(t: Term): Term = t match {
       case Lit(v) if v.startsWith("\u0000prefixed:") =>
         val name = v.stripPrefix("\u0000prefixed:")
@@ -240,7 +278,12 @@ object Sparql {
         case V(n) if entityPreds(p.p) =>
           df = df.filter(col("o_id").isNotNull); cols += col("o_id").as(n)
         case V(n)   => df = df.filter(col("o_val").isNotNull); cols += col("o_val").as(n)
-        case Num(v) => df = df.filter(col("o_id") === v)
+        // constants follow the SAME schema-driven typing as variables:
+        // a numeric object on a literal-valued predicate compares the
+        // literal column (o_id is NULL there — comparing it would
+        // silently match nothing)
+        case Num(v) if entityPreds(p.p) => df = df.filter(col("o_id") === v)
+        case Num(v) => df = df.filter(col("o_val") === v.toString)
         case Lit(v) => df = df.filter(col("o_val") === v)
       }
       require(cols.nonEmpty, s"pattern binds no variables: $p0")
@@ -249,14 +292,21 @@ object Sparql {
 
     def joinKeys(a: DataFrame, b: DataFrame): Seq[String] =
       a.columns.toSeq.intersect(b.columns.toSeq)
-    /** Inner-join a pattern group into one frame (a BGP). */
+    /** Inner-join a pattern group into one frame (a BGP). SPARQL BGPs
+      * are unordered, so connectivity is resolved to a FIXPOINT: each
+      * round joins any pattern sharing a variable with the
+      * accumulator, in textual order among the eligible — a BGP whose
+      * connecting pattern appears last still compiles. */
     def bgp(pats: Seq[Pattern]): DataFrame = {
+      val remaining = scala.collection.mutable.ListBuffer(
+        pats.tail.map(p => (p, frame(p))): _*)
       var acc = frame(pats.head)
-      pats.tail.foreach { p =>
-        val f = frame(p)
-        val keys = joinKeys(acc, f)
-        require(keys.nonEmpty, s"pattern not connected to the rest of the BGP: $p")
-        acc = acc.join(f, keys)
+      while (remaining.nonEmpty) {
+        val idx = remaining.indexWhere { case (_, f) => joinKeys(acc, f).nonEmpty }
+        require(idx >= 0,
+          s"pattern(s) not connected to the rest of the BGP: ${remaining.map(_._1).mkString("; ")}")
+        val (_, f) = remaining.remove(idx)
+        acc = acc.join(f, joinKeys(acc, f))
       }
       acc
     }

@@ -150,6 +150,34 @@ class SparqlSpec extends SparkSpec {
     fails("SELECT ?x WHERE { ?x a ?y ?z . }", "unsupported pattern")
     fails("SELECT ?x WHERE { ?x in_nation ?y . ?a label ?b . }", "not connected")
     fails("DESCRIBE <x>", "unsupported query shape")
+    // silently-wrong-results class: these would compile to empty frames
+    fails("SELECT ?s ?o WHERE { ?s ?p ?o . }", "variable predicate")
+    fails("SELECT ?x WHERE { ?x a ?y . }", "rdf:type shorthand")
+    fails("""SELECT ?c WHERE { { ?c mktsegment "BUILDING" . OPTIONAL { ?c label ?l . } } UNION { ?c mktsegment "MACHINERY" . } }""",
+      "inside a UNION branch")
+  }
+
+  test("parser robustness: late-connecting BGPs, quoted separators, numeric literals") {
+    // a connected BGP whose connecting pattern comes LAST still
+    // compiles (patterns 1 and 2 share no variable; 3 bridges them)
+    val late = Sparql.run(spark, sf,
+      """SELECT ?c ?n WHERE {
+        |  ?r label "ASIA" .
+        |  ?c in_nation ?n .
+        |  ?n in_region ?r .
+        |}""".stripMargin)
+    assert(late.count() > 0)
+    // '#' and ';' inside string literals are content, not comment/separator
+    val q = Sparql.parse(
+      """SELECT ?c WHERE { ?c mktsegment "A#B;C.D" . }""")
+    assert(q.patterns == Seq(Sparql.Pattern(
+      Sparql.V("c"), "mktsegment", Sparql.Lit("A#B;C.D"))))
+    // numeric object on a LITERAL-valued predicate compares o_val,
+    // never the (always-null) o_id
+    val num = Sparql.run(spark, sf, "SELECT ?c WHERE { ?c mktsegment 42 . }")
+    assert(num.count() == 0) // no such segment — but compiled, not silently o_id-matched
+    val numEnt = Sparql.parse("SELECT ?c WHERE { ?c in_nation 2000000000003 . }")
+    assert(Sparql.compile(spark, sf, numEnt).count() > 0)
   }
 
   test("typing rule: object vars that appear as subjects bind ids, others bind literals") {
