@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Typed readers for the test star schema + documents/embeddings/events.
   *
@@ -26,14 +26,25 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS); Spark reads it as a nanos
-    * long under `spark.sql.legacy.parquet.nanosAsLong` — normalize to a
-    * µs TimestampType (floor, matching DuckDB's ns→µs cast). */
+  /** `events.ts` has shipped in three parquet encodings over time; normalize
+    * all of them to a µs `TimestampType` so downstream `unix_micros`/window
+    * code sees one type regardless of which generator wrote the data:
+    *
+    *  - `TIMESTAMP(NANOS)` → read as a nanos long under
+    *    `spark.sql.legacy.parquet.nanosAsLong`; floor-divide to µs
+    *    (matching DuckDB's ns→µs cast).
+    *  - `TIMESTAMP(isAdjustedToUTC=false, MICROS)` → Spark reads
+    *    TIMESTAMP_NTZ; cast to TimestampType. The session timezone is
+    *    pinned UTC (GraftSession), so the cast reinterprets the wall-clock
+    *    µs value unchanged and is deterministic across machines.
+    *  - `TIMESTAMP(isAdjustedToUTC=true, MICROS)` → already TimestampType. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val df = load(spark, dir, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

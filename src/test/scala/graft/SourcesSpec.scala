@@ -58,6 +58,40 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("p=label"), "pattern scan read another predicate's partition")
   }
 
+  test("Tables.events normalizes every ts encoding the generator has shipped") {
+    // the events data has arrived in three parquet encodings across
+    // driver regenerations; the reader contract is: whatever the file
+    // says, downstream sees a µs TimestampType with the same instant.
+    // Fixtures are written in-test, one per encoding:
+    //   ltz  — TIMESTAMP(isAdjustedToUTC=true, MICROS)   (TimestampType)
+    //   ntz  — TIMESTAMP(isAdjustedToUTC=false, MICROS)  (TimestampNTZType)
+    //   long — int64 ts (what TIMESTAMP(NANOS) becomes under
+    //          spark.sql.legacy.parquet.nanosAsLong), in nanos
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    import spark.implicits._
+    val micros = Seq(0L, 1_700_000_000_123_456L, 86_400_000_000L)
+    val base = Files.createTempDirectory("graft_events_enc").toString
+    val us = micros.zipWithIndex
+      .map { case (m, i) => (i.toLong, m) }
+      .toDF("event_id", "us")
+    us.select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$base/ltz/events.parquet")
+    // session tz is pinned UTC, so the NTZ wall-clock equals the instant
+    us.select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$base/ntz/events.parquet")
+    us.select(col("event_id"), (col("us") * 1000).as("ts")) // nanos-as-long
+      .write.parquet(s"$base/long/events.parquet")
+    Seq("ltz", "ntz", "long").foreach { enc =>
+      val df = Tables.events(spark, s"$base/$enc")
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$enc: ts not normalized to TimestampType")
+      val got = df.orderBy("event_id").select(unix_micros(col("ts")))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == micros, s"$enc: decoded $got, expected $micros")
+    }
+  }
+
   test("text source reads raw lines") {
     val dir = Files.createTempDirectory("graft_txt").toString
     Tables.documents(spark, sf).select("text").limit(50)
