@@ -141,6 +141,102 @@ class SparqlSpec extends SparkSpec {
     assert(e.getMessage.contains("not bound"))
   }
 
+  test("property path p/q* compiles to the step+closure plan (companions shape)") {
+    val df = Sparql.kgSparqlPath(spark, sf)
+    assert(df.columns.toSeq == Seq("c", "reach"))
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // DSL twin: kg_seq_path pairs restricted to BUILDING customers
+    val st = graft.kg.Triples.statements(spark, sf)
+    val bld = st.filter(col("p") === "mktsegment" && col("o_val") === "BUILDING")
+      .select(col("s").as("c"))
+    val exp = graft.kg.TripleStore(spark, st).path("in_nation", Seq("in_region"))
+      .withColumnRenamed("s", "c").join(bld, "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"path query diverges: ${got.size} vs ${exp.size}")
+    // zero-step closure: every customer's nation itself is reachable
+    val nations = st.filter(col("p") === "in_nation").select("s", "o_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (c, _) => nations.exists(_._1 == c) })
+    assert(got.exists { case (c, r) => nations.contains((c, r)) }, "nation step missing")
+    assert(got.exists { case (c, r) => !nations.contains((c, r)) }, "region closure missing")
+    // loud rejects: closure-first, non-entity step, unsupported modifier
+    def fails(p: String, frag: String): Unit = {
+      val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+        s"SELECT ?a ?b WHERE { ?a $p ?b . }"))
+      assert(e.getMessage.contains(frag), s"'${e.getMessage}' lacks '$frag'")
+    }
+    fails("in_region*/in_nation", "closure step")
+    fails("in_nation/label*", "not entity-valued")
+    fails("in_nation/in_region+", "unsupported path segment")
+  }
+
+  test("SERVICE wikibase:label resolves ?xLabel with language preference and id fallback") {
+    val df = Sparql.kgSparqlLabel(spark, sf)
+    assert(df.columns.toSeq == Seq("item", "itemLabel", "seg"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // de-labeled customers (custkey % 3 == 0) must show the DE label;
+    // the rest fall back to en (all customers carry an en label)
+    rows.foreach { r =>
+      val (item, lbl) = (r.getLong(0), r.getString(1))
+      if (item % 3 == 0) assert(lbl.startsWith("DE "), s"$item: expected de label, got $lbl")
+      else assert(!lbl.startsWith("DE ") && lbl.nonEmpty)
+    }
+    // id-string fallback: orders have no label triple at all
+    val ord = Sparql.run(spark, sf,
+      """SELECT ?o ?oLabel WHERE {
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "[AUTO_LANGUAGE],en". }
+        |  ?o placed_by ?c .
+        |} LIMIT 5""".stripMargin)
+    ord.collect().foreach(r => assert(r.getString(1) == r.getLong(0).toString))
+    // a ?xLabel var without the SERVICE block is a loud error
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      "SELECT ?c ?cLabel WHERE { ?c in_nation ?n . }"))
+    assert(e.getMessage.contains("SERVICE wikibase:label"))
+    // federated endpoints are rejected loudly
+    val e2 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      """SELECT ?x WHERE { SERVICE <https://example.org/sparql> { ?x in_nation ?n . } }"""))
+    assert(e2.getMessage.contains("federated SERVICE"))
+  }
+
+  test("MINUS and FILTER NOT EXISTS compile to anti-joins; filter-only MINUS excludes rows") {
+    val got = Sparql.kgSparqlMinus(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val st = graft.kg.Triples.statements(spark, sf)
+    val inN = st.filter(col("p") === "in_nation").select(col("s").as("c"), col("o_id").as("n"))
+    val bld = st.filter(col("p") === "mktsegment" && col("o_val") === "BUILDING").select(col("s").as("c"))
+    val l7 = st.filter(col("p") === "label" && col("o_val").rlike("7$")).select(col("s").as("c"))
+    val exp = inN.join(bld, Seq("c"), "left_anti").join(l7, Seq("c"), "left_anti")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.nonEmpty && got == exp, s"minus query diverges: ${got.size} vs ${exp.size}")
+    // pattern-less MINUS (the reference's MINUS{FILTER(REGEX(STR(?v),…))})
+    // = row exclusion on the outer binding
+    val fo = Sparql.run(spark, sf,
+      """SELECT ?c ?seg WHERE {
+        |  ?c mktsegment ?seg .
+        |  MINUS { FILTER(REGEX(STR(?seg), "^BUILD")) }
+        |}""".stripMargin)
+    val segs = fo.select("seg").distinct().collect().map(_.getString(0)).toSet
+    assert(segs.nonEmpty && !segs.contains("BUILDING"))
+    // a disconnected MINUS group is a loud error
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      "SELECT ?c WHERE { ?c in_nation ?n . MINUS { ?x brand ?b . } }"))
+    assert(e.getMessage.contains("shares no variable"))
+  }
+
+  test("multi-var VALUES restricts row-wise, not column-wise") {
+    val rows = Sparql.kgSparqlValues(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    val n3 = 2L * graft.kg.Triples.NS + 3; val n5 = 2L * graft.kg.Triples.NS + 5
+    assert(rows.nonEmpty)
+    assert(rows.subsetOf(Set((n3, "BUILDING"), (n5, "MACHINERY"))),
+      s"row-wise restriction violated: $rows") // (n3,MACHINERY)/(n5,BUILDING) must be absent
+    // arity mismatch is loud
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?a ?b WHERE { ?a in_nation ?b . VALUES (?a ?b) { (1 2) (3) } }"""))
+    assert(e.getMessage.contains("arity"))
+  }
+
   test("unsupported syntax fails loudly, never silently drops patterns") {
     def fails(q: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
