@@ -237,6 +237,50 @@ class SparqlSpec extends SparkSpec {
     assert(e.getMessage.contains("arity"))
   }
 
+  test("variable predicates: schema-typed objects, VALUES-restricted scans, IRI aliases") {
+    // kg_sparql_pred: every relation whose object is in nation 5
+    val df = Sparql.kgSparqlPred(spark, sf)
+    assert(df.columns.toSeq == Seq("c", "relation", "v", "vLabel"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // DSL twin: statements whose object is a nation-5 member, any predicate
+    val stm = graft.kg.Triples.statements(spark, sf)
+    val n5 = 2L * graft.kg.Triples.NS + 5
+    val cls = stm.filter(col("p") === "in_nation" && col("o_id") === n5)
+      .select(col("s").as("v"))
+    val exp = stm.filter(col("o_id").isNotNull)
+      .select(col("s").as("c"), col("p").as("relation"), col("o_id").as("v"))
+      .join(cls, "v")
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(0))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exp, s"variable-predicate query diverges: ${got.size} vs ${exp.size}")
+    // objects in a nation are customers/suppliers; the statements
+    // pointing AT them can only be placed_by / supplied_by
+    val rels = rows.map(_.getString(1)).distinct.toSet
+    assert(rels.subsetOf(Set("placed_by", "supplied_by")), s"unexpected relations: $rels")
+    // predicate-VALUES restriction pushes p-isin into the scan
+    val pv = Sparql.kgSparqlPredValues(spark, sf)
+    val scan = pv.queryExecution.executedPlan.toString
+    assert(scan.contains("placed_by") && scan.contains("supplied_by"),
+      s"VALUES predicate list did not reach the plan:\n${scan.take(800)}")
+    val pvRels = pv.select("rel").distinct().collect().map(_.getString(0)).toSet
+    assert(pvRels == Set("placed_by", "supplied_by"))
+    // a type-ambiguous object (no VALUES, no other binding site) is loud
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      "SELECT ?s ?p ?o WHERE { ?s ?p ?o . }"))
+    assert(e.getMessage.contains("type-ambiguous"))
+    // IRI constants resolve through the dialect maps (schema:isPartOf shape)
+    val st = graft.kg.Triples.statements(spark, sf)
+    val nation = st.filter(col("p") === "label" && col("o_val") === "NATION_2")
+      .select("s").head().getLong(0)
+    val iri = Sparql.run(spark, sf,
+      """SELECT ?c WHERE { ?c <https://example.org/in_nation> <https://example.org/N2> . }""",
+      predAliases = Map("<https://example.org/in_nation>" -> "in_nation"),
+      entityAliases = Map("<https://example.org/N2>" -> nation))
+    val expN = st.filter(col("p") === "in_nation" && col("o_id") === nation).count()
+    assert(iri.count() == expN)
+  }
+
   test("unsupported syntax fails loudly, never silently drops patterns") {
     def fails(q: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
@@ -247,7 +291,9 @@ class SparqlSpec extends SparkSpec {
     fails("SELECT ?x WHERE { ?x in_nation ?y . ?a label ?b . }", "not connected")
     fails("DESCRIBE <x>", "unsupported query shape")
     // silently-wrong-results class: these would compile to empty frames
-    fails("SELECT ?s ?o WHERE { ?s ?p ?o . }", "variable predicate")
+    // (?s ?p ?o is now a supported variable-predicate scan, but an
+    // object with no typing site must still reject, not guess)
+    fails("SELECT ?s ?o WHERE { ?s ?p ?o . }", "type-ambiguous")
     fails("SELECT ?x WHERE { ?x a ?y . }", "rdf:type shorthand")
     fails("""SELECT ?c WHERE { { ?c mktsegment "BUILDING" . OPTIONAL { ?c label ?l . } } UNION { ?c mktsegment "MACHINERY" . } }""",
       "inside a UNION branch")
