@@ -510,6 +510,37 @@ class DedupSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream_sessionize typed state survives an NTZ-encoded events source") {
+    // round-6 incident class: the driver regenerated events.parquet as
+    // MICROS/NTZ and the typed flatMapGroupsWithState path failed with
+    // LocalDateTime-vs-java.sql.Timestamp. The contract now: streaming
+    // reads through Tables.events, so a fixture dir with an NTZ ts
+    // must produce the exact batch sessionization.
+    import org.apache.spark.sql.types.TimestampNTZType
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ntz_stream").toString
+    val base = 1_700_000_000_000_000L // µs
+    val rows = for {
+      u <- 1L to 3L; s <- 0L to 2L; e <- 0L to 3L
+    } yield (u * 100 + s * 10 + e,
+      base + s * 3_600_000_000L + e * 60_000_000L + u * 7_000_000L,
+      u, "click", 1.5 * e)
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .write.parquet(s"$dir/events.parquet")
+    val streamed = Streaming.streamSessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val batch = graft.queries.Relational.qSessionize(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"NTZ streaming sessions diverge: ${streamed.size} vs ${batch.size}")
+    // 3 sessions per user (1-hour gaps > the 30-min session gap)
+    assert(streamed.count(_._1 == 1L) == 3)
+  }
+
   test("stream dedup drops every redelivered copy (totals equal the original stream)") {
     val events = graft.sources.Tables.events(spark, sf)
     // the redelivery is real: a nonempty subset was published twice
