@@ -76,8 +76,13 @@ object Sparql {
   final case class FRegex(v: String, re: String) extends Filt
   final case class FEq(v: String, value: String) extends Filt
 
-  /** `(COUNT(DISTINCT? ?v) AS ?alias)` projection. */
-  final case class Agg(distinct: Boolean, v: String, alias: String)
+  /** Aggregate projection: `(COUNT(DISTINCT? ?v) AS ?alias)` plus
+    * MIN / MAX / SAMPLE / GROUP_CONCAT(…; separator="…"). SAMPLE is
+    * DETERMINISTIC (min — the kg_sample_distinct convention) and
+    * GROUP_CONCAT is the SORTED concat, so both are
+    * parallelism-independent and hash-checkable. */
+  final case class Agg(distinct: Boolean, v: String, alias: String,
+      func: String = "count", sep: Option[String] = None)
 
   /** `MINUS {…}` / `FILTER NOT EXISTS {…}` group: excluded BGP plus
     * filters scoped to the group. A pattern-less group (the
@@ -96,6 +101,7 @@ object Sparql {
       filters: Seq[Filt],
       minuses: Seq[Minus],               // MINUS / FILTER NOT EXISTS groups
       binds: Map[String, Term],          // BIND(const AS ?var) seeds
+      iriBinds: Seq[(String, String, String)], // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x): (x, iriText, v)
       values: Seq[ValuesBlock],          // VALUES inline-data restrictions
       labelLangs: Option[Seq[String]],   // SERVICE wikibase:label languages
       groupBy: Seq[String],
@@ -106,6 +112,7 @@ object Sparql {
   private val SelectRe = """(?is).*?SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*(GROUP\s+BY\s+((?:\?\w+\s*)+))?\s*(ORDER\s+BY\s+((?:\?\w+\s*)+))?\s*(LIMIT\s+(\d+))?\s*""".r
   private val ProjVarRe = """\?(\w+)""".r
   private val ProjAggRe = """(?i)\(\s*COUNT\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)""".r
+  private val ProjAgg2Re = """(?i)\(\s*(SAMPLE|MIN|MAX|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*(?:;\s*separator\s*=\s*"([^"]*)"\s*)?\)\s+AS\s+\?(\w+)\s*\)""".r
   private val OptionalRe = """(?is)OPTIONAL\s*\{([^{}]*)\}""".r
   private val UnionRe = """(?is)\{([^{}]*)\}(\s*UNION\s*\{[^{}]*\})+""".r
   private val UnionBranchRe = """(?is)\{([^{}]*)\}""".r
@@ -119,6 +126,11 @@ object Sparql {
     * surviving inside a UNION chain means the group was branch-scoped. */
   private val Marker = ''
   private val BindRe = """(?is)BIND\s*\(\s*(\S+)\s+AS\s+\?(\w+)\s*\)\s*\.?""".r
+  /** `BIND(IRI(CONCAT(STR(wd:), ?qid)) AS ?wd_item)` — the reference's
+    * qid→IRI transform (lokale-from-factgrid.rq:44, present in every
+    * network/compare query). */
+  private val BindIriRe = """(?is)BIND\s*\(\s*IRI\s*\(\s*CONCAT\s*\(\s*STR\s*\(\s*(\w+):\s*\)\s*,\s*(?:STR\s*\(\s*)?\?(\w+)\s*\)?\s*\)\s*\)\s+AS\s+\?(\w+)\s*\)\s*\.?""".r
+  private val PrefixDeclRe = """(?i)PREFIX\s+(\w+):\s*<([^>]*)>""".r
   private val ValuesRe = """(?is)VALUES\s+(\((?:\s*\?\w+)+\s*\)|\?\w+)\s*\{([^{}]*)\}""".r
   private val ValuesRowRe = """\(([^()]*)\)""".r
   private val ServiceLabelRe = """(?is)SERVICE\s+wikibase:label\s*\{([^{}]*)\}\s*\.?""".r
@@ -128,16 +140,21 @@ object Sparql {
   private val ServiceAnyRe = """(?i)\bSERVICE\b""".r
   private val TokenRe = "\"[^\"]*\"|\\S+".r
 
-  /** Sentinel prefix marking a prefixed-name / IRI term for alias
-    * resolution at compile time (NUL can't occur in query text). */
+  /** Sentinels marking a prefixed-name / `<IRI>` term for resolution
+    * at compile time (NUL can't occur in query text). A prefixed name
+    * MUST resolve through the dialect maps; an IRI resolves through
+    * `entityAliases` (keyed by its bracketed form) in entity
+    * positions and otherwise compares as a literal against its bare
+    * text (the `schema:isPartOf <https://www.wikidata.org/>` shape). */
   private val Pfx = "\u0000prefixed:"
+  private val IriPfx = "\u0000iri:"
 
   private def term(tok: String): Term = tok.trim match {
     case t if t.startsWith("?")                      => V(t.drop(1))
     case t if t.startsWith("\"") && t.endsWith("\"") => Lit(t.drop(1).dropRight(1))
     case t if t.matches("-?\\d+")                    => Num(t.toLong)
     case t if PrefixedRe.matches(t)                  => Lit(Pfx + t) // resolved at compile
-    case t if t.startsWith("<") && t.endsWith(">")   => Lit(Pfx + t) // IRI constant, alias-resolved
+    case t if t.startsWith("<") && t.endsWith(">")   => Lit(IriPfx + t.drop(1).dropRight(1))
     case t => throw new IllegalArgumentException(s"unsupported term: '$t'")
   }
 
@@ -253,10 +270,14 @@ object Sparql {
       .mkString("\n")
     q match {
       case SelectRe(distinct, proj, body0, _, group, _, order, _, limit) =>
-        // the projection is plain vars and COUNT aggregates, in order
+        // the projection is plain vars and aggregates, in order
         val aggs = ProjAggRe.findAllMatchIn(proj).toList
-          .map(m => Agg(m.group(1) != null, m.group(2), m.group(3)))
-        val plainVars = ProjVarRe.findAllMatchIn(ProjAggRe.replaceAllIn(proj, " "))
+          .map(m => Agg(m.group(1) != null, m.group(2), m.group(3))) ++
+          ProjAgg2Re.findAllMatchIn(proj).toList
+            .map(m => Agg(m.group(2) != null, m.group(3), m.group(5),
+              m.group(1).toLowerCase, Option(m.group(4))))
+        val plainVars = ProjVarRe.findAllMatchIn(
+            ProjAgg2Re.replaceAllIn(ProjAggRe.replaceAllIn(proj, " "), " "))
           .toList.map(_.group(1))
         require(aggs.nonEmpty || plainVars.nonEmpty, "empty SELECT projection")
         var body = body0
@@ -280,6 +301,15 @@ object Sparql {
         require(ServiceAnyRe.findFirstIn(body).isEmpty,
           "federated SERVICE endpoints are unsupported (single-engine library); " +
             "only SERVICE wikibase:label is recognized")
+        // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x) — the qid→IRI transform;
+        // the prefix resolves through the query's own PREFIX declarations
+        val prefixes = PrefixDeclRe.findAllMatchIn(q0).map(m => m.group(1) -> m.group(2)).toMap
+        val iriBinds = BindIriRe.findAllMatchIn(body).toList.map { m =>
+          val iri = prefixes.getOrElse(m.group(1), throw new IllegalArgumentException(
+            s"BIND IRI prefix '${m.group(1)}:' has no PREFIX declaration in the query"))
+          (m.group(3), iri, m.group(2))
+        }
+        body = BindIriRe.replaceAllIn(body, marker)
         val binds = BindRe.findAllMatchIn(body).toList
           .map(m => m.group(2) -> term(m.group(1))).toMap
         body = BindRe.replaceAllIn(body, marker)
@@ -345,7 +375,7 @@ object Sparql {
           distinct = distinct != null,
           patterns = pats, optionals = opts, unions = unions,
           filters = filts, minuses = minuses,
-          binds = binds, values = values,
+          binds = binds, iriBinds = iriBinds, values = values,
           labelLangs = labelLangs,
           groupBy = groupVars,
           orderBy = Option(order).map(_.trim.split("\\s+").map(_.stripPrefix("?")).toSeq)
@@ -357,16 +387,30 @@ object Sparql {
 
   // ---- compiler ------------------------------------------------------
 
-  /** Predicates whose objects are entities, per the store's mapping
-    * dictionary — the typing source (see object doc). */
-  private lazy val entityPreds: Set[String] =
+  /** Predicates whose objects are entities, per the built-in store's
+    * mapping dictionary — the default typing source (see object doc). */
+  lazy val defaultEntityPreds: Set[String] =
     Triples.rules.collect { case r if r.oNs.isDefined => r.p }.toSet
 
   def compile(spark: SparkSession, dir: String, q: Query,
       predAliases: Map[String, String] = Map.empty,
       entityAliases: Map[String, Long] = Map.empty,
-      autoLang: String = "de"): DataFrame = {
-    val st = Triples.statements(spark, dir)
+      autoLang: String = "de"): DataFrame =
+    compileOn(spark, Triples.statements(spark, dir), q,
+      predAliases, entityAliases, autoLang)
+
+  /** Compile against a CALLER-PROVIDED statements frame
+    * `(s, p, o_id, o_val, lang)` — a store extended with extra
+    * relations (sitelink reification, a second graph, a filtered
+    * view) runs the same query text; `entityValued` is that store's
+    * typing dictionary (which predicates bind `o_id`). */
+  def compileOn(spark: SparkSession, statements: DataFrame, q: Query,
+      predAliases: Map[String, String] = Map.empty,
+      entityAliases: Map[String, Long] = Map.empty,
+      autoLang: String = "de",
+      entityValued: Set[String] = defaultEntityPreds): DataFrame = {
+    val st = statements
+    val entityPreds = entityValued
 
     def pred(p: String): String = {
       // a variable predicate or the rdf:type shorthand would compile
@@ -386,8 +430,15 @@ object Sparql {
         val name = v.stripPrefix(Pfx)
         Num(entityAliases.getOrElse(name,
           throw new IllegalArgumentException(s"prefixed entity '$name' has no alias in the dialect map")))
+      // an IRI with an entity alias becomes that entity id; otherwise
+      // it stays a (sentinel-marked) literal and the typing branches
+      // decide: literal-valued predicate -> compare bare IRI text,
+      // entity position -> loud reject
+      case Lit(v) if v.startsWith(IriPfx) =>
+        entityAliases.get("<" + v.stripPrefix(IriPfx) + ">").map(Num(_): Term).getOrElse(t)
       case other => other
     }
+    def bareIri(v: String): String = v.stripPrefix(IriPfx)
 
     // BIND(const AS ?var) seeds substitute the constant into every
     // pattern position of the var (the seed-item idiom of the
@@ -522,7 +573,7 @@ object Sparql {
               s"bind ?$n in another pattern or restrict ?$pv with a VALUES block")
         }
         case Num(v) => df = df.filter(col("o_id") === v)  // entity constant
-        case Lit(v) => df = df.filter(col("o_val") === v)
+        case Lit(v) => df = df.filter(col("o_val") === bareIri(v))
       }
       df.select(cols.toSeq: _*)
     }
@@ -536,6 +587,8 @@ object Sparql {
       p.s match {
         case V(n)   => cols += col("s").as(n)
         case Num(v) => df = df.filter(col("s") === v)
+        case Lit(v) if v.startsWith(IriPfx) => throw new IllegalArgumentException(
+          s"IRI subject <${bareIri(v)}> has no alias in the dialect map")
         case Lit(v) => throw new IllegalArgumentException(s"literal subject '$v' unsupported")
       }
       p.o match {
@@ -548,6 +601,16 @@ object Sparql {
         // silently match nothing)
         case Num(v) if entityPreds(p.p) => df = df.filter(col("o_id") === v)
         case Num(v) => df = df.filter(col("o_val") === v.toString)
+        // an alias-free IRI on a literal-valued predicate compares its
+        // bare text (`?link schema:isPartOf <https://www.wikidata.org/>`)
+        case Lit(v) if v.startsWith(IriPfx) && !entityPreds(p.p) =>
+          df = df.filter(col("o_val") === bareIri(v))
+        case Lit(v) if v.startsWith(IriPfx) => throw new IllegalArgumentException(
+          s"IRI <${bareIri(v)}> sits in an entity position (predicate '${p.p}') " +
+            "but has no alias in the dialect map")
+        case Lit(v) if entityPreds(p.p) => throw new IllegalArgumentException(
+          s"string literal '$v' on entity-valued predicate '${p.p}' would match " +
+            "nothing — use an entity alias")
         case Lit(v) => df = df.filter(col("o_val") === v)
       }
       require(cols.nonEmpty, s"pattern binds no variables: $p0")
@@ -597,6 +660,12 @@ object Sparql {
       val keys = joinKeys(acc, f)
       require(keys.nonEmpty, s"OPTIONAL group not connected: $group")
       acc = acc.join(f, keys, "left_outer")
+    }
+    // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x) — render the IRI text from
+    // the declared prefix + the bound literal (the qid→IRI transform)
+    q.iriBinds.foreach { case (nv, iri, sv) =>
+      require(acc.columns.contains(sv), s"BIND IRI source ?$sv not bound by the pattern")
+      acc = acc.withColumn(nv, concat(lit(iri), col(sv).cast("string")))
     }
     // SERVICE wikibase:label — synthesize each projected `?xLabel`
     // whose stem ?x is entity-bound: rank the label set by language
@@ -663,7 +732,7 @@ object Sparql {
         require(kinds.size == 1, s"VALUES ?${vars(i)} mixes entity and literal terms")
       }
       def litOf(t: Term): Column = t match {
-        case Num(x) => lit(x); case Lit(x) => lit(x)
+        case Num(x) => lit(x); case Lit(x) => lit(bareIri(x))
         case V(x)   => throw new IllegalArgumentException(s"variable ?$x inside VALUES block")
       }
       acc = acc.filter(rows.map(r =>
@@ -682,8 +751,21 @@ object Sparql {
       })
     }
     if (q.aggs.nonEmpty) {
-      val aggCols = q.aggs.map(a =>
-        (if (a.distinct) count_distinct(col(a.v)) else count(col(a.v))).as(a.alias))
+      val aggCols = q.aggs.map { a =>
+        val c = col(a.v)
+        (a.func match {
+          case "count"          => if (a.distinct) count_distinct(c) else count(c)
+          // SAMPLE must be deterministic under the hash gate: min is
+          // the kg_sample_distinct convention
+          case "sample" | "min" => min(c)
+          case "max"            => max(c)
+          case "group_concat"   =>
+            // sorted concat = parallelism-independent (kg_group_concat)
+            val arr = if (a.distinct) collect_set(c) else collect_list(c)
+            array_join(array_sort(arr), a.sep.getOrElse(" "))
+          case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
+        }).as(a.alias)
+      }
       acc = acc.groupBy(q.groupBy.map(col): _*)
         .agg(aggCols.head, aggCols.tail: _*)
         .select((q.select ++ q.aggs.map(_.alias)).map(col): _*)
@@ -699,6 +781,16 @@ object Sparql {
       entityAliases: Map[String, Long] = Map.empty,
       autoLang: String = "de"): DataFrame =
     compile(spark, dir, parse(queryText), predAliases, entityAliases, autoLang)
+
+  /** [[run]] against a caller-provided statements frame + typing
+    * dictionary — see [[compileOn]]. */
+  def runOn(spark: SparkSession, statements: DataFrame, queryText: String,
+      predAliases: Map[String, String] = Map.empty,
+      entityAliases: Map[String, Long] = Map.empty,
+      autoLang: String = "de",
+      entityValued: Set[String] = defaultEntityPreds): DataFrame =
+    compileOn(spark, statements, parse(queryText),
+      predAliases, entityAliases, autoLang, entityValued)
 
   // ---- registry ------------------------------------------------------
 
@@ -854,6 +946,73 @@ object Sparql {
     run(spark, dir, predValuesText,
       predAliases = Map("fgt:P84" -> "placed_by", "fgt:P203" -> "supplied_by"))
 
+  /** The built-in statements extended with the sitelink reification
+    * as TRIPLES (`?link schema:about ?item . ?link schema:isPartOf
+    * <https://www.wikidata.org/> . ?link schema:name ?qid` — the
+    * block opening lokale-from-factgrid.rq:40 and every compare/
+    * network query): link entities in their own id namespace, one
+    * per wikidata-linked customer (custkey % 3 — the same subset
+    * [[Wikibase.sitelinks]] links). Shows [[compileOn]]'s purpose —
+    * extend the store, run the reference text unchanged. */
+  def sitelinkStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") % 3 === 0)
+    val link = (lit(7L * Triples.NS) + col("c_custkey")).as("s")
+    def nul(t: String) = lit(null).cast(t)
+    val about = c.select(link, lit("schema_about").as("p"),
+      Triples.id(Triples.CUSTOMER, col("c_custkey")).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val partOf = c.select(link, lit("schema_ispartof").as("p"), nul("long").as("o_id"),
+      lit("https://www.wikidata.org/").as("o_val"), nul("string").as("lang"))
+    val name = c.select(link, lit("schema_name").as("p"), nul("long").as("o_id"),
+      concat(lit("Q"), col("c_custkey").cast("string")).as("o_val"), nul("string").as("lang"))
+    Triples.statements(spark, dir).unionAll(about).unionAll(partOf).unionAll(name)
+  }
+
+  /** Sitelink text — the exact link-reification block + qid→IRI BIND
+    * of the reference files, plus the label service. */
+  val sitelinkText: String =
+    """PREFIX wd: <http://www.wikidata.org/entity/>
+      |PREFIX schema: <http://schema.org/>
+      |SELECT DISTINCT ?item ?itemLabel ?qid ?wd_item WHERE {
+      |  SERVICE wikibase:label { bd:serviceParam wikibase:language "[AUTO_LANGUAGE],en". }
+      |  ?link schema:about ?item .
+      |  ?link schema:isPartOf <https://www.wikidata.org/> .
+      |  ?link schema:name ?qid .
+      |  BIND(IRI(CONCAT(STR(wd:), ?qid)) AS ?wd_item)
+      |}""".stripMargin
+
+  /** kg_sparql_sitelinks — [[sitelinkText]] over the extended store:
+    * IRI-literal objects, the BIND(IRI(CONCAT(STR(wd:), ?qid)))
+    * transform resolved through the query's own PREFIX declarations,
+    * and compileOn's custom typing dictionary, under the hash gate. */
+  def kgSparqlSitelinks(spark: SparkSession, dir: String): DataFrame =
+    compileOn(spark, sitelinkStatements(spark, dir), parse(sitelinkText),
+      predAliases = Map(
+        "schema:about" -> "schema_about",
+        "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name"),
+      entityValued = defaultEntityPreds + "schema_about")
+
+  /** Aggregate-completer text — MIN/MAX/SAMPLE/GROUP_CONCAT in the
+    * projection (the reference's per-entity survey shapes; sorted
+    * GROUP_CONCAT matches the kg_group_concat determinism rule).
+    * Note the label join fans out (de+en labels for every 3rd
+    * customer), so COUNT counts label BINDINGS, not customers — bag
+    * semantics, mirrored exactly by the oracle join. */
+  val aggText: String =
+    """SELECT ?n (COUNT(?c) AS ?n_bindings) (MIN(?lbl) AS ?first_label)
+      |       (MAX(?lbl) AS ?last_label) (SAMPLE(?seg) AS ?sample_seg)
+      |       (GROUP_CONCAT(DISTINCT ?seg; separator="|") AS ?segs) WHERE {
+      |  ?c in_nation ?n .
+      |  ?c label ?lbl .
+      |  ?c mktsegment ?seg .
+      |} GROUP BY ?n""".stripMargin
+
+  /** kg_sparql_gc — [[aggText]] under the hash gate. */
+  def kgSparqlGc(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, aggText)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_sparql"             -> (kgSparql _),
     "kg_sparql_agg"         -> (kgSparqlAgg _),
@@ -862,7 +1021,9 @@ object Sparql {
     "kg_sparql_minus"       -> (kgSparqlMinus _),
     "kg_sparql_values"      -> (kgSparqlValues _),
     "kg_sparql_pred"        -> (kgSparqlPred _),
-    "kg_sparql_pred_values" -> (kgSparqlPredValues _))
+    "kg_sparql_pred_values" -> (kgSparqlPredValues _),
+    "kg_sparql_sitelinks"   -> (kgSparqlSitelinks _),
+    "kg_sparql_gc"          -> (kgSparqlGc _))
 
   val oracles: Map[String, String] = Map(
     "kg_sparql" ->
@@ -953,5 +1114,33 @@ object Sparql {
     "kg_sparql_pred_values" ->
       s"""$T
          |SELECT s AS item, p AS rel, o_id AS other FROM triples
-         |WHERE p IN ('placed_by', 'supplied_by') AND o_id IS NOT NULL""".stripMargin)
+         |WHERE p IN ('placed_by', 'supplied_by') AND o_id IS NOT NULL""".stripMargin,
+    // the link reification is key-derived (custkey % 3), so the oracle
+    // shortcuts the synthesis and reads customer directly
+    "kg_sparql_sitelinks" ->
+      s"""$T,
+         |c3 AS (SELECT c_custkey, ${Triples.idSql(Triples.CUSTOMER, "c_custkey")} AS item
+         |       FROM customer WHERE c_custkey % 3 = 0),
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1)
+         |SELECT DISTINCT c3.item AS item,
+         |  COALESCE(b.o_val, CAST(c3.item AS VARCHAR)) AS "itemLabel",
+         |  'Q' || CAST(c_custkey AS VARCHAR) AS qid,
+         |  'http://www.wikidata.org/entity/Q' || CAST(c_custkey AS VARCHAR) AS wd_item
+         |FROM c3 LEFT JOIN best b ON b.s = c3.item""".stripMargin,
+    "kg_sparql_gc" ->
+      s"""$T,
+         |rows AS (
+         |  SELECT cn.s AS c, cn.o_id AS n, l.o_val AS lbl, m.o_val AS seg
+         |  FROM (SELECT s, o_id FROM triples WHERE p = 'in_nation') cn
+         |  JOIN (SELECT s, o_val FROM triples WHERE p = 'label' AND o_val IS NOT NULL) l
+         |    ON l.s = cn.s
+         |  JOIN (SELECT s, o_val FROM triples WHERE p = 'mktsegment' AND o_val IS NOT NULL) m
+         |    ON m.s = cn.s)
+         |SELECT n, count(c) AS n_bindings, min(lbl) AS first_label,
+         |  max(lbl) AS last_label, min(seg) AS sample_seg,
+         |  string_agg(DISTINCT seg, '|' ORDER BY seg) AS segs
+         |FROM rows GROUP BY n""".stripMargin)
 }

@@ -281,6 +281,50 @@ class SparqlSpec extends SparkSpec {
     assert(iri.count() == expN)
   }
 
+  test("sitelink reification + BIND(IRI(CONCAT)) run the reference link block on an extended store") {
+    val df = Sparql.kgSparqlSitelinks(spark, sf)
+    assert(df.columns.toSeq == Seq("item", "itemLabel", "qid", "wd_item"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(0) - 3L * graft.kg.Triples.NS
+      assert(k % 3 == 0, s"non-wikidata-linked item $k leaked in")
+      assert(r.getString(2) == s"Q$k")
+      assert(r.getString(3) == s"http://www.wikidata.org/entity/Q$k", "BIND IRI render wrong")
+      // the %3 subset all carry de labels and the chain prefers de
+      assert(r.getString(1).startsWith("DE "))
+    }
+    // the IRI literal filter discriminates: a different site matches nothing
+    val none = Sparql.runOn(spark, Sparql.sitelinkStatements(spark, sf),
+      """SELECT ?link WHERE { ?link schema:isPartOf <https://de.wikipedia.org/> . }""",
+      predAliases = Map("schema:isPartOf" -> "schema_ispartof"))
+    assert(none.count() == 0)
+    // a BIND IRI prefix without a PREFIX declaration is loud
+    val e = intercept[IllegalArgumentException](Sparql.parse(
+      "SELECT ?x WHERE { ?s label ?q . BIND(IRI(CONCAT(STR(wd:), ?q)) AS ?x) }"))
+    assert(e.getMessage.contains("PREFIX"))
+    // a string literal on an entity-valued predicate is loud, not empty
+    val e2 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      """SELECT ?c WHERE { ?c in_nation "five" . }"""))
+    assert(e2.getMessage.contains("entity-valued"))
+  }
+
+  test("MIN/MAX/SAMPLE/GROUP_CONCAT aggregates compile deterministically") {
+    val rows = Sparql.kgSparqlGc(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (fst, lst, segs) = (r.getString(2), r.getString(3), r.getString(5))
+      assert(fst <= lst, "MIN/MAX inverted")
+      val parts = segs.split("\\|").toSeq
+      assert(parts == parts.sorted && parts == parts.distinct,
+        s"GROUP_CONCAT DISTINCT not the sorted distinct concat: $segs")
+      assert(parts.contains(r.getString(4)), "SAMPLE not drawn from the group")
+    }
+    // rerun-identical (deterministic SAMPLE + sorted concat)
+    val again = Sparql.kgSparqlGc(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("unsupported syntax fails loudly, never silently drops patterns") {
     def fails(q: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
