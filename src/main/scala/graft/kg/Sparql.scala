@@ -227,6 +227,10 @@ object Sparql {
     * path expression is one whitespace-free token in the predicate
     * slot, so tokenization is unchanged. */
   private def triples(body: String): Seq[Pattern] =
+    {
+      require(!body.contains(Marker),
+        "BIND/VALUES/SERVICE/MINUS inside an OPTIONAL group is unsupported " +
+          "(hoisting would change the group's semantics) — move it to the top level")
     quoteAwareSplit(body, '.').map(_.trim).filter(_.nonEmpty).flatMap { stmt =>
       require(!stmt.toUpperCase.contains("FILTER"),
         s"FILTER inside a nested group (OPTIONAL / UNION branch) is unsupported: '$stmt'")
@@ -242,6 +246,7 @@ object Sparql {
       }
       first +: rest
     }.toSeq
+    }
 
   private def parseFilt(body: String): Filt = body.trim match {
     case RegexRe(v, re) => FRegex(v, re)
@@ -496,12 +501,19 @@ object Sparql {
       }
       (p0.s match { case V(n) => Seq(n -> "entity"); case _ => Nil }) ++ pKind ++ oKind
     }
+    // a predicate variable binds the predicate NAME (a string), so it
+    // may legally join a literal-bound site — the
+    // `?prop wikibase:directClaim ?rel . ?item ?rel ?value` triangle
+    // (companions_and_relations.rq:46). Only entity-vs-string is a
+    // real conflict.
+    def normKind(k: String): String = if (k == "predicate") "literal" else k
     varKinds.groupBy(_._1).foreach { case (v, kinds) =>
-      require(kinds.map(_._2).distinct.size == 1,
-        s"type conflict: ?$v bound as both ${kinds.map(_._2).distinct.sorted.mkString(" and ")} across patterns")
+      val norm = kinds.map(k => normKind(k._2)).distinct
+      require(norm.size == 1,
+        s"type conflict: ?$v bound as both ${norm.sorted.mkString(" and ")} across patterns")
     }
     val kindMap: Map[String, String] =
-      varKinds.groupBy(_._1).map { case (v, ks) => v -> ks.head._2 }
+      varKinds.groupBy(_._1).map { case (v, ks) => v -> normKind(ks.head._2) }
 
     /** A sequence-path pattern compiled to the step+closure plans:
       * non-star steps are equi-joins (BGP expansion — bag semantics,
@@ -994,6 +1006,51 @@ object Sparql {
         "schema:name" -> "schema_name"),
       entityValued = defaultEntityPreds + "schema_about")
 
+  /** Property-dictionary direct-claim triples (`?prop
+    * wikibase:directClaim ?rel`, companions_and_relations.rq:46): one
+    * property ENTITY per entity-valued predicate, its object the
+    * predicate's local name — the Wikibase property/direct-claim
+    * reification over this store's dictionary. The SQL twin below is
+    * generated from this SAME list, so engine and oracle cannot
+    * drift. */
+  val directClaimProps: Seq[(Long, String)] =
+    Triples.rules.collect { case r if r.oNs.isDefined => r.p }.distinct
+      .zipWithIndex.map { case (p, i) => (8L * Triples.NS + i, p) }
+
+  /** Built-in statements extended with the direct-claim dictionary. */
+  def directClaimStatements(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val props = directClaimProps.toDF("sid", "name")
+      .select(col("sid").as("s"), lit("directClaim").as("p"),
+        lit(null).cast("long").as("o_id"), col("name").as("o_val"),
+        lit(null).cast("string").as("lang"))
+    Triples.statements(spark, dir).unionAll(props)
+  }
+
+  /** directClaim-triangle text — the companions core: all relations
+    * whose object belongs to the anchor class, each relation joined
+    * back to its property ENTITY through the direct-claim
+    * reification (predicate variable ⋈ literal site on the
+    * predicate-name string). */
+  val directText: String =
+    """PREFIX fg: <https://database.factgrid.de/entity/>
+      |PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+      |PREFIX wikibase: <http://wikiba.se/ontology#>
+      |SELECT ?prop ?rel ?item ?value WHERE {
+      |  ?item ?rel ?value .
+      |  ?value fgt:P2 fg:Q40454 .
+      |  ?prop wikibase:directClaim ?rel .
+      |}""".stripMargin
+
+  /** kg_sparql_direct — [[directText]] over the direct-claim-extended
+    * store, under the hash gate. */
+  def kgSparqlDirect(spark: SparkSession, dir: String): DataFrame =
+    compileOn(spark, directClaimStatements(spark, dir), parse(directText),
+      predAliases = Map(
+        "fgt:P2" -> "in_nation",
+        "wikibase:directClaim" -> "directClaim"),
+      entityAliases = Map("fg:Q40454" -> (2L * Triples.NS + 5)))
+
   /** Aggregate-completer text — MIN/MAX/SAMPLE/GROUP_CONCAT in the
     * projection (the reference's per-entity survey shapes; sorted
     * GROUP_CONCAT matches the kg_group_concat determinism rule).
@@ -1023,7 +1080,8 @@ object Sparql {
     "kg_sparql_pred"        -> (kgSparqlPred _),
     "kg_sparql_pred_values" -> (kgSparqlPredValues _),
     "kg_sparql_sitelinks"   -> (kgSparqlSitelinks _),
-    "kg_sparql_gc"          -> (kgSparqlGc _))
+    "kg_sparql_gc"          -> (kgSparqlGc _),
+    "kg_sparql_direct"      -> (kgSparqlDirect _))
 
   val oracles: Map[String, String] = Map(
     "kg_sparql" ->
@@ -1142,5 +1200,17 @@ object Sparql {
          |SELECT n, count(c) AS n_bindings, min(lbl) AS first_label,
          |  max(lbl) AS last_label, min(seg) AS sample_seg,
          |  string_agg(DISTINCT seg, '|' ORDER BY seg) AS segs
-         |FROM rows GROUP BY n""".stripMargin)
+         |FROM rows GROUP BY n""".stripMargin,
+    // the props relation is generated from the SAME Scala list the
+    // engine extends the store with (directClaimProps)
+    "kg_sparql_direct" ->
+      s"""$T,
+         |props AS (SELECT * FROM (VALUES ${directClaimProps
+                      .map { case (id, p) => s"($id, '$p')" }.mkString(", ")}) AS v(prop, rel)),
+         |cls AS (SELECT s FROM triples WHERE p = 'in_nation' AND o_id = ${2L * Triples.NS + 5})
+         |SELECT pr.prop AS prop, pr.rel AS rel, t.s AS item, t.o_id AS value
+         |FROM triples t
+         |JOIN cls ON cls.s = t.o_id
+         |JOIN props pr ON pr.rel = t.p
+         |WHERE t.o_id IS NOT NULL""".stripMargin)
 }

@@ -325,6 +325,26 @@ class SparqlSpec extends SparkSpec {
     assert(rows.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("directClaim triangle: predicate variable joins the property dictionary") {
+    val df = Sparql.kgSparqlDirect(spark, sf)
+    assert(df.columns.toSeq == Seq("prop", "rel", "item", "value"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val dict = Sparql.directClaimProps.toMap
+    rows.foreach { r =>
+      assert(dict.get(r.getLong(0)).contains(r.getString(1)),
+        s"prop ${r.getLong(0)} does not map to rel ${r.getString(1)}")
+    }
+    // same relation set as the plain variable-predicate query
+    val expRels = Sparql.kgSparqlPred(spark, sf)
+      .select("relation").distinct().collect().map(_.getString(0)).toSet
+    assert(rows.map(_.getString(1)).toSet == expRels)
+    // entity-vs-string stays a REAL conflict after the predicate relax
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      "SELECT ?c WHERE { ?c in_nation ?x . ?c label ?x . }"))
+    assert(e.getMessage.contains("type conflict"))
+  }
+
   test("unsupported syntax fails loudly, never silently drops patterns") {
     def fails(q: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
@@ -341,6 +361,10 @@ class SparqlSpec extends SparkSpec {
     fails("SELECT ?x WHERE { ?x a ?y . }", "rdf:type shorthand")
     fails("""SELECT ?c WHERE { { ?c mktsegment "BUILDING" . OPTIONAL { ?c label ?l . } } UNION { ?c mktsegment "MACHINERY" . } }""",
       "inside a UNION branch")
+    // a BIND inside an OPTIONAL (lokale-from-factgrid.rq:43's shape)
+    // rejects with a CLEAR hoisting message, not an opaque token error
+    fails("""SELECT ?c ?x WHERE { ?c in_nation ?n . OPTIONAL { ?c label ?l . BIND("x" AS ?x) } }""",
+      "move it to the top level")
   }
 
   test("parser robustness: late-connecting BGPs, quoted separators, numeric literals") {
