@@ -109,7 +109,7 @@ object Sparql {
 
   // ---- parser --------------------------------------------------------
 
-  private val SelectRe = """(?is).*?SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*(GROUP\s+BY\s+((?:\?\w+\s*)+))?\s*(ORDER\s+BY\s+((?:\?\w+\s*)+))?\s*(LIMIT\s+(\d+))?\s*""".r
+  private val SelectRe = """(?is).*?SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*(GROUP\s+BY\s+((?:\?\w+\s*)+))?\s*(ORDER\s+BY\s+((?:\(?\s*\?\w+\s*\)?\s*)+))?\s*(LIMIT\s+(\d+))?\s*""".r
   private val ProjVarRe = """\?(\w+)""".r
   private val ProjAggRe = """(?i)\(\s*COUNT\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)""".r
   private val ProjAgg2Re = """(?i)\(\s*(SAMPLE|MIN|MAX|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*(?:;\s*separator\s*=\s*"([^"]*)"\s*)?\)\s+AS\s+\?(\w+)\s*\)""".r
@@ -123,8 +123,17 @@ object Sparql {
   private val EqRe = """(?is)\?(\w+)\s*=\s*"([^"]*)"""".r
   private val PrefixedRe = """\w+:\w+""".r
   /** Placeholder left where a keyword group was extracted — a marker
-    * surviving inside a UNION chain means the group was branch-scoped. */
+    * surviving inside a UNION chain means the group was branch-scoped,
+    * and inside an OPTIONAL group means it was group-scoped (both
+    * reject loudly). [[SafeMarker]] marks the ONE extraction whose
+    * hoisting is semantics-preserving — the IRI-CONCAT BIND, a
+    * null-safe projection (unbound in → unbound out), exactly how the
+    * reference files use it inside their sitelink OPTIONALs
+    * (lokale-from-factgrid.rq:43). OPTIONAL bodies tolerate it; UNION
+    * branches still reject (a per-branch BIND is not reconstructible
+    * after branch extraction). */
   private val Marker = ''
+  private val SafeMarker = ''
   private val BindRe = """(?is)BIND\s*\(\s*(\S+)\s+AS\s+\?(\w+)\s*\)\s*\.?""".r
   /** `BIND(IRI(CONCAT(STR(wd:), ?qid)) AS ?wd_item)` — the reference's
     * qid→IRI transform (lokale-from-factgrid.rq:44, present in every
@@ -231,7 +240,7 @@ object Sparql {
       require(!body.contains(Marker),
         "BIND/VALUES/SERVICE/MINUS inside an OPTIONAL group is unsupported " +
           "(hoisting would change the group's semantics) — move it to the top level")
-    quoteAwareSplit(body, '.').map(_.trim).filter(_.nonEmpty).flatMap { stmt =>
+    quoteAwareSplit(body.replace(SafeMarker, ' '), '.').map(_.trim).filter(_.nonEmpty).flatMap { stmt =>
       require(!stmt.toUpperCase.contains("FILTER"),
         s"FILTER inside a nested group (OPTIONAL / UNION branch) is unsupported: '$stmt'")
       val groups = quoteAwareSplit(stmt, ';').map(_.trim).filter(_.nonEmpty)
@@ -314,7 +323,7 @@ object Sparql {
             s"BIND IRI prefix '${m.group(1)}:' has no PREFIX declaration in the query"))
           (m.group(3), iri, m.group(2))
         }
-        body = BindIriRe.replaceAllIn(body, marker)
+        body = BindIriRe.replaceAllIn(body, s"$SafeMarker ")
         val binds = BindRe.findAllMatchIn(body).toList
           .map(m => m.group(2) -> term(m.group(1))).toMap
         body = BindRe.replaceAllIn(body, marker)
@@ -354,13 +363,13 @@ object Sparql {
         val opts = OptionalRe.findAllMatchIn(body).toList.map(m => triples(m.group(1)))
         body = OptionalRe.replaceAllIn(body, marker)
         val unions = UnionRe.findAllMatchIn(body).toList.map { m =>
-          require(!m.matched.contains(Marker),
+          require(!m.matched.exists(c => c == Marker || c == SafeMarker),
             "OPTIONAL/BIND/VALUES/MINUS/SERVICE inside a UNION branch is unsupported " +
               "(branch-scoped semantics differ from the global form)")
           UnionBranchRe.findAllMatchIn(m.matched).toList.map(b => triples(b.group(1)))
         }
         body = UnionRe.replaceAllIn(body, " ")
-        body = body.replace(Marker, ' ')
+        body = body.replace(Marker, ' ').replace(SafeMarker, ' ')
         val filts = FilterRe.findAllMatchIn(body).toList.map(m => parseFilt(m.group(1)))
         body = FilterRe.replaceAllIn(body, " ")
         require(!body.contains("{") && !body.contains("}"),
@@ -383,7 +392,7 @@ object Sparql {
           binds = binds, iriBinds = iriBinds, values = values,
           labelLangs = labelLangs,
           groupBy = groupVars,
-          orderBy = Option(order).map(_.trim.split("\\s+").map(_.stripPrefix("?")).toSeq)
+          orderBy = Option(order).map(ProjVarRe.findAllMatchIn(_).toList.map(_.group(1)).toSeq)
             .getOrElse(Seq.empty),
           limit = Option(limit).map(_.toInt))
       case _ => throw new IllegalArgumentException("unsupported query shape (need SELECT ... WHERE {...})")
@@ -691,21 +700,29 @@ object Sparql {
         .filter(v => v.endsWith("Label") && v.length > "Label".length &&
           !acc.columns.contains(v))
       want.foreach { lv =>
-        val stem = lv.dropRight("Label".length)
+        val alt = lv.endsWith("AltLabel")
+        val stem = lv.dropRight(if (alt) "AltLabel".length else "Label".length)
         require(acc.columns.contains(stem),
           s"label-service variable ?$lv needs ?$stem bound by the pattern")
         require(acc.schema(stem).dataType.typeName == "long",
           s"?$stem is literal-typed — the label service resolves entities")
-        val rank = langs.zipWithIndex.foldLeft(lit(langs.size): Column) {
-          case (e, (l, i)) => when(col("lang") === l, i).otherwise(e)
+        if (alt) {
+          // ?xAltLabel — this store carries no alias relation, so the
+          // alias column is unbound (null), the Wikibase behavior for
+          // an entity without aliases
+          acc = acc.withColumn(lv, lit(null).cast("string"))
+        } else {
+          val rank = langs.zipWithIndex.foldLeft(lit(langs.size): Column) {
+            case (e, (l, i)) => when(col("lang") === l, i).otherwise(e)
+          }
+          val w = Window.partitionBy(col("s")).orderBy(rank, col("lang"))
+          val key = s"_lbl_key_$stem"
+          val best = st.filter(col("p") === "label" && col("lang").isin(langs: _*))
+            .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+            .select(col("s").as(key), col("o_val").as(lv))
+          acc = acc.join(best, col(stem) === col(key), "left_outer").drop(key)
+            .withColumn(lv, coalesce(col(lv), col(stem).cast("string")))
         }
-        val w = Window.partitionBy(col("s")).orderBy(rank, col("lang"))
-        val key = s"_lbl_key_$stem"
-        val best = st.filter(col("p") === "label" && col("lang").isin(langs: _*))
-          .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
-          .select(col("s").as(key), col("o_val").as(lv))
-        acc = acc.join(best, col(stem) === col(key), "left_outer").drop(key)
-          .withColumn(lv, coalesce(col(lv), col(stem).cast("string")))
       }
     }
     (q.select ++ q.orderBy).filter(v => v.endsWith("Label") && !acc.columns.contains(v))
@@ -762,6 +779,14 @@ object Sparql {
         case V(x)   => throw new IllegalArgumentException(s"BIND of variable ?$x unsupported")
       })
     }
+    // SPARQL allows projecting (and ordering by) an UNBOUND variable —
+    // a null column (lokale-from-factgrid.rq projects ?Notiz whose
+    // binding OPTIONAL is commented out, and ?fg_itemDescription has
+    // no description relation in this store). ?xLabel vars stay
+    // strict: unbound there means a missing SERVICE block, rejected
+    // above — so a typo'd label var cannot silently go null.
+    (q.select ++ q.orderBy).distinct.filterNot(acc.columns.contains)
+      .foreach(v => acc = acc.withColumn(v, lit(null).cast("string")))
     if (q.aggs.nonEmpty) {
       val aggCols = q.aggs.map { a =>
         val c = col(a.v)

@@ -345,6 +345,107 @@ class SparqlSpec extends SparkSpec {
     assert(e.getMessage.contains("type conflict"))
   }
 
+  test("lokale-from-factgrid.rq runs VERBATIM over dialect maps + extended store") {
+    // the reference's flagship publishing query, byte-for-byte
+    // (data-publishing/factgrid/queries/lokale-from-factgrid.rq) —
+    // only the vocabulary binds through the dialect maps. Exercises:
+    // label service with "de" only (id-string fallback for the
+    // non-de-labeled), a 5-branch UNION with ';' continuations,
+    // 7 OPTIONALs incl. the sitelink-reification block with its
+    // IRI-literal object and in-OPTIONAL BIND(IRI(CONCAT)) (null-safe
+    // hoist), and projected-but-unbound vars (?Notiz — its OPTIONAL
+    // is commented out; ?fg_itemDescription/?fg_itemAltLabel — no
+    // such relations in this store) as null columns.
+    val lokale =
+      """#defaultView:Table
+        |PREFIX wd: <https://database.factgrid.de/entity/>
+        |PREFIX wdt: <https://database.factgrid.de/prop/direct/>
+        |SELECT ?fg_item ?fg_itemLabel ?fg_itemDescription ?fg_itemAltLabel ?Address ?AddressLabel ?Geo ?Notiz ?Anfangszeitpunkt ?Endzeitpunkt ?Datum ?wd_item ?Treffpunkt ?TreffpunktLabel ?Zielgruppe WHERE {
+        |  SERVICE wikibase:label { bd:serviceParam wikibase:language "de". }
+        |  ?fg_item wdt:P2 wd:Q40454.
+        |  { ?fg_item wdt:P726 wd:Q399989. }
+        |  UNION
+        |  {
+        |    ?fg_item wdt:P2 wd:Q40454;
+        |      wdt:P726 wd:Q399990.
+        |  }
+        |  UNION
+        |  {
+        |    ?fg_item wdt:P2 wd:Q40454;
+        |      wdt:P726 wd:Q399988.
+        |  }
+        |  UNION
+        |  {
+        |    ?fg_item wdt:P2 wd:Q40454;
+        |      wdt:P726 wd:Q400014.
+        |  }
+        |  UNION
+        |  {
+        |    ?fg_item wdt:P2 wd:Q40454;
+        |      wdt:P726 wd:Q137530.
+        |  }
+        |  OPTIONAL {
+        |    ?fg_item wdt:P208 ?Address.
+        |    ?Address wdt:P48 ?Geo.
+        |  }
+        |  #OPTIONAL { ?fg_item wdt:P73 ?Notiz. }
+        |  OPTIONAL { ?fg_item wdt:P49 ?Anfangszeitpunkt. }
+        |  OPTIONAL { ?fg_item wdt:P50 ?Endzeitpunkt. }
+        |  OPTIONAL { ?fg_item wdt:P106 ?Datum. }
+        |  OPTIONAL { ?fg_item wdt:P726 ?Treffpunkt. }
+        |  OPTIONAL { ?fg_item wdt:P573 ?Zielgruppe.}
+        |    OPTIONAL {
+        |    # transform wikidata qid in factgrid to wikidata entity iri
+        |    ?link schema:about ?fg_item .
+        |    ?link schema:isPartOf <https://www.wikidata.org/> .
+        |    ?link schema:name ?qid.
+        |    BIND(IRI(CONCAT(STR(wd:), ?qid)) AS ?wd_item)
+        |  }
+        |}""".stripMargin
+    val n5 = 2L * graft.kg.Triples.NS + 5
+    val df = Sparql.runOn(spark, Sparql.sitelinkStatements(spark, sf), lokale,
+      predAliases = Map(
+        "wdt:P2" -> "in_nation", "wdt:P726" -> "in_nation",
+        "wdt:P208" -> "in_nation", "wdt:P48" -> "label",
+        "wdt:P49" -> "label", "wdt:P50" -> "mktsegment",
+        "wdt:P106" -> "label", "wdt:P573" -> "mktsegment",
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name"),
+      entityAliases = Map(
+        "wd:Q40454" -> n5, "wd:Q399989" -> n5, "wd:Q399990" -> n5,
+        "wd:Q399988" -> n5, "wd:Q400014" -> n5, "wd:Q137530" -> n5),
+      entityValued = Sparql.defaultEntityPreds + "schema_about")
+    assert(df.columns.length == 15, s"lost projection columns: ${df.columns.toSeq}")
+    val rows = df.collect()
+    assert(rows.nonEmpty, "verbatim lokale produced no rows")
+    val st = graft.kg.Triples.statements(spark, sf)
+    val members = st
+      .filter(col("p") === "in_nation" && col("o_id") === n5)
+      .select("s").collect().map(_.getLong(0)).toSet
+    // bag semantics: 5 identical union branches × the label fan-out
+    // squared (both ?Anfangszeitpunkt and ?Datum map to `label`, so a
+    // customer with de+en labels contributes 2×2 rows per branch)
+    val nLabels = st.filter(col("p") === "label")
+      .groupBy("s").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = 5L * members.toSeq.map(m => nLabels(m) * nLabels(m)).sum
+    assert(rows.length == expected, s"${rows.length} vs $expected")
+    val byItem = rows.groupBy(_.getLong(0))
+    assert(byItem.keySet == members)
+    rows.foreach { r =>
+      val item = r.getLong(0)
+      val lbl = r.getString(1)
+      // the "de"-only label chain: de label when it exists, else the
+      // Wikibase id-string fallback
+      if (item % 3 == 0) assert(lbl.startsWith("DE ")) else assert(lbl == item.toString)
+      assert(r.isNullAt(r.fieldIndex("Notiz")), "?Notiz must be an unbound null column")
+      val wd = r.get(r.fieldIndex("wd_item"))
+      if (item % 3 == 0)
+        assert(wd == s"https://database.factgrid.de/entity/Q${item - 3L * graft.kg.Triples.NS}",
+          s"wd_item wrong: $wd")
+      else assert(wd == null, "wd_item must stay unbound without a wikidata sitelink")
+    }
+  }
+
   test("unsupported syntax fails loudly, never silently drops patterns") {
     def fails(q: String, fragment: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
