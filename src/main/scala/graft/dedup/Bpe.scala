@@ -88,8 +88,43 @@ object Bpe {
     out
   }
 
+  /** text_bpe_encode — APPLY the learned merges back to the corpus:
+    * per document, the BPE token count under the trained rules (plus
+    * the word count), completing the tokenizer loop train → encode.
+    * Encoding is a pure projection: each alpha word renders bracketed,
+    * the [[Merges]] rules replay in training order as plain string
+    * replaces (the same representation argument as training), and the
+    * token count is the surviving `<` count; non-alpha words count 1
+    * (the single-OOV-token convention, documented). Everything runs
+    * inside ONE whole-stage-codegen scan — array higher-order
+    * functions, no explode, no shuffle beyond none at all.
+    *
+    * Scale notes (100 TB): the merge rules are a MODEL ARTIFACT
+    * (vocabulary-sized — here 3 rows, collected to the driver and
+    * inlined as literals, the PqCodebook pattern); a production run
+    * persists them once and encodes any corpus without retraining.
+    * This entry retrains on the gate corpus so the whole loop stays
+    * self-contained and oracle-replayable. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val rules = bpeTrain(spark, dir).orderBy(col("step"))
+      .select("pair", "merged").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val enc = rules.foldLeft(
+        "regexp_replace(w, '(.)', '<$1>')") { case (e, (p, m)) =>
+      s"replace($e, '$p', '$m')"
+    }
+    val tokOf = s"CASE WHEN w rlike '^[a-z]+$$' " +
+      s"THEN length($enc) - length(replace($enc, '<', '')) ELSE 1 END"
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      expr("size(filter(split(text, ' '), w -> w != ''))").cast("long").as("n_words"),
+      expr(s"aggregate(filter(split(text, ' '), w -> w != ''), 0L, (a, w) -> a + ($tokOf))")
+        .as("bpe_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_bpe_train" -> (bpeTrain _))
+    "text_bpe_train"  -> (bpeTrain _),
+    "text_bpe_encode" -> (bpeEncode _))
 
   val oracles: Map[String, String] = {
     // unrolled training loop: rN = census rewritten by merges 1..N
@@ -106,15 +141,38 @@ object Bpe {
     val rows = (1 to Merges).map(i =>
       s"SELECT CAST($i AS INTEGER) AS step, pair, replace(pair, '><', '') AS merged, freq::BIGINT AS freq FROM b$i")
       .mkString("\nUNION ALL ")
+    val trainCtes =
+      s"""census AS (
+         |  SELECT w, count(*) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z]+')
+         |  GROUP BY 1),
+         |r0 AS (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS rep, cnt FROM census),
+         |$steps""".stripMargin
+    // encode: replay the learned rules in training order as scalar
+    // subqueries over the SAME b1..bN the training oracle selects from
+    val encExpr = (1 to Merges).foldLeft("regexp_replace(w, '(.)', '<\\1>', 'g')") {
+      case (e, i) =>
+        s"replace($e, (SELECT pair FROM b$i), (SELECT replace(pair, '><', '') FROM b$i))"
+    }
     Map(
       "text_bpe_train" ->
-        s"""WITH census AS (
-           |  SELECT w, count(*) AS cnt
-           |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
-           |  WHERE regexp_full_match(w, '[a-z]+')
-           |  GROUP BY 1),
-           |r0 AS (SELECT regexp_replace(w, '(.)', '<\\1>', 'g') AS rep, cnt FROM census),
-           |$steps
-           |$rows""".stripMargin)
+        s"""WITH $trainCtes
+           |$rows""".stripMargin,
+      "text_bpe_encode" ->
+        s"""WITH $trainCtes,
+           |words AS (SELECT doc_id, w
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t
+           |  WHERE w <> ''),
+           |enc AS (SELECT doc_id,
+           |  CASE WHEN regexp_full_match(w, '[a-z]+')
+           |       THEN len($encExpr) - len(replace($encExpr, '<', ''))
+           |       ELSE 1 END AS tok
+           |  FROM words),
+           |counts AS (SELECT doc_id, count(*) AS n_words, sum(tok) AS bpe_tokens
+           |           FROM enc GROUP BY 1)
+           |SELECT d.doc_id, COALESCE(c.n_words, 0)::BIGINT AS n_words,
+           |  COALESCE(c.bpe_tokens, 0)::BIGINT AS bpe_tokens
+           |FROM documents d LEFT JOIN counts c ON c.doc_id = d.doc_id""".stripMargin)
   }
 }

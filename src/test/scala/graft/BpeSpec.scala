@@ -53,4 +53,29 @@ class BpeSpec extends SparkSpec {
       .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == expected, s"rules diverge:\n got=$got\n exp=$expected")
   }
+
+  test("text_bpe_encode matches an in-memory application of the learned rules") {
+    val rules = Bpe.bpeTrain(spark, sf).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    def encTokens(w: String): Long =
+      if (w.matches("^[a-z]+$")) {
+        val r = rules.foldLeft(w.map(c => s"<$c>").mkString) {
+          case (s, (p, m)) => s.replace(p, m)
+        }
+        r.count(_ == '<').toLong
+      } else 1L
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Bpe.bpeEncode(spark, sf).collect()
+    assert(got.length == docs.size, "one row per document, empty docs included")
+    got.foreach { r =>
+      val words = docs(r.getLong(0)).split(" ").filter(_.nonEmpty).toSeq
+      assert(r.getLong(1) == words.length, s"n_words off for doc ${r.getLong(0)}")
+      val exp = words.map(encTokens).sum
+      assert(r.getLong(2) == exp, s"bpe_tokens off for doc ${r.getLong(0)}")
+      // merges only ever shrink: word-count ≤ tokens ≤ character count
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
 }
