@@ -44,6 +44,9 @@ object RqCensus {
           if (q.binds.nonEmpty || q.iriBinds.nonEmpty)
             Some(s"${q.binds.size + q.iriBinds.size} binds") else None,
           q.labelLangs.map(l => s"label[${l.mkString(",")}]"),
+          if (q.services.nonEmpty)
+            Some(s"${q.services.size} service[${q.services.map(_.endpoint.replaceAll("https?://|/sparql$", "")).mkString(",")}]") else None,
+          if (q.ifBinds.nonEmpty) Some(s"${q.ifBinds.size} if-binds") else None,
           if (q.aggs.nonEmpty) Some(s"${q.aggs.size} aggs") else None
         ).flatten.mkString(", ")
         f"$name%-55s PARSE   $bits"

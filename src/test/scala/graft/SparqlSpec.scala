@@ -193,10 +193,12 @@ class SparqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
       "SELECT ?c ?cLabel WHERE { ?c in_nation ?n . }"))
     assert(e.getMessage.contains("SERVICE wikibase:label"))
-    // federated endpoints are rejected loudly
+    // a federated endpoint without a registered graph rejects loudly
+    // (with a registry it compiles — the kg_sparql_service surface)
     val e2 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
-      """SELECT ?x WHERE { SERVICE <https://example.org/sparql> { ?x in_nation ?n . } }"""))
-    assert(e2.getMessage.contains("federated SERVICE"))
+      """SELECT ?x ?n WHERE { ?x in_nation ?n .
+        |  SERVICE <https://example.org/sparql> { ?x mktsegment ?v . } }""".stripMargin))
+    assert(e2.getMessage.contains("not registered"))
   }
 
   test("MINUS and FILTER NOT EXISTS compile to anti-joins; filter-only MINUS excludes rows") {
@@ -497,5 +499,133 @@ class SparqlSpec extends SparkSpec {
     val df = Sparql.compile(spark, sf, q)
     assert(df.schema("n").dataType.typeName == "long")
     assert(df.schema("lbl").dataType.typeName == "string")
+  }
+
+  test("SERVICE federation: OPTIONAL body left-joins per outer row; IF verdict null-propagates") {
+    val rows = Sparql.kgSparqlService(spark, sf).collect()
+    val custNs = 3L * graft.kg.Triples.NS
+    assert(rows.nonEmpty)
+    // every local mktsegment statement survives (left join), and the
+    // verdict follows the remote graph's deterministic drift:
+    // %7 → missing remotely (unbound value, unbound verdict — the IF
+    // null-propagation), %10 → LEGACY conflict ("false"), else "true"
+    rows.foreach { r =>
+      val key = r.getLong(0) - custNs
+      if (key % 7 == 0) {
+        assert(r.isNullAt(2) && r.isNullAt(3),
+          s"cust $key missing remotely must have unbound wd_value AND unbound is_same")
+      } else if (key % 10 == 0) {
+        assert(r.getString(2) == "LEGACY" && r.getString(3) == "false")
+      } else {
+        assert(r.getString(1) == r.getString(2) && r.getString(3) == "true")
+      }
+    }
+    // required (non-OPTIONAL) body inner-joins: only remotely-known rows
+    val fed = Sparql.kgSparqlFederated(spark, sf).collect()
+    assert(fed.nonEmpty && fed.forall(r => (r.getLong(0) - custNs) % 7 != 0),
+      "inner service body must drop rows the remote graph lacks")
+  }
+
+  test("SERVICE federation: loud rejects — unregistered endpoint, cross-graph key type") {
+    // endpoint not in the registry
+    val e1 = intercept[IllegalArgumentException](
+      Sparql.run(spark, sf, Sparql.serviceText,
+        predAliases = Map("fgt:P131" -> "mktsegment")))
+    assert(e1.getMessage.contains("not registered"))
+    // joining an entity-typed outer var against a literal-typed remote
+    // binding (the IRI-string round trip) rejects at the type check
+    val badText =
+      """SELECT ?x ?v WHERE {
+        |  ?c label ?x .
+        |  SERVICE <https://query.wikidata.org/sparql> { ?x mktsegment ?v . }
+        |}""".stripMargin
+    val e2 = intercept[IllegalArgumentException](
+      Sparql.run(spark, sf, badText,
+        graphs = Sparql.serviceGraphs(spark, sf)))
+    assert(e2.getMessage.contains("type conflict") ||
+      e2.getMessage.contains("entity id space"), e2.getMessage)
+    // SERVICE inside a NOT EXISTS group still rejects loudly
+    val e3 = intercept[IllegalArgumentException](Sparql.parse(
+      """SELECT ?c WHERE {
+        |  ?c in_nation ?n .
+        |  FILTER NOT EXISTS { ?c label ?l .
+        |    SERVICE <https://query.wikidata.org/sparql> { ?c mktsegment ?v . } }
+        |}""".stripMargin))
+    assert(e3.getMessage.contains("nested group"), e3.getMessage)
+  }
+
+  test("FILTER(LANG) compiles into the binding-site scan; loud without a literal site") {
+    val rows = Sparql.kgSparqlLang(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // autoLang is "de": every surviving label is from the synthetic
+    // de subset (custkey % 3, prefixed "DE ")
+    rows.foreach(r => assert(r.getString(2).startsWith("DE "),
+      s"non-de label passed the LANG filter: ${r.getString(2)}"))
+    val st = graft.kg.Triples.statements(spark, sf)
+    val exp = st.filter(col("p") === "label" && col("lang") === "de").count()
+    assert(rows.length == exp, s"${rows.length} vs $exp de-labels")
+    // LANG over a var bound only as an entity rejects loudly
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      """SELECT ?c ?n WHERE { ?c in_nation ?n . FILTER(LANG(?n) = "de") }"""))
+    assert(e.getMessage.contains("literal object"), e.getMessage)
+  }
+
+  test("CONSTRUCT/ASK/DESCRIBE text forms compile (all four SPARQL forms from text)") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    // CONSTRUCT: statement-shaped, set semantics, both object arms
+    val cons = Sparql.kgSparqlConstruct(spark, sf)
+    assert(cons.columns.toSeq == Seq("s", "p", "o_id", "o_val", "lang"))
+    val byP = cons.collect().groupBy(_.getString(1))
+    assert(byP.keySet == Set("located_in", "has_segment"))
+    assert(byP("located_in").forall(r => !r.isNullAt(2) && r.isNullAt(3)),
+      "entity template arm must bind o_id only")
+    assert(byP("has_segment").forall(r => r.isNullAt(2) && !r.isNullAt(3)),
+      "literal template arm must bind o_val only")
+    assert(cons.count() == cons.distinct().count(), "CONSTRUCT is a graph — set semantics")
+    // the located_in arm equals the composed hop computed directly
+    // (body requires a mktsegment, so suppliers — who also carry
+    // in_nation — are excluded)
+    val exp = st.filter(col("p") === "in_nation").select(col("s").as("c"), col("o_id").as("n"))
+      .join(st.filter(col("p") === "in_region").select(col("s").as("n"), col("o_id").as("r")), "n")
+      .join(st.filter(col("p") === "mktsegment").select(col("s").as("c")).distinct(), "c")
+      .select("c", "r").distinct().count()
+    assert(byP("located_in").length.toLong == exp)
+    // ASK: one row, count-backed boolean
+    val ask = Sparql.kgSparqlAsk(spark, sf).collect()
+    assert(ask.length == 1 && ask.head.getBoolean(0) && ask.head.getLong(1) > 0)
+    val askNo = Sparql.runAsk(spark, sf, """ASK { ?c mktsegment "NO_SUCH_SEGMENT" . }""")
+      .collect().head
+    assert(!askNo.getBoolean(0) && askNo.getLong(1) == 0)
+    // DESCRIBE: exactly the statements touching the seed, either side
+    val seed = st.filter(col("p") === "label" && col("o_val") === "NATION_5")
+      .select("s").head().getLong(0)
+    val desc = Sparql.kgSparqlDescribe(spark, sf)
+    val expDesc = st.filter(col("s") === seed || col("o_id") === seed).count()
+    assert(desc.count() == expDesc && desc.count() > 0)
+    // loud rejects: literal-typed template subject / DESCRIBE var
+    val e1 = intercept[IllegalArgumentException](Sparql.runConstruct(spark, sf,
+      "CONSTRUCT { ?lbl tagged ?c } WHERE { ?c label ?lbl . }"))
+    assert(e1.getMessage.contains("literal-typed"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](Sparql.runDescribe(spark, sf,
+      """DESCRIBE ?lbl WHERE { ?c label ?lbl . }"""))
+    assert(e2.getMessage.contains("literal-typed"), e2.getMessage)
+  }
+
+  test("federation parse: compare-factgrid-wikidata_many_items.rq structure is recognized") {
+    // the reference file's exact WHERE-clause shape: sitelink
+    // reification, corresponding-property lookup, the SERVICE block
+    // whose body is one OPTIONAL group, and the IF verdict
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/data-publishing/factgrid/queries/compare-factgrid-wikidata_many_items.rq")),
+      "UTF-8")
+    val q = Sparql.parse(text)
+    assert(q.services.size == 1)
+    val sv = q.services.head
+    assert(sv.endpoint == "https://query.wikidata.org/sparql")
+    assert(sv.patterns.isEmpty && sv.optionals.size == 1,
+      "the compare service body is exactly one OPTIONAL group")
+    assert(q.ifBinds == Seq(Sparql.IfBind(
+      "is_same", "wd_value_from_fg", "wd_value_from_wd", "true", "false")))
+    assert(q.iriBinds.size == 3) // the three qid→IRI transforms
   }
 }
