@@ -452,6 +452,9 @@ object Dedup {
     }
   }
 
+  /** Spec hook: the validated plane set (deterministic artifact). */
+  def testLshPlanes: IndexedSeq[IndexedSeq[Double]] = lshPlanes
+
   /** Bucket ids within Hamming distance `r` of 0 (XOR masks). */
   private def probeMasks(r: Int): Seq[Int] =
     (0 until 64).filter(m => Integer.bitCount(m) <= r)
@@ -482,12 +485,7 @@ object Dedup {
   def annLsh(spark: SparkSession, dir: String, probeRadius: Int): DataFrame = {
     val e = vecs(spark, dir)
     // sign bit j = sign(dot(v, w_j)), w_j a literal ±1 array
-    val bitExprs = (0 until 6).map { j =>
-      val w = lshPlanes(j).mkString("array(", "D, ", "D)")
-      val s = expr(s"aggregate(zip_with(v, $w, (x, w) -> x * w), 0D, (acc, x) -> acc + x)")
-      when(s > 0, lit(1 << j)).otherwise(lit(0))
-    }
-    val sig = e.withColumn("bucket", bitExprs.reduce((a, b) => a + b))
+    val sig = withLshBucket(e)
     val probes = array(probeMasks(probeRadius).map(m => col("bucket").bitwiseXOR(lit(m))): _*)
     val q = sig.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q"), col("v").as("vq"), explode(probes).as("bucket"))
@@ -498,6 +496,48 @@ object Dedup {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
+  }
+
+  /** dedup_semantic — SemDeDup-shaped SEMANTIC deduplication (Abbas
+    * et al. 2023: cluster the embedding space, deduplicate within
+    * clusters by cosine, keep one representative per semantic group):
+    * every vector lands in its deterministic 6-bit hyperplane bucket
+    * ([[lshPlanes]] — the bucket plays SemDeDup's k-means-cluster
+    * role; IVF lists are the drop-in alternative for clustered
+    * embeddings), candidate pairs are WITHIN-BUCKET only, verified at
+    * cosine ≥ 0.4 (the dedup_embedding near-dup threshold), connected
+    * components over the verified graph, and one row per vector with
+    * its canonical (min-id) representative + keeper flag.
+    *
+    * Scale shape: pair generation is Σ bucket² — bounded by the
+    * bucket count dial (plane count), never the all-pairs join
+    * (dedup_embedding stays as the correctness baseline only);
+    * bucketing restricts RECALL to bucket-agreeing pairs, the
+    * SemDeDup cluster approximation, documented. Everything below is
+    * the proven machinery: hyperplane signatures (sim_ann_lsh),
+    * native cosine, large-star/small-star CC. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val sig = withLshBucket(vecs(spark, dir))
+    val a = sig.select(col("bucket"), col("vec_id").as("a"), col("v").as("va"))
+    val b = sig.select(col("bucket"), col("vec_id").as("b"), col("v").as("vb"))
+    val pairs = a.join(b, Seq("bucket")).filter(col("a") < col("b"))
+      .filter(cos("va", "vb") >= 0.4)
+      .select(col("a"), col("b"))
+    val ids = vecs(spark, dir).select(col("vec_id").as("id"))
+    graft.kg.Components.connectedComponents(pairs, ids)
+      .select(col("id").as("vec_id"), col("comp").as("canonical_id"),
+        (col("id") === col("comp")).as("is_keeper"))
+  }
+
+  /** The 6-bit hyperplane bucket id as a column (shared by
+    * [[annLsh]] and [[dedupSemantic]]). */
+  private def withLshBucket(e: DataFrame): DataFrame = {
+    val bitExprs = (0 until 6).map { j =>
+      val w = lshPlanes(j).mkString("array(", "D, ", "D)")
+      val s = expr(s"aggregate(zip_with(v, $w, (x, w) -> x * w), 0D, (acc, x) -> acc + x)")
+      when(s > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    e.withColumn("bucket", bitExprs.reduce((a, b) => a + b))
   }
 
   /** sim_ann_ivf — IVF (inverted-file) ANN: see [[annIvf]]. Default
@@ -616,6 +656,7 @@ object Dedup {
     "dedup_clusters"      -> (dedupClusters _),
     "dedup_incremental"   -> (dedupIncremental _),
     "dedup_embedding"     -> (dedupEmbedding _),
+    "dedup_semantic"      -> (dedupSemantic _),
     "sim_topk_bruteforce" -> (simTopkBruteforce _),
     "sim_ann_lsh"         -> (simAnnLsh _),
     "sim_ann_ivf"         -> (simAnnIvf _))
@@ -778,6 +819,29 @@ object Dedup {
         |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+    "dedup_semantic" -> {
+      val planes = lshPlanes.map(_.mkString("[", ", ", "]"))
+      val bucket = planes.zipWithIndex
+        .map { case (w, j) =>
+          s"(CASE WHEN list_dot_product(v, $w) > 0 THEN ${1 << j} ELSE 0 END)" }
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |sig AS (SELECT vec_id, v, nrm, $bucket AS bucket FROM n),
+         |ver AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b
+         |  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4),
+         |edges AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
+         |reach AS (
+         |  WITH RECURSIVE r(src, node) AS (
+         |    SELECT vec_id, vec_id FROM embeddings
+         |    UNION
+         |    SELECT r.src, edges.b FROM r JOIN edges ON edges.a = r.node)
+         |  SELECT src, node FROM r)
+         |SELECT src AS vec_id, min(node) AS canonical_id, src = min(node) AS is_keeper
+         |FROM reach GROUP BY src""".stripMargin
+    },
     "sim_topk_bruteforce" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)

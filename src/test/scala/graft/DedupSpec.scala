@@ -324,6 +324,42 @@ class DedupSpec extends SparkSpec {
         s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters"))
   }
 
+  test("dedup_semantic equals an in-memory bucket + union-find replay") {
+    val rows = Dedup.dedupSemantic(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("canonical_id"),
+        r.getAs[Boolean]("is_keeper")))
+    // independent replay: hyperplane buckets + within-bucket cosine +
+    // union-find, no Spark machinery
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val planes = Dedup.testLshPlanes
+    def bucket(v: Array[Double]): Int =
+      planes.zipWithIndex.map { case (w, j) =>
+        if (dot(v, w.toArray) > 0) 1 << j else 0 }.sum
+    val parent = scala.collection.mutable.Map(vecs.map(v => v._1 -> v._1): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && bucket(va) == bucket(vb)
+      if dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb))) >= 0.4
+    } {
+      val (ra, rb) = (find(ia), find(ib))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val exp = vecs.map { case (id, _) =>
+      val c = find(id); (id, c, id == c)
+    }.toSet
+    assert(rows.length == vecs.length && rows.toSet == exp,
+      s"semantic clusters diverge from the union-find replay " +
+        s"(${rows.count(!_._3)} vs ${exp.count(!_._3)} non-keepers)")
+    assert(rows.exists(!_._3), "no semantic dup found — threshold or buckets suspect")
+  }
+
   test("contamination: a planted eval copy inside the corpus is flagged") {
     val sess = spark
     import sess.implicits._
