@@ -74,7 +74,14 @@ object Sparql {
     * reference's `fgt:P2/fgt:P3*` shape, companions_and_relations
     * .rq:59) parsed at compile time into [[PathStep]]s. */
   final case class Pattern(s: Term, p: String, o: Term)
-  final case class PathStep(pred: String, star: Boolean)
+  /** One `/`-separated step of a sequence path: a set of predicate
+    * ALTERNATIVES (`p|q`, each optionally INVERSE `^p` — the
+    * kg_path_alt forms), with an optional closure modifier — `*`
+    * (zero-or-more) or `+` (one-or-more). */
+  final case class PathStep(alts: Seq[(String, Boolean)], star: Boolean,
+      plus: Boolean = false) {
+    def pred: String = alts.head._1 // first alternative (doc/messages)
+  }
   sealed trait Filt
   final case class FRegex(v: String, re: String) extends Filt
   final case class FEq(v: String, value: String) extends Filt
@@ -253,15 +260,18 @@ object Sparql {
   }
 
   /** Is this predicate slot a property-path expression? (Plain local
-    * and prefixed predicate names never contain `/` or `*`; an IRI
-    * predicate `<https://…/x>` contains `/` but is not a path.) */
+    * and prefixed predicate names never contain path operators; an
+    * IRI predicate `<https://…/x>` contains `/` but is not a path.) */
   private def isPath(p: String): Boolean =
-    !(p.startsWith("<") && p.endsWith(">")) && (p.contains("/") || p.contains("*"))
+    !(p.startsWith("<") && p.endsWith(">")) &&
+      "/*|^+(".exists(c => p.contains(c.toString))
 
-  /** Parse a sequence property path — `p/q`, `p/q*`, `(p/(q*))`,
-    * `(p/q)*`-style nesting one predicate deep. Throws on anything
-    * outside the subset (alternation `|`, inverse `^`, `+`/`?`
-    * modifiers) — never a silently wrong plan. */
+  /** Parse a sequence property path — `p/q`, `p/q*`, `p/q+`,
+    * `(p/(q*))`-style nesting one predicate deep, per-step
+    * alternation `(p|q)` with inverse arms `^p` (the kg_path_alt
+    * forms). Throws on anything outside the subset (`?` modifier,
+    * negated sets, nested path alternation) — never a silently wrong
+    * plan. */
   private[kg] def parsePath(raw: String): Seq[PathStep] = {
     def stripParens(s0: String): String = {
       var s = s0.trim
@@ -289,11 +299,20 @@ object Sparql {
     segs += sb.toString
     segs.toList.map { s0 =>
       var s = stripParens(s0)
-      var star = false
+      var star = false; var plus = false
       if (s.endsWith("*")) { star = true; s = stripParens(s.dropRight(1).trim) }
-      require(s.nonEmpty && (PrefixedRe.matches(s) || s.matches("\\w+")),
-        s"unsupported path segment '$s0' in '$raw' (supported: p, p*, p/q, parenthesized)")
-      PathStep(s, star)
+      else if (s.endsWith("+")) { plus = true; s = stripParens(s.dropRight(1).trim) }
+      // per-step alternation: split on '|' at depth 0, each arm an
+      // optionally-inverse plain/prefixed name
+      val alts = s.split('|').toSeq.map(stripParens).map { a0 =>
+        val inv = a0.startsWith("^")
+        val a = if (inv) a0.drop(1).trim else a0
+        require(a.nonEmpty && (PrefixedRe.matches(a) || a.matches("\\w+")),
+          s"unsupported path segment '$s0' in '$raw' " +
+            "(supported: p, ^p, p|q, p*, p+, p/q, parenthesized)")
+        (a, inv)
+      }
+      PathStep(alts, star, plus)
     }
   }
 
@@ -546,8 +565,13 @@ object Sparql {
       // loudly per the no-silently-wrong-results contract
       require(!p.startsWith("?"),
         s"variable predicate '$p' unsupported (enumerate predicates explicitly)")
-      require(p != "a",
-        "rdf:type shorthand 'a' unsupported — use the store's type predicate name")
+      // the rdf:type shorthand resolves through the dialect map like
+      // any prefixed name (`"a" -> <type predicate>`); without a
+      // mapping it stays a loud reject, never a match-nothing filter
+      if (p == "a")
+        return predAliases.getOrElse("a", throw new IllegalArgumentException(
+          "rdf:type shorthand 'a' has no alias in the dialect map — " +
+            "map \"a\" to the store's type predicate name"))
       if (PrefixedRe.matches(p) || (p.startsWith("<") && p.endsWith(">")))
         predAliases.getOrElse(p,
           throw new IllegalArgumentException(s"prefixed predicate '$p' has no alias in the dialect map"))
@@ -662,25 +686,39 @@ object Sparql {
       require(!steps.head.star,
         s"path '${p0.p}' starts with a closure step — write a bound first step (p/q*)")
       def edgesOf(stp: PathStep): DataFrame = {
-        val pr = pred(stp.pred)
-        require(entityPreds(pr),
-          s"path step '${stp.pred}' is not entity-valued — paths traverse entity edges")
-        st.filter(col("p") === pr).select(col("s").as("a"), col("o_id").as("b"))
+        val arms = stp.alts.map { case (name, inv) =>
+          val pr = pred(name)
+          require(entityPreds(pr),
+            s"path step '$name' is not entity-valued — paths traverse entity edges")
+          val e = st.filter(col("p") === pr)
+          // an inverse arm (^p) traverses the edge object→subject
+          if (inv) e.select(col("o_id").as("a"), col("s").as("b"))
+          else e.select(col("s").as("a"), col("o_id").as("b"))
+        }
+        arms.reduce(_ unionAll _)
       }
+      def advance(acc0: DataFrame, e: DataFrame): DataFrame =
+        acc0.join(
+            e.withColumnRenamed("a", "_mid").withColumnRenamed("b", "_b2"),
+            col("b") === col("_mid"))
+          .select(col("a"), col("_b2").as("b"))
+      // first step: one mandatory traversal (also `+`'s "one"), then
+      // its closure if starred/plussed
       var acc = edgesOf(steps.head)
       resolve(p0.s) match {
         case Num(v) => acc = acc.filter(col("a") === v)
         case V(_)   =>
         case Lit(v) => throw new IllegalArgumentException(s"literal subject '$v' unsupported")
       }
+      if (steps.head.plus) acc = TripleStore.fixpoint(edgesOf(steps.head), seed = Some(acc))
       steps.tail.foreach { stp =>
         val e = edgesOf(stp)
         acc =
           if (stp.star) TripleStore.fixpoint(e, seed = Some(acc))
-          else acc.join(
-              e.withColumnRenamed("a", "_mid").withColumnRenamed("b", "_b2"),
-              col("b") === col("_mid"))
-            .select(col("a"), col("_b2").as("b"))
+          // p+ = p/p*: one mandatory step, then the closure over the
+          // reached frontier (excludes the zero-step pairs * keeps)
+          else if (stp.plus) TripleStore.fixpoint(e, seed = Some(advance(acc, e)))
+          else advance(acc, e)
       }
       val cols = scala.collection.mutable.ListBuffer[Column]()
       p0.s match { case V(n) => cols += col("a").as(n); case _ => }
@@ -1499,6 +1537,37 @@ object Sparql {
   def kgSparqlLang(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, langText)
 
+  /** Path-alternation text — per-step alternation with an inverse arm
+    * (`fgt:P3|^fgt:P2` — the kg_path_alt forms in compiled text):
+    * from nation subjects, the region hop OR the inverse membership
+    * edge. */
+  val pathAltText: String =
+    """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+      |SELECT ?n ?x WHERE {
+      |  ?n fgt:P3 ?reg .
+      |  ?n (fgt:P3|^fgt:P2) ?x .
+      |}""".stripMargin
+
+  /** kg_sparql_path_alt — [[pathAltText]] under the hash gate. */
+  def kgSparqlPathAlt(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, pathAltText,
+      predAliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region"))
+
+  /** One-or-more text — `p/q+` (the `+` modifier: like `q*` but the
+    * zero-step pairs are excluded — customers reach their region,
+    * never their nation). */
+  val pathPlusText: String =
+    """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+      |SELECT ?c ?reach WHERE {
+      |  ?c mktsegment "BUILDING" .
+      |  ?c (fgt:P2/fgt:P3+) ?reach .
+      |}""".stripMargin
+
+  /** kg_sparql_path_plus — [[pathPlusText]] under the hash gate. */
+  def kgSparqlPathPlus(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, pathPlusText,
+      predAliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region"))
+
   /** CONSTRUCT text — rule materialization from query text (the
     * kg_construct inference written as a .rq a reference user would
     * run): compose located_in over the nation hop and carry the
@@ -1551,7 +1620,9 @@ object Sparql {
     "kg_sparql_lang"        -> (kgSparqlLang _),
     "kg_sparql_construct"   -> (kgSparqlConstruct _),
     "kg_sparql_ask"         -> (kgSparqlAsk _),
-    "kg_sparql_describe"    -> (kgSparqlDescribe _))
+    "kg_sparql_describe"    -> (kgSparqlDescribe _),
+    "kg_sparql_path_alt"    -> (kgSparqlPathAlt _),
+    "kg_sparql_path_plus"   -> (kgSparqlPathPlus _))
 
   val oracles: Map[String, String] = Map(
     "kg_sparql" ->
@@ -1733,5 +1804,27 @@ object Sparql {
       s"""$T,
          |seeds AS (SELECT s FROM triples WHERE p = 'label' AND o_val = 'NATION_5')
          |SELECT s, p, o_id, o_val, lang FROM triples
-         |WHERE s IN (SELECT s FROM seeds) OR o_id IN (SELECT s FROM seeds)""".stripMargin)
+         |WHERE s IN (SELECT s FROM seeds) OR o_id IN (SELECT s FROM seeds)""".stripMargin,
+    "kg_sparql_path_alt" ->
+      s"""$T,
+         |nat AS (SELECT s FROM triples WHERE p = 'in_region'),
+         |arms AS (
+         |  SELECT s AS n, o_id AS x FROM triples WHERE p = 'in_region'
+         |  UNION ALL
+         |  SELECT o_id AS n, s AS x FROM triples WHERE p = 'in_nation')
+         |SELECT nat.s AS n, arms.x AS x
+         |FROM nat JOIN arms ON arms.n = nat.s""".stripMargin,
+    "kg_sparql_path_plus" ->
+      s"""$T,
+         |bld AS (SELECT s FROM triples WHERE p = 'mktsegment' AND o_val = 'BUILDING'),
+         |step AS (SELECT s AS a, o_id AS b FROM triples WHERE p = 'in_nation'),
+         |e AS (SELECT s AS a, o_id AS b FROM triples WHERE p = 'in_region'),
+         |one AS (SELECT st.a, e.b FROM step st JOIN e ON e.a = st.b),
+         |r AS (
+         |  WITH RECURSIVE rr(a, b) AS (
+         |    SELECT a, b FROM one
+         |    UNION
+         |    SELECT rr.a, e.b FROM rr JOIN e ON e.a = rr.b)
+         |  SELECT a, b FROM rr)
+         |SELECT r.a AS c, r.b AS reach FROM r JOIN bld ON bld.s = r.a""".stripMargin)
 }

@@ -167,7 +167,7 @@ class SparqlSpec extends SparkSpec {
     }
     fails("in_region*/in_nation", "closure step")
     fails("in_nation/label*", "not entity-valued")
-    fails("in_nation/in_region+", "unsupported path segment")
+    fails("in_nation/in_region?", "unsupported path segment") // '?' stays out; '+' compiles now
   }
 
   test("SERVICE wikibase:label resolves ?xLabel with language preference and id fallback") {
@@ -568,6 +568,40 @@ class SparqlSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
       """SELECT ?c ?n WHERE { ?c in_nation ?n . FILTER(LANG(?n) = "de") }"""))
     assert(e.getMessage.contains("literal object"), e.getMessage)
+  }
+
+  test("path alternation/inverse/plus and the 'a' shorthand compile; '?' rejects loudly") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    // (p|^q): union of the direct arm and the reversed arm
+    val alt = Sparql.kgSparqlPathAlt(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val direct = st.filter(col("p") === "in_region")
+      .select(col("s").as("n"), col("o_id").as("x"))
+    val inverse = st.filter(col("p") === "in_nation")
+      .select(col("o_id").as("n"), col("s").as("x"))
+    val exp = direct.unionAll(inverse)
+      .join(direct.select("n").distinct(), "n")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(alt.sorted.toSeq == exp.sorted.toSeq)
+    // p+ excludes the zero-step pairs p* keeps: reach is regions only
+    val plus = Sparql.kgSparqlPathPlus(spark, sf).collect()
+    val regions = st.filter(col("p") === "in_region").select("o_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(plus.nonEmpty && plus.forall(r => regions(r.getLong(1))),
+      "p+ must land on regions only (nations would mean zero-step leakage)")
+    // 'a' resolves through the dialect map; unmapped stays loud
+    val a = Sparql.run(spark, sf,
+      """SELECT ?c WHERE { ?c a "BUILDING" . }""",
+      predAliases = Map("a" -> "mktsegment")).count()
+    val aExp = st.filter(col("p") === "mktsegment" && col("o_val") === "BUILDING").count()
+    assert(a == aExp)
+    val e1 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      """SELECT ?c WHERE { ?c a "BUILDING" . }"""))
+    assert(e1.getMessage.contains("dialect map"), e1.getMessage)
+    // the '?' modifier stays out of the subset — loudly
+    val e2 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      "SELECT ?c ?r WHERE { ?c (in_nation/in_region?) ?r . }"))
+    assert(e2.getMessage.contains("unsupported path segment"), e2.getMessage)
   }
 
   test("CONSTRUCT/ASK/DESCRIBE text forms compile (all four SPARQL forms from text)") {
