@@ -642,6 +642,7 @@ object Sparql {
               Seq(n -> kinds.head)
             case None => Nil
           }
+        case V(_) if p0.p.startsWith("!") => Nil // negated set: typing from other sites
         case V(n) if isPath(p0.p) => Seq(n -> "entity")
         case V(n) => Seq(n -> (if (entityPreds(pred(p0.p))) "entity" else "literal"))
         case _ => Nil
@@ -764,7 +765,43 @@ object Sparql {
       df.select(cols.toSeq: _*)
     }
 
+    /** Negated property set `!(p|q)` / `!p` (the kg_path_alt negated
+      * arm in text): all statements whose predicate is NOT in the
+      * resolved set. The predicate is anonymous (binds nothing);
+      * object typing follows the varPredFrame rule — from the var's
+      * OTHER binding sites, a site-free object rejects loudly. An
+      * inverse arm inside a negated set stays out of the subset. */
+    def negSetFrame(p0: Pattern): DataFrame = {
+      val inner = p0.p.drop(1).stripPrefix("(").stripSuffix(")")
+      val excluded = inner.split('|').toSeq.map(_.trim).map { a =>
+        require(!a.startsWith("^"),
+          s"inverse arm '$a' inside a negated property set is unsupported")
+        pred(a)
+      }
+      var df = st.filter(!col("p").isin(excluded: _*))
+      val cols = scala.collection.mutable.ListBuffer[Column]()
+      resolve(p0.s) match {
+        case V(n)   => cols += col("s").as(n)
+        case Num(v) => df = df.filter(col("s") === v)
+        case Lit(v) => throw new IllegalArgumentException(s"literal subject '$v' unsupported")
+      }
+      resolve(p0.o) match {
+        case V(n) => kindMap.get(n) match {
+          case Some("entity")  => df = df.filter(col("o_id").isNotNull); cols += col("o_id").as(n)
+          case Some("literal") => df = df.filter(col("o_val").isNotNull); cols += col("o_val").as(n)
+          case _ => throw new IllegalArgumentException(
+            s"object ?$n of negated-property-set pattern is type-ambiguous — " +
+              s"bind ?$n in another pattern")
+        }
+        case Num(v) => df = df.filter(col("o_id") === v)
+        case Lit(v) => df = df.filter(col("o_val") === bareIri(v))
+      }
+      require(cols.nonEmpty, s"pattern binds no variables: $p0")
+      df.select(cols.toSeq: _*)
+    }
+
     def frame(p0: Pattern): DataFrame = {
+      if (p0.p.startsWith("!")) return negSetFrame(p0)
       if (isPath(p0.p)) return pathFrame(p0)
       if (isVarPred(p0.p)) return varPredFrame(p0)
       val p = Pattern(resolve(p0.s), pred(p0.p), resolve(p0.o))
@@ -1568,6 +1605,24 @@ object Sparql {
     run(spark, dir, pathPlusText,
       predAliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region"))
 
+  /** Negated-property-set text — `!(p|q)` (the kg_path_alt negated
+    * arm): every order relation EXCEPT the part/supplier edges whose
+    * object is entity-typed by its other binding site — i.e. the
+    * placed_by customer, found by exclusion. */
+  val pathNegText: String =
+    """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+      |SELECT ?o ?x ?n WHERE {
+      |  ?o !(fgt:P189|fgt:P203) ?x .
+      |  ?x fgt:P2 ?n .
+      |}""".stripMargin
+
+  /** kg_sparql_path_neg — [[pathNegText]] under the hash gate. */
+  def kgSparqlPathNeg(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, pathNegText,
+      predAliases = Map(
+        "fgt:P189" -> "has_part", "fgt:P203" -> "supplied_by",
+        "fgt:P2" -> "in_nation"))
+
   /** CONSTRUCT text — rule materialization from query text (the
     * kg_construct inference written as a .rq a reference user would
     * run): compose located_in over the nation hop and carry the
@@ -1622,7 +1677,8 @@ object Sparql {
     "kg_sparql_ask"         -> (kgSparqlAsk _),
     "kg_sparql_describe"    -> (kgSparqlDescribe _),
     "kg_sparql_path_alt"    -> (kgSparqlPathAlt _),
-    "kg_sparql_path_plus"   -> (kgSparqlPathPlus _))
+    "kg_sparql_path_plus"   -> (kgSparqlPathPlus _),
+    "kg_sparql_path_neg"    -> (kgSparqlPathNeg _))
 
   val oracles: Map[String, String] = Map(
     "kg_sparql" ->
@@ -1826,5 +1882,11 @@ object Sparql {
          |    UNION
          |    SELECT rr.a, e.b FROM rr JOIN e ON e.a = rr.b)
          |  SELECT a, b FROM rr)
-         |SELECT r.a AS c, r.b AS reach FROM r JOIN bld ON bld.s = r.a""".stripMargin)
+         |SELECT r.a AS c, r.b AS reach FROM r JOIN bld ON bld.s = r.a""".stripMargin,
+    "kg_sparql_path_neg" ->
+      s"""$T
+         |SELECT t.s AS o, t.o_id AS x, cn.o_id AS n
+         |FROM triples t
+         |JOIN triples cn ON cn.s = t.o_id AND cn.p = 'in_nation'
+         |WHERE t.p NOT IN ('has_part', 'supplied_by') AND t.o_id IS NOT NULL""".stripMargin)
 }

@@ -602,6 +602,19 @@ class SparqlSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
       "SELECT ?c ?r WHERE { ?c (in_nation/in_region?) ?r . }"))
     assert(e2.getMessage.contains("unsupported path segment"), e2.getMessage)
+    // negated property set: exclusion over the typed statements scan
+    val neg = Sparql.run(spark, sf,
+      """SELECT ?o ?x WHERE { ?o !(has_part|supplied_by) ?x . ?x in_nation ?n . }""")
+      .select("o", "x").distinct().count()
+    val negExp = st.filter(!col("p").isin("has_part", "supplied_by") &&
+        col("o_id").isNotNull)
+      .join(st.filter(col("p") === "in_nation").select(col("s").as("o_id")).distinct(), "o_id")
+      .select("s", "o_id").distinct().count()
+    assert(neg == negExp && neg > 0)
+    // a site-free negated-set object is type-ambiguous — loud
+    val e3 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      "SELECT ?o ?x WHERE { ?o !(has_part) ?x . }"))
+    assert(e3.getMessage.contains("type-ambiguous"), e3.getMessage)
   }
 
   test("CONSTRUCT/ASK/DESCRIBE text forms compile (all four SPARQL forms from text)") {
