@@ -203,13 +203,61 @@ object GraphMetrics {
     out
   }
 
+  /** Synchronous label-propagation rounds for [[kgCommunities]] —
+    * fixed so the result is well-defined regardless of convergence
+    * (sync LPA can oscillate on bipartite structures; a fixed round
+    * count + deterministic tie-break makes the output a pure function
+    * of the graph, the kg_random_walk determinism pattern). */
+  private val LpaRounds = 4
+
+  /** kg_communities — community detection over the co-occurrence
+    * network by deterministic synchronous label propagation (the
+    * community structure the reference's companions network analysis
+    * visualizes): every node starts as its own label; each round it
+    * adopts the most frequent label among its neighbors, ties broken
+    * by the SMALLEST label. Emitted: (node, community,
+    * community_size) after [[LpaRounds]] rounds.
+    *
+    * Scale: each round is one edge-sized equi-join + one
+    * map-side-partial groupBy + one per-node window (partition
+    * cardinality = the node's distinct neighbor labels — degree
+    * bounded, never data-sized); the adjacency is checkpointed once
+    * and freed. Rounds × 2 shuffles total, the same budget as the
+    * DataFrame CC engine this sits beside. */
+  def kgCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val adj = e.select(col("p1").as("node"), col("p2").as("nbr"))
+      .union(e.select(col("p2").as("node"), col("p1").as("nbr")))
+      .localCheckpoint(eager = true)
+    val owned = scala.collection.mutable.ListBuffer[DataFrame](e, adj)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("cnt").desc, col("lbl").asc)
+    var labels = adj.select("node").distinct().withColumn("lbl", col("node"))
+    (1 to LpaRounds).foreach { _ =>
+      labels = adj
+        .join(labels.withColumnRenamed("node", "nbr"), Seq("nbr"))
+        .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("node"), col("lbl"))
+        .localCheckpoint(eager = true)
+      owned += labels
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    val out = labels.join(sizes, Seq("lbl"))
+      .select(col("node"), col("lbl").as("community"), col("community_size"))
+      .localCheckpoint(eager = true)
+    owned.foreach(graft.util.Checkpoints.free)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_path_alt"         -> (kgPathAlt _),
     "kg_clustering_coeff" -> (kgClusteringCoeff _),
     "kg_node_sim"         -> (kgNodeSim _),
     "kg_random_walk"      -> (kgRandomWalk _),
     "kg_having"           -> (kgHaving _),
-    "kg_void_stats"       -> (kgVoidStats _))
+    "kg_void_stats"       -> (kgVoidStats _),
+    "kg_communities"      -> (kgCommunities _))
 
   /** Shared oracle CTE: the weight ≥ 2 co-occurrence edge set. */
   private val E =
@@ -240,7 +288,24 @@ object GraphMetrics {
        |$rows""".stripMargin
   }
 
+  private val lpaSql: String = {
+    val rounds = (1 to LpaRounds).map { k =>
+      s"""l$k AS (SELECT node, lbl FROM (
+         |  SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rk
+         |  FROM (SELECT a.node, l.lbl, count(*) AS cnt
+         |        FROM adj a JOIN l${k - 1} l ON l.node = a.nbr GROUP BY 1, 2))
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""adj AS (SELECT p1 AS node, p2 AS nbr FROM e UNION ALL SELECT p2, p1 FROM e),
+       |l0 AS (SELECT DISTINCT node, node AS lbl FROM adj),
+       |$rounds,
+       |sizes AS (SELECT lbl, count(*) AS community_size FROM l$LpaRounds GROUP BY 1)
+       |SELECT l.node, l.lbl AS community, sizes.community_size
+       |FROM l$LpaRounds l JOIN sizes ON sizes.lbl = l.lbl""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kg_communities" -> s"$T, $E,\n$lpaSql",
     "kg_void_stats" ->
       s"""$T
          |SELECT p, count(*) AS n_statements,

@@ -82,4 +82,29 @@ class GraphMetricsSpec extends SparkSpec {
       assert(common >= 1 && common <= math.min(da, db), s"common $common outside [1, min($da,$db)]")
     }
   }
+
+  test("kg_communities equals an in-memory synchronous LPA replay") {
+    val got = GraphMetrics.kgCommunities(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // independent replay: 4 rounds of sync label propagation with the
+    // most-frequent-then-smallest tie-break, over the same weight>=2
+    // co-occurrence edges
+    val edges = graft.kg.KGQueries.kgCooccur(spark, sf)
+      .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      lbl = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, xs) => l -> xs.size.toLong }
+    val exp = lbl.map { case (n, l) => (n, l, sizes(l)) }.toSet
+    assert(got.length == adj.size && got.toSet == exp,
+      s"LPA diverges: ${got.toSet.diff(exp).take(3)} vs ${exp.diff(got.toSet).take(3)}")
+    // communities actually merge: fewer labels than nodes
+    assert(sizes.size < adj.size, "no label propagated — graph or tie-break suspect")
+  }
 }
