@@ -219,12 +219,49 @@ object Embed {
       .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
   }
 
+  /** Hashing-trick dimensionality for [[embedHash]]. */
+  val HashDim = 64
+
+  /** embed_hash — MODEL-FREE document embeddings by signed feature
+    * hashing (Weinberger et al. 2009, the "hashing trick"): every
+    * token lands in dimension `md5(w) mod 64` with sign from the next
+    * hash bit, per-doc weights are the exact integer signed counts,
+    * zero-sum dimensions drop (canonical sparse form). The
+    * deterministic text→vector step that gives the similarity /
+    * semantic-dedup operators an embedding column without any model
+    * artifact — md5 replaces both the vocabulary and the projection
+    * matrix, so the embedding of a document is a pure function of its
+    * text, rerun-identical on any cluster layout.
+    *
+    * Emitted long/sparse: `(doc_id, dim, weight)` — exact integers,
+    * order-independent sums, fully oracle-replayable (the dense
+    * normalized view is one `collect_list` + norm away and stays in
+    * the consumer, where its floats belong).
+    *
+    * Scale: one codegen'd scan → explode → map-side-partial groupBy
+    * on (doc_id, dim) — dedup_exact's shuffle budget; dimensionality
+    * is the literal knob. */
+  def embedHash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+    toks
+      .withColumn("dim", expr(s"CAST(md5_p60(w) % $HashDim AS INT)"))
+      .withColumn("sgn", expr(s"CASE WHEN (md5_p60(w) div $HashDim) % 2 = 0 THEN 1 ELSE -1 END"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_quantize" -> (embedQuantize _),
     "sim_topk_int8"  -> (simTopkInt8 _),
     "sim_rerank"     -> (simRerank _),
     "embed_pq_encode" -> (embedPqEncode _),
-    "sim_ann_pq"     -> (simAnnPq _))
+    "sim_ann_pq"     -> (simAnnPq _),
+    "embed_hash"     -> (embedHash _))
 
   val oracles: Map[String, String] = {
     // DuckDB twin of `quantized`: FLOAT[] → DOUBLE elementwise, then
@@ -373,6 +410,18 @@ object Embed {
            |  FROM shortlist s JOIN uv n ON n.vec_id = s.neighbor)
            |SELECT q, neighbor, cosine,
            |  CAST(row_number() OVER (PARTITION BY q ORDER BY cosine DESC, neighbor) AS INTEGER) AS rk
-           |FROM rescored QUALIFY rk <= 5""".stripMargin)
+           |FROM rescored QUALIFY rk <= 5""".stripMargin,
+      // md5 replay of the hashing trick: same p60 prefix, same
+      // dim / sign-bit arithmetic, zero-sum dims dropped in both
+      "embed_hash" ->
+        s"""WITH toks AS (
+           |  SELECT doc_id, w FROM (
+           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents) t
+           |  WHERE w <> ''),
+           |h AS (SELECT doc_id, ${Md5Bits.p60Sql("w")} AS hv FROM toks)
+           |SELECT doc_id, CAST(hv % $HashDim AS INTEGER) AS dim,
+           |  CAST(SUM(CASE WHEN (hv // $HashDim) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS weight
+           |FROM h GROUP BY 1, 2
+           |HAVING SUM(CASE WHEN (hv // $HashDim) % 2 = 0 THEN 1 ELSE -1 END) <> 0""".stripMargin)
   }
 }

@@ -201,4 +201,30 @@ class SearchEmbedSpec extends SparkSpec {
       assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("embed_hash equals an in-memory hashing-trick replay") {
+    val got = Embed.embedHash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def p60(s: String): Long = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).take(8)
+        .map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val exp = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).map { w =>
+          val h = p60(w)
+          ((r.getLong(0), (h % Embed.HashDim).toInt),
+            if ((h / Embed.HashDim) % 2 == 0) 1L else -1L)
+        }
+      }
+      .groupBy(_._1).map { case ((d, dim), xs) => (d, dim, xs.map(_._2).sum) }
+      .filter(_._3 != 0L).toSet
+    assert(got == exp, s"hashed embeddings diverge (${got.size} vs ${exp.size} cells)")
+    // the embedding is genuinely signed and sparse
+    assert(got.exists(_._3 < 0) && got.exists(_._3 > 0))
+  }
 }
