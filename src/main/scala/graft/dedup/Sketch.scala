@@ -106,8 +106,17 @@ object Sketch {
   /** CMS geometry: d=4 rows × w=1024 counters; row hashes are the
     * Kirsch–Mitzenmacher family h_j = (hi32 + j·lo32) mod w over the
     * term's md5 words (same construction as the MinHash functions). */
-  private val CmsD = 4
-  private val CmsW = 1024L
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 1024L
+
+  /** The d Kirsch–Mitzenmacher counter positions of a `term` column
+    * (one row per (input row, j)) — shared by [[sketchCms]] and the
+    * streaming heavy-hitter grid (stream_topk). */
+  private[graft] def cmsPositions(df: DataFrame): DataFrame = df
+    .withColumn("h1", hi32(col("term"))).withColumn("h2", lo32(col("term")))
+    .withColumn("jp", explode(expr(
+      s"transform(sequence(0, ${CmsD - 1}), j -> struct(j AS j, (h1 + j * h2) % ${CmsW}L AS pos))")))
+    .select(df.columns.map(col) :+ col("jp.j").as("j") :+ col("jp.pos").as("pos"): _*)
 
   /** sketch_cms — count-min frequency estimation over the token
     * stream: build the d×w counter grid from the term census, probe it
@@ -122,11 +131,7 @@ object Sketch {
       // the vocabulary-sized frame so the corpus explode runs once
       // (no cross-branch CSE; SURVEY §5 rule), freed before return
       .localCheckpoint(eager = true)
-    def positions(df: DataFrame): DataFrame = df
-      .withColumn("h1", hi32(col("term"))).withColumn("h2", lo32(col("term")))
-      .withColumn("jp", explode(expr(
-        s"transform(sequence(0, ${CmsD - 1}), j -> struct(j AS j, (h1 + j * h2) % ${CmsW}L AS pos))")))
-      .select(df.columns.map(col) :+ col("jp.j").as("j") :+ col("jp.pos").as("pos"): _*)
+    def positions(df: DataFrame): DataFrame = cmsPositions(df)
     val counters = positions(census)
       .groupBy(col("j"), col("pos")).agg(sum(col("n")).as("c"))
     val probes = census.orderBy(col("n").desc, col("term")).limit(20)

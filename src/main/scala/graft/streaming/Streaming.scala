@@ -441,7 +441,50 @@ object Streaming {
       Seq("wstart", "event_type"))
   }
 
+  /** stream_topk — streaming HEAVY-HITTER accounting per (1 h window,
+    * event_type): the count-min grid ([[graft.dedup.Sketch
+    * .cmsPositions]] — the BATCH sketch's exact hash family, drift
+    * impossible) aggregates under the watermark as
+    * `(window, event_type, j, pos) → count` and seals with the
+    * windows; the probe — exact top-5 users per sealed window,
+    * deterministic (count desc, user_id) tie-break — runs as a BATCH
+    * readout against the sealed grid, the stream_cardinality pattern
+    * (one streaming aggregation per query; the readout input is
+    * d×w cells per window, never the event stream). Emits estimate
+    * vs exact with the one-sided CMS overcount. State per window =
+    * occupied cells ≤ d×w, never the user-id set — the
+    * heavy-hitter-accounting production shape. */
+  def streamTopk(spark: SparkSession, dir: String): DataFrame = {
+    val sealedGrid = fileReplay(spark, dir, "stream_topk") { source =>
+      graft.functions.GraftFunctions.registerAll(source.sparkSession)
+      graft.dedup.Sketch.cmsPositions(
+        source.toDF().withColumn("term", col("user_id").cast("string")))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("j"), col("pos"))
+        .agg(count(lit(1)).as("c"))
+    }
+    graft.functions.GraftFunctions.registerAll(spark)
+    val grid = sealedGrid.filter(col("event_type") =!= "sentinel")
+    val ev = Tables.events(spark, dir)
+    val exact = ev
+      .groupBy(window(col("ts"), "1 hour").as("window"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_exact"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window"), col("event_type"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+    val probes = exact.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+      .drop("rk")
+    graft.dedup.Sketch.cmsPositions(probes.withColumn("term", col("user_id").cast("string")))
+      .join(grid, Seq("window", "event_type", "j", "pos"))
+      .groupBy(col("window"), col("event_type"), col("user_id"), col("n_exact"))
+      .agg(min(col("c")).as("cms_est"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("user_id"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk"        -> (streamTopk _),
     "stream_cardinality" -> (streamCardinality _),
     "stream_quality"     -> (streamQuality _),
     "stream_window_agg"  -> (streamWindowAgg _),
@@ -470,6 +513,37 @@ object Streaming {
          |  CAST($m AS INTEGER) AS m, count(*) AS occupied,
          |  (sum((1::BIGINT << (${fb + 1} - reg))) + ($m - count(*)) * (1::BIGINT << ${fb + 1}))::BIGINT AS sum_scaled
          |FROM regs GROUP BY w, event_type""".stripMargin
+    },
+    // grid AND probe replayed from the raw events with the batch CMS
+    // hash family — a dropped/duplicated event or a mis-sealed window
+    // shifts a counter and the hash catches it
+    "stream_topk" -> {
+      import graft.dedup.{Md5Bits, Sketch}
+      s"""WITH h AS (
+         |  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS w, event_type,
+         |    user_id, CAST(user_id AS VARCHAR) AS term
+         |  FROM events),
+         |pos AS (
+         |  SELECT w, event_type, term, j,
+         |    ((${Md5Bits.hi32Sql("term")}) + j * (${Md5Bits.lo32Sql("term")})) % ${Sketch.CmsW} AS pos
+         |  FROM h, range(0, ${Sketch.CmsD}) r(j)),
+         |grid AS (SELECT w, event_type, j, pos, count(*) AS c FROM pos GROUP BY 1, 2, 3, 4),
+         |exact AS (SELECT w, event_type, user_id, term, count(*) AS n_exact
+         |          FROM h GROUP BY 1, 2, 3, 4),
+         |probes AS (
+         |  SELECT w, event_type, user_id, term, n_exact FROM (
+         |    SELECT exact.*, row_number() OVER (
+         |      PARTITION BY w, event_type ORDER BY n_exact DESC, user_id) AS rk
+         |    FROM exact) WHERE rk <= 5),
+         |est AS (
+         |  SELECT p.w, p.event_type, p.user_id, p.n_exact, min(g.c) AS cms_est
+         |  FROM probes p, range(0, ${Sketch.CmsD}) r(j)
+         |  JOIN grid g ON g.w = p.w AND g.event_type = p.event_type AND g.j = r.j
+         |   AND g.pos = ((${Md5Bits.hi32Sql("p.term")}) + r.j * (${Md5Bits.lo32Sql("p.term")})) % ${Sketch.CmsW}
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS wstart, event_type, user_id,
+         |  n_exact, cms_est::BIGINT AS cms_est, (cms_est - n_exact)::BIGINT AS overcount
+         |FROM est""".stripMargin
     },
     // the batch gate's oracle verbatim: stream and batch share the
     // projection CODE, so they share the oracle too — drift impossible

@@ -520,6 +520,34 @@ class DedupSpec extends SparkSpec {
     assert(streamed == batch, "streaming register state diverged from batch")
   }
 
+  test("stream_topk: CMS estimates bound the exact counts, probes are the true top-5") {
+    val rows = Streaming.streamTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the one-sided CMS contract on every probe, and a sane overcount
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("n_exact"),
+        s"CMS undercounted ${r.getAs[Long]("user_id")}")
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("cms_est") - r.getAs[Long]("n_exact"))
+    }
+    // at most 5 probes per (window, type); probe sets equal the exact
+    // batch top-5 under the deterministic tie-break
+    val byWin = rows.groupBy(r => (r.getString(0), r.getString(1)))
+    assert(byWin.values.forall(_.length <= 5))
+    val exact = graft.sources.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("user_id"), col("n"))
+      .collect().groupBy(r => (r.getString(0), r.getString(1)))
+    byWin.foreach { case (k, probeRows) =>
+      val expTop = exact(k).sortBy(r => (-r.getLong(3), r.getLong(2)))
+        .take(probeRows.length).map(r => r.getLong(2)).toSet
+      assert(probeRows.map(_.getAs[Long]("user_id")).toSet == expTop,
+        s"probe set for $k is not the exact top-5")
+    }
+  }
+
   test("stream enrich (stream-static join) equals batch join-aggregation") {
     val streamed = Streaming.streamEnrich(spark, sf)
       .select("wstart", "segment", "n_events")
