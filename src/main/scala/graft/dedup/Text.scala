@@ -233,6 +233,43 @@ object Text {
       .withColumn("keep", col("boiler_frac") <= 0.5)
   }
 
+  /** text_span_mask — the exact-substring-dedup ACTION step (the
+    * ExactSubstr removal of Lee et al. 2022, word-level): every word
+    * position covered by a corpus-common 8-gram span
+    * ([[Dedup.dedupSubstring]]'s ≥2-doc census) is dropped from the
+    * document, emitting the cleaned text plus mask accounting —
+    * dedup_substring FLAGS the shared spans, text_boilerplate SCORES
+    * them, this one REMOVES them.
+    *
+    * Scale shape: the span census is the proven one-explode
+    * partial-agg; the covered-index frame is 8× the MATCHING spans
+    * only (not the corpus); the rebuild is array expressions inside
+    * one codegen'd projection. In a production pipeline the census is
+    * computed once and shared across the flag/score/mask consumers
+    * (checkpoint, the dedup_clusters pattern) — here each entry stays
+    * self-contained for the gate. */
+  def textSpanMask(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val spans = docs.filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t)-7), i -> " +
+          "struct(i AS start, md5(concat_ws(' ', slice(t, i, 8))) AS span_hash))")).as("sp"))
+      .select(col("doc_id"), col("sp.start").as("start"), col("sp.span_hash").as("span_hash"))
+    val common = Dedup.dedupSubstring(spark, dir).select("span_hash")
+    val covered = spans.join(common, Seq("span_hash"))
+      .select(col("doc_id"), explode(expr("sequence(start, start + 7)")).as("idx"))
+      .distinct()
+    val mi = covered.groupBy(col("doc_id")).agg(collect_set(col("idx")).as("mids"))
+    docs.join(mi, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        coalesce(size(col("mids")), lit(0)).cast("long").as("n_masked"),
+        expr("concat_ws(' ', filter(transform(sequence(1, size(t)), i -> " +
+          "CASE WHEN mids IS NOT NULL AND array_contains(mids, i) THEN NULL " +
+          "ELSE element_at(t, i) END), x -> x IS NOT NULL))").as("masked_text"))
+  }
+
   /** text_ngram_stats — corpus-level frequent-n-gram census: the top
     * 20 word trigrams by document frequency (then total occurrences,
     * then the gram itself — a total order, so the cut is
@@ -267,7 +304,8 @@ object Text {
     "text_contamination" -> (textContamination _),
     "text_mentions"    -> (textMentions _),
     "text_boilerplate" -> (textBoilerplate _),
-    "text_ngram_stats" -> (textNgramStats _))
+    "text_ngram_stats" -> (textNgramStats _),
+    "text_span_mask"   -> (textSpanMask _))
 
   val oracles: Map[String, String] = {
     val dictSelects = dicts.map { case (l, ws) =>
@@ -382,6 +420,22 @@ object Text {
           |FROM c GROUP BY 1
           |ORDER BY n_docs DESC, n_occ DESC, g
           |LIMIT 20""".stripMargin,
+      "text_span_mask" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |sp AS (
+          |  SELECT doc_id, i AS start, md5(array_to_string(w[i:i+7], ' ')) AS span_hash
+          |  FROM (SELECT doc_id, w, unnest(range(1, len(w)-6)) AS i FROM t WHERE len(w) >= 8)),
+          |common AS (SELECT span_hash FROM sp GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+          |cov AS (
+          |  SELECT DISTINCT sp.doc_id, sp.start + r.d AS idx
+          |  FROM sp JOIN common USING (span_hash), range(0, 8) r(d)),
+          |mi AS (SELECT doc_id, list(idx) AS mids FROM cov GROUP BY 1)
+          |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+          |  CAST(COALESCE(len(mi.mids), 0) AS BIGINT) AS n_masked,
+          |  COALESCE(array_to_string(list_filter(list_transform(range(1, len(t.w) + 1),
+          |    i -> CASE WHEN mi.mids IS NOT NULL AND list_contains(mi.mids, i)
+          |              THEN NULL ELSE t.w[i] END), x -> x IS NOT NULL), ' '), '') AS masked_text
+          |FROM t LEFT JOIN mi ON mi.doc_id = t.doc_id""".stripMargin,
       "text_mentions" ->
         """WITH dict AS (
           |  SELECT term, count(*) AS n_entities FROM (

@@ -70,6 +70,34 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_.getAs[Long]("n_flagged") > 0))
   }
 
+  test("text_span_mask equals an in-memory mask replay; accounting consistent") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    // corpus-common 8-gram census, then per-doc covered indices
+    val spanDocs = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    docs.foreach { case (id, w) =>
+      w.sliding(8).filter(_.length == 8)
+        .foreach(g => spanDocs.getOrElseUpdate(g.mkString(" "), scala.collection.mutable.Set()) += id)
+    }
+    val common = spanDocs.collect { case (g, ds) if ds.size >= 2 => g }.toSet
+    val rows = Text.textSpanMask(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val (id, nWords, nMasked, masked) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      val w = docs(id)
+      assert(nWords == w.length)
+      val cov = w.sliding(8).zipWithIndex
+        .filter { case (g, _) => g.length == 8 && common(g.mkString(" ")) }
+        .flatMap { case (_, i) => i until i + 8 }.toSet
+      assert(nMasked == cov.size, s"doc $id mask count")
+      val exp = w.zipWithIndex.filterNot(p => cov(p._2)).map(_._1).mkString(" ")
+      assert(masked == exp, s"doc $id masked text diverges")
+    }
+    assert(rows.exists(_.getLong(2) > 0), "no span masked — census suspect")
+  }
+
   test("text_ngram_stats: top-20 trigrams with a deterministic total order") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
