@@ -111,10 +111,52 @@ object Sparql {
   /** `VALUES ?v {…}` or `VALUES (?a ?b) { (… …) … }` inline data. */
   final case class ValuesBlock(vars: Seq[String], rows: Seq[Seq[Term]])
 
+  /** A computed `BIND(expr AS ?x)` beyond the const / IRI-CONCAT / IF
+    * forms (which keep their dedicated nodes): string CONCAT over
+    * literal and STR(?v)/?v parts, and regex REPLACE over STR(?v) —
+    * the get_gnd_from_fg_and_wd.rq / get_factgrid_ids_from_wikidata.rq
+    * transforms. Both are NULL-PROPAGATING projections (unbound in →
+    * unbound out, SPARQL's error-to-unbound rule; Spark's `concat` and
+    * `regexp_replace` null-propagate identically). STR() of an
+    * entity-typed var renders the entity ID digits — this engine's id
+    * space; the reference's IRI-text round trip belongs to the dialect
+    * layer (pair with an IRI-prefix CONCAT part when the IRI text is
+    * wanted, as the reference files themselves do). */
+  sealed trait SExpr
+  final case class SLit(s: String) extends SExpr
+  final case class SStr(v: String) extends SExpr
+  final case class SReplace(v: String, pattern: String, replacement: String) extends SExpr
+  final case class SConcat(parts: Seq[SExpr]) extends SExpr
+  final case class ExprBind(alias: String, expr: SExpr)
+
+  /** One brace level of a WHERE body — the RECURSIVE group model. A
+    * UNION branch, an OPTIONAL group, and a SERVICE body are each a
+    * full [[Body]], so keyword constructs nest the way the reference's
+    * companions/test/time-items queries nest them (OPTIONAL and BIND
+    * inside UNION branches, MINUS-filters inside SERVICE OPTIONALs,
+    * per-branch source tags). `binds` at a level are SCOPED: they
+    * substitute into that level's subtree and surface as constant
+    * columns of that level's frame only (a per-branch
+    * `BIND("factgrid" AS ?source)` tags just its branch — other
+    * branches null-pad, companions_and_relations.rq:50). */
+  final case class Body(
+      patterns: Seq[Pattern] = Nil,
+      optionals: Seq[Body] = Nil,
+      unions: Seq[Seq[Body]] = Nil,
+      filters: Seq[Filt] = Nil,
+      minuses: Seq[Minus] = Nil,
+      binds: Map[String, Term] = Map.empty,
+      iriBinds: Seq[(String, String, String)] = Nil,
+      exprBinds: Seq[ExprBind] = Nil,
+      ifBinds: Seq[IfBind] = Nil,
+      values: Seq[ValuesBlock] = Nil,
+      services: Seq[ServiceBlock] = Nil,
+      labelLangs: Option[Seq[String]] = None)
+
   /** A `SERVICE <endpoint> {…}` block — the federation surface. The
-    * body is a BGP plus OPTIONAL groups and FILTERs; at compile time
-    * it runs against the [[ServiceGraph]] registered for the endpoint
-    * IRI and joins the outer pattern on the shared variables.
+    * body is a full recursive [[Body]]; at compile time it runs
+    * against the [[ServiceGraph]] registered for the endpoint IRI and
+    * joins the outer pattern on the shared variables.
     *
     * Semantics note: this implements the BINDINGS-INJECTED (correlated)
     * evaluation real endpoints perform — WDQS/Blazegraph evaluate the
@@ -125,8 +167,11 @@ object Sparql {
     * algebra (under which a globally non-empty OPTIONAL body would
     * drop unmatched outer rows). The reference's results depend on
     * the injected behavior; that is what we compile. */
-  final case class ServiceBlock(endpoint: String, patterns: Seq[Pattern],
-      optionals: Seq[Seq[Pattern]], filters: Seq[Filt])
+  final case class ServiceBlock(endpoint: String, body: Body) {
+    def patterns: Seq[Pattern] = body.patterns
+    def optionals: Seq[Body] = body.optionals
+    def filters: Seq[Filt] = body.filters
+  }
 
   /** `BIND(IF(?a = ?b, "t", "f") AS ?x)` — the comparison verdict of
     * the compare-factgrid-wikidata queries. NULL-PROPAGATING like the
@@ -136,21 +181,28 @@ object Sparql {
   final case class IfBind(alias: String, v1: String, v2: String,
       thenV: String, elseV: String)
 
+  /** A parsed query: projection head + the recursive root [[Body]] +
+    * solution modifiers. The flat accessors expose the ROOT level of
+    * the body (what the pre-recursive parser surfaced) for
+    * introspection tools and specs. */
   final case class Query(
       select: Seq[String], aggs: Seq[Agg], distinct: Boolean,
-      patterns: Seq[Pattern],            // required BGP
-      optionals: Seq[Seq[Pattern]],      // one entry per OPTIONAL group
-      unions: Seq[Seq[Seq[Pattern]]],    // one entry per UNION chain; inner = branches
-      filters: Seq[Filt],
-      minuses: Seq[Minus],               // MINUS / FILTER NOT EXISTS groups
-      binds: Map[String, Term],          // BIND(const AS ?var) seeds
-      iriBinds: Seq[(String, String, String)], // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x): (x, iriText, v)
-      values: Seq[ValuesBlock],          // VALUES inline-data restrictions
-      labelLangs: Option[Seq[String]],   // SERVICE wikibase:label languages
+      body: Body,
       groupBy: Seq[String],
-      orderBy: Seq[String], limit: Option[Int],
-      services: Seq[ServiceBlock] = Nil, // SERVICE <endpoint> {…} federation blocks
-      ifBinds: Seq[IfBind] = Nil)        // BIND(IF(?a = ?b, …) AS ?x) verdicts
+      orderBy: Seq[String], limit: Option[Int]) {
+    def patterns: Seq[Pattern] = body.patterns
+    def optionals: Seq[Body] = body.optionals
+    def unions: Seq[Seq[Body]] = body.unions
+    def filters: Seq[Filt] = body.filters
+    def minuses: Seq[Minus] = body.minuses
+    def binds: Map[String, Term] = body.binds
+    def iriBinds: Seq[(String, String, String)] = body.iriBinds
+    def exprBinds: Seq[ExprBind] = body.exprBinds
+    def values: Seq[ValuesBlock] = body.values
+    def labelLangs: Option[Seq[String]] = body.labelLangs
+    def services: Seq[ServiceBlock] = body.services
+    def ifBinds: Seq[IfBind] = body.ifBinds
+  }
 
   // ---- parser --------------------------------------------------------
 
@@ -158,87 +210,332 @@ object Sparql {
   private val ProjVarRe = """\?(\w+)""".r
   private val ProjAggRe = """(?i)\(\s*COUNT\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)""".r
   private val ProjAgg2Re = """(?i)\(\s*(SAMPLE|MIN|MAX|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*(?:;\s*separator\s*=\s*"([^"]*)"\s*)?\)\s+AS\s+\?(\w+)\s*\)""".r
-  private val OptionalRe = """(?is)OPTIONAL\s*\{([^{}]*)\}""".r
-  private val UnionRe = """(?is)\{([^{}]*)\}(\s*UNION\s*\{[^{}]*\})+""".r
-  private val UnionBranchRe = """(?is)\{([^{}]*)\}""".r
-  // filter body: non-paren runs or up to TWO nested levels
-  // (REGEX(STR(?v), "…")-deep, the reference's exclusion form)
-  private val FilterRe = """(?is)FILTER\s*\(\s*((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\s*\)\s*\.?""".r
   private val RegexRe = """(?is)REGEX\s*\(\s*(?:STR\s*\(\s*)?\?(\w+)\s*\)?\s*,\s*"([^"]*)"\s*\)""".r
   private val EqRe = """(?is)\?(\w+)\s*=\s*"([^"]*)"""".r
   private val LangRe = """(?is)LANG\s*\(\s*\?(\w+)\s*\)\s*=\s*"([^"]*)"""".r
   private val PrefixedRe = """\w+:\w+""".r
-  /** Placeholder left where a keyword group was extracted — a marker
-    * surviving inside a UNION chain means the group was branch-scoped,
-    * and inside an OPTIONAL group means it was group-scoped (both
-    * reject loudly). [[SafeMarker]] marks the ONE extraction whose
-    * hoisting is semantics-preserving — the IRI-CONCAT BIND, a
-    * null-safe projection (unbound in → unbound out), exactly how the
-    * reference files use it inside their sitelink OPTIONALs
-    * (lokale-from-factgrid.rq:43). OPTIONAL bodies tolerate it; UNION
-    * branches still reject (a per-branch BIND is not reconstructible
-    * after branch extraction). */
-  private val Marker = ''
-  private val SafeMarker = ''
-  private val BindRe = """(?is)BIND\s*\(\s*(\S+)\s+AS\s+\?(\w+)\s*\)\s*\.?""".r
-  /** `BIND(IRI(CONCAT(STR(wd:), ?qid)) AS ?wd_item)` — the reference's
-    * qid→IRI transform (lokale-from-factgrid.rq:44, present in every
-    * network/compare query). */
-  private val BindIriRe = """(?is)BIND\s*\(\s*IRI\s*\(\s*CONCAT\s*\(\s*STR\s*\(\s*(\w+):\s*\)\s*,\s*(?:STR\s*\(\s*)?\?(\w+)\s*\)?\s*\)\s*\)\s+AS\s+\?(\w+)\s*\)\s*\.?""".r
   private val PrefixDeclRe = """(?i)PREFIX\s+(\w+):\s*<([^>]*)>""".r
-  private val ValuesRe = """(?is)VALUES\s+(\((?:\s*\?\w+)+\s*\)|\?\w+)\s*\{([^{}]*)\}""".r
   private val ValuesRowRe = """\(([^()]*)\)""".r
-  private val ServiceLabelRe = """(?is)SERVICE\s+wikibase:label\s*\{([^{}]*)\}\s*\.?""".r
   private val LangParamRe = """(?is)wikibase:language\s+"([^"]*)"""".r
-  private val NotExistsRe = """(?is)FILTER\s+NOT\s+EXISTS\s*\{([^{}]*)\}\s*\.?""".r
-  private val MinusRe = """(?is)MINUS\s*\{([^{}]*)\}\s*\.?""".r
-  private val ServiceAnyRe = """(?i)\bSERVICE\b""".r
-  private val ServiceStartRe = """(?i)SERVICE\s+<([^>]*)>\s*\{""".r
-  private val BindIfRe = """(?is)BIND\s*\(\s*IF\s*\(\s*\?(\w+)\s*=\s*\?(\w+)\s*,\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\)\s+AS\s+\?(\w+)\s*\)\s*\.?""".r
-  private val TokenRe = "\"[^\"]*\"|\\S+".r
+  private val TokenRe = "\"[^\"]*\"|'[^']*'|\\S+".r
+  // BIND classification: `expr AS ?var`, then the expr forms
+  private val BindAsRe = """(?is)^(.*?)\s+AS\s+\?(\w+)\s*$""".r
+  /** `IRI(CONCAT(STR(wd:), ?qid))` — the reference's qid→IRI
+    * transform (lokale-from-factgrid.rq:44, in every network/compare
+    * query). */
+  private val IriConcatRe = """(?is)^IRI\s*\(\s*CONCAT\s*\(\s*STR\s*\(\s*(\w+):\s*\)\s*,\s*(?:STR\s*\(\s*)?\?(\w+)\s*\)?\s*\)\s*\)$""".r
+  private val IfEqRe = """(?is)^IF\s*\(\s*\?(\w+)\s*=\s*\?(\w+)\s*,\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\)$""".r
+  private val ReplaceRe = """(?is)^REPLACE\s*\(\s*STR\s*\(\s*\?(\w+)\s*\)\s*,\s*"([^"]*)"\s*,\s*"([^"]*)"\s*\)$""".r
+  private val ConcatRe = """(?is)^CONCAT\s*\((.*)\)$""".r
+  private val StrOfVarRe = """(?is)^STR\s*\(\s*\?(\w+)\s*\)$""".r
 
-  /** Extract every `SERVICE <endpoint> { … }` block (brace-balanced —
-    * the body may hold nested OPTIONAL groups, unlike the single-level
-    * regex groups), leaving a [[Marker]] where each stood. Quote-aware:
-    * a `{`/`}` inside a string literal is content. */
-  private def extractServices(body0: String): (String, Seq[(String, String)]) = {
-    var body = body0
-    val out = scala.collection.mutable.ListBuffer[(String, String)]()
-    var m = ServiceStartRe.findFirstMatchIn(body)
-    while (m.isDefined) {
-      val mm = m.get
-      var d = 1; var i = mm.end; var inQ = false
-      while (d > 0 && i < body.length) {
-        val c = body(i)
-        if (c == '"') inQ = !inQ
-        else if (c == '{' && !inQ) d += 1
-        else if (c == '}' && !inQ) d -= 1
-        i += 1
-      }
-      require(d == 0, s"unbalanced braces in SERVICE <${mm.group(1)}> block")
-      out += ((mm.group(1), body.substring(mm.end, i - 1)))
-      body = body.substring(0, mm.start) + s"$Marker " + body.substring(i)
-      m = ServiceStartRe.findFirstMatchIn(body)
-    }
-    (body, out.toSeq)
+  // ---- recursive body scanner ---------------------------------------
+
+  private def isKwBoundary(s: String, i: Int): Boolean =
+    i == 0 || " \t\n\r.;{}()".indexOf(s(i - 1)) >= 0
+
+  /** Case-insensitive keyword test at a token boundary; returns the
+    * index just past the keyword, or -1. */
+  private def kwAt(s: String, i: Int, kw: String): Int =
+    if (i + kw.length <= s.length && isKwBoundary(s, i) &&
+      s.regionMatches(true, i, kw, 0, kw.length)) i + kw.length else -1
+
+  private def skipWs(s: String, i0: Int): Int = {
+    var i = i0; while (i < s.length && s(i).isWhitespace) i += 1; i
   }
 
-  /** Parse a SERVICE body: a BGP plus OPTIONAL groups and FILTERs.
-    * Anything deeper (nested OPTIONAL-in-OPTIONAL, blank-node property
-    * lists, LANG() filters) rejects loudly with the fragment. */
-  private def parseServiceBody(endpoint: String, b0: String): ServiceBlock = {
-    var b = b0
-    val opts = OptionalRe.findAllMatchIn(b).toList.map(m => triples(m.group(1)))
-    b = OptionalRe.replaceAllIn(b, " ")
-    val filts = FilterRe.findAllMatchIn(b).toList.map(m => parseFilt(m.group(1)))
-    b = FilterRe.replaceAllIn(b, " ")
-    require(!b.contains("{") && !b.contains("}"),
-      s"unsupported nested group inside SERVICE <$endpoint>: '${b.trim.take(80)}'")
-    val pats = if (b.trim.isEmpty) Seq.empty[Pattern] else triples(b)
-    require(pats.nonEmpty || opts.nonEmpty, s"empty SERVICE <$endpoint> body")
-    require(pats.nonEmpty || filts.isEmpty,
-      s"FILTER in an all-OPTIONAL SERVICE <$endpoint> body is unsupported")
-    ServiceBlock(endpoint, pats, opts, filts)
+  /** Index just past the close delimiter matching the open at `open`
+    * (`s(open)` must be `oc`). Quote-aware for both quote styles. */
+  private def matchDelim(s: String, open: Int, oc: Char, cc: Char): Int = {
+    var d = 0; var i = open; var q = ' '
+    while (i < s.length) {
+      val c = s(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else if (c == '"' || c == '\'') q = c
+      else if (c == oc) d += 1
+      else if (c == cc) { d -= 1; if (d == 0) return i + 1 }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"unbalanced '$oc' in: '${s.substring(open).trim.take(60)}'")
+  }
+
+  private def indexOfUnquoted(s: String, target: Char): Int = {
+    var i = 0; var q = ' '
+    while (i < s.length) {
+      val c = s(i)
+      if (q != ' ') { if (c == q) q = ' ' }
+      else if (c == '"' || c == '\'') q = c
+      else if (c == target) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Fresh-variable source for blank-node expansion (one per parse). */
+  private final class Fresh { private var n = 0
+    def next(): String = { n += 1; s"_b${n - 1}" } }
+
+  /** Expand blank-node property lists into fresh-variable triples:
+    * `?s p [ a X ; q [ r ?y ] ]` → `?s p ?_b0 . ?_b0 a X ; q ?_b1 .
+    * ?_b1 r ?y` — the time-items.rq `[ a wikibase:BestRank ; … ]`
+    * statement-reification access path, desugared textually so the
+    * triple parser never sees a bracket. */
+  private def desugarBlank(chunk0: String, fresh: Fresh): String = {
+    var chunk = chunk0
+    var idx = indexOfUnquoted(chunk, '[')
+    while (idx >= 0) {
+      val e = matchDelim(chunk, idx, '[', ']')
+      val inner = chunk.substring(idx + 1, e - 1).trim
+      val v = fresh.next()
+      chunk = chunk.substring(0, idx) + s"?$v" + chunk.substring(e) +
+        (if (inner.isEmpty) "" else s" . ?$v $inner")
+      idx = indexOfUnquoted(chunk, '[')
+    }
+    chunk
+  }
+
+  private def parseValues(varsTxt: String, rowsTxt: String): ValuesBlock = {
+    val vars = ProjVarRe.findAllMatchIn(varsTxt).toList.map(_.group(1))
+    require(vars.nonEmpty, s"VALUES block declares no variables: '${varsTxt.trim.take(40)}'")
+    val rows: Seq[Seq[Term]] =
+      if (varsTxt.trim.startsWith("(")) {
+        val rs = ValuesRowRe.findAllMatchIn(rowsTxt).toList.map { r =>
+          val ts = TokenRe.findAllIn(r.group(1)).toList.map(term)
+          require(ts.length == vars.length,
+            s"VALUES row arity ${ts.length} != ${vars.length} vars in '${r.matched}'")
+          ts
+        }
+        // loose tokens outside the row parens would be silently
+        // dropped data — reject
+        require(ValuesRowRe.replaceAllIn(rowsTxt, " ").trim.isEmpty,
+          s"multi-var VALUES rows must be parenthesized: '${rowsTxt.trim.take(60)}'")
+        rs
+      } else TokenRe.findAllIn(rowsTxt).toList.map(t => Seq(term(t)))
+    require(rows.nonEmpty, s"empty VALUES block for ?${vars.mkString(" ?")}")
+    ValuesBlock(vars, rows)
+  }
+
+  private def parseConcatPart(p0: String): SExpr = p0.trim match {
+    case StrOfVarRe(v) => SStr(v)
+    case p if p.length >= 2 &&
+      ((p.head == '"' && p.last == '"') || (p.head == '\'' && p.last == '\'')) =>
+      SLit(p.substring(1, p.length - 1))
+    case p if p.startsWith("?") && p.length > 1 &&
+      p.drop(1).forall(ch => ch.isLetterOrDigit || ch == '_') => SStr(p.drop(1))
+    case other => throw new IllegalArgumentException(
+      s"unsupported CONCAT part: '$other' (string literal, STR(?v), or ?v)")
+  }
+
+  /** Restrict a MINUS / FILTER NOT EXISTS body to its supported shape
+    * (triple patterns + filters — a pattern-less group is the
+    * reference's pure-regex row exclusion). */
+  private def minusOf(b: Body, what: String): Minus = {
+    require(b.optionals.isEmpty && b.unions.isEmpty && b.services.isEmpty &&
+      b.minuses.isEmpty && b.binds.isEmpty && b.iriBinds.isEmpty &&
+      b.exprBinds.isEmpty && b.ifBinds.isEmpty && b.values.isEmpty &&
+      b.labelLangs.isEmpty,
+      s"unsupported nested group inside $what — only triple patterns and FILTERs there")
+    require(b.patterns.nonEmpty || b.filters.nonEmpty, s"empty $what group")
+    Minus(b.patterns, b.filters)
+  }
+
+  /** Parse one brace level of a WHERE body into a [[Body]], recursing
+    * into every nested group. A single left-to-right scan: keyword
+    * constructs are recognized at token boundaries (quote-aware, so a
+    * keyword inside a string literal is content), their brace/paren
+    * extents matched exactly, and the text runs BETWEEN constructs
+    * become triple chunks — which makes the SPARQL grammar's dot-less
+    * triple termination before a keyword (`?s p ?o BIND(…)`,
+    * get_gnd_from_fg_and_wd.rq) fall out naturally: each run is its
+    * own statement list. */
+  private def parseBody(body0: String, prefixes: Map[String, String],
+      fresh: Fresh): Body = {
+    import scala.collection.mutable.ListBuffer
+    val s = body0; val n = s.length
+    var i = 0; var q = ' '
+    val chunks = ListBuffer[String]()
+    val sb = new StringBuilder
+    val optionals = ListBuffer[Body](); val unions = ListBuffer[Seq[Body]]()
+    val filters = ListBuffer[Filt](); val minuses = ListBuffer[Minus]()
+    val binds = scala.collection.mutable.LinkedHashMap[String, Term]()
+    val iriBinds = ListBuffer[(String, String, String)]()
+    val exprBinds = ListBuffer[ExprBind](); val ifBinds = ListBuffer[IfBind]()
+    val values = ListBuffer[ValuesBlock](); val services = ListBuffer[ServiceBlock]()
+    var labelLangs: Option[Seq[String]] = None
+
+    def flushChunk(): Unit = {
+      if (sb.toString.exists(c => !c.isWhitespace && c != '.')) chunks += sb.toString
+      sb.clear()
+    }
+    def mergeBare(b: Body): Unit = {
+      // a bare nested group `{ … }` (no UNION partner) groups without
+      // scoping in this subset — merge its content into this level
+      b.patterns.foreach(p => chunks += patText(p))
+      optionals ++= b.optionals; unions ++= b.unions; filters ++= b.filters
+      minuses ++= b.minuses; binds ++= b.binds; iriBinds ++= b.iriBinds
+      exprBinds ++= b.exprBinds; ifBinds ++= b.ifBinds; values ++= b.values
+      services ++= b.services
+      labelLangs = labelLangs.orElse(b.labelLangs)
+    }
+    def bracedAt(j0: Int): Boolean = { val j = skipWs(s, j0); j < n && s(j) == '{' }
+
+    while (i < n) {
+      val c = s(i)
+      if (q != ' ') { sb += c; if (c == q) q = ' '; i += 1 }
+      else if (c == '"' || c == '\'') { q = c; sb += c; i += 1 }
+      else if (c == '[') { val e = matchDelim(s, i, '[', ']'); sb ++= s.substring(i, e); i = e }
+      else if (c == '{') {
+        // bare group — possibly the head of a UNION chain
+        flushChunk()
+        val branches = ListBuffer[String]()
+        var e = matchDelim(s, i, '{', '}')
+        branches += s.substring(i + 1, e - 1)
+        var j = skipWs(s, e)
+        var chained = false
+        while (kwAt(s, j, "UNION") > 0) {
+          chained = true
+          val k = skipWs(s, kwAt(s, j, "UNION"))
+          require(k < n && s(k) == '{',
+            s"UNION must be followed by a braced group: '${s.substring(k).trim.take(40)}'")
+          e = matchDelim(s, k, '{', '}')
+          branches += s.substring(k + 1, e - 1)
+          j = skipWs(s, e)
+        }
+        i = j
+        if (chained) unions += branches.toList.map(b => parseBody(b, prefixes, fresh))
+        else mergeBare(parseBody(branches.head, prefixes, fresh))
+      }
+      else if (kwAt(s, i, "OPTIONAL") > 0 && bracedAt(i + 8)) {
+        flushChunk()
+        val j = skipWs(s, i + 8)
+        val e = matchDelim(s, j, '{', '}')
+        val b = parseBody(s.substring(j + 1, e - 1), prefixes, fresh)
+        if (b != Body()) optionals += b // `OPTIONAL { }` (hirschfeld) is a no-op
+        i = e
+      }
+      else if (kwAt(s, i, "MINUS") > 0 && bracedAt(i + 5)) {
+        flushChunk()
+        val j = skipWs(s, i + 5)
+        val e = matchDelim(s, j, '{', '}')
+        minuses += minusOf(parseBody(s.substring(j + 1, e - 1), prefixes, fresh), "MINUS")
+        i = e
+      }
+      else if (kwAt(s, i, "FILTER") > 0) {
+        flushChunk()
+        var j = skipWs(s, i + 6)
+        if (kwAt(s, j, "NOT") > 0) {
+          j = skipWs(s, kwAt(s, j, "NOT"))
+          val je = kwAt(s, j, "EXISTS")
+          require(je > 0, s"unsupported FILTER: '${s.substring(i).trim.take(60)}'")
+          j = skipWs(s, je)
+          require(j < n && s(j) == '{', "FILTER NOT EXISTS needs a braced group")
+          val e = matchDelim(s, j, '{', '}')
+          minuses += minusOf(parseBody(s.substring(j + 1, e - 1), prefixes, fresh),
+            "FILTER NOT EXISTS")
+          i = e
+        } else {
+          require(j < n && s(j) == '(',
+            s"unsupported FILTER: '${s.substring(i).trim.take(60)}'")
+          val e = matchDelim(s, j, '(', ')')
+          filters += parseFilt(s.substring(j + 1, e - 1))
+          i = e
+        }
+      }
+      else if (kwAt(s, i, "SERVICE") > 0) {
+        flushChunk()
+        var j = skipWs(s, i + 7)
+        if (s.regionMatches(true, j, "wikibase:label", 0, 14)) {
+          j = skipWs(s, j + 14)
+          require(j < n && s(j) == '{', "SERVICE wikibase:label needs a braced block")
+          val e = matchDelim(s, j, '{', '}')
+          val langs = LangParamRe.findFirstMatchIn(s.substring(j + 1, e - 1))
+            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq("[AUTO_LANGUAGE]"))
+          labelLangs = labelLangs.orElse(Some(langs))
+          i = e
+        } else {
+          require(j < n && s(j) == '<',
+            "unsupported SERVICE form — only SERVICE wikibase:label and " +
+              "SERVICE <endpoint> {…} (compiled against a registered graph) are recognized")
+          val ie = s.indexOf('>', j)
+          require(ie > 0, "unterminated SERVICE endpoint IRI")
+          val ep = s.substring(j + 1, ie)
+          j = skipWs(s, ie + 1)
+          require(j < n && s(j) == '{', s"SERVICE <$ep> needs a braced body")
+          val e = matchDelim(s, j, '{', '}')
+          services += ServiceBlock(ep, parseBody(s.substring(j + 1, e - 1), prefixes, fresh))
+          i = e
+        }
+      }
+      else if (kwAt(s, i, "VALUES") > 0) {
+        flushChunk()
+        val j = skipWs(s, i + 6)
+        val bOpen = s.indexOf('{', j)
+        require(bOpen > j, "VALUES needs a braced data block")
+        val e = matchDelim(s, bOpen, '{', '}')
+        values += parseValues(s.substring(j, bOpen), s.substring(bOpen + 1, e - 1))
+        i = e
+      }
+      else if (kwAt(s, i, "BIND") > 0 && {
+        val j = skipWs(s, i + 4); j < n && s(j) == '(' }) {
+        flushChunk()
+        val j = skipWs(s, i + 4)
+        val e = matchDelim(s, j, '(', ')')
+        val inner = s.substring(j + 1, e - 1).trim
+        val (exprTxt, alias) = inner match {
+          case BindAsRe(ex, al) => (ex.trim, al)
+          case _ => throw new IllegalArgumentException(
+            s"unsupported BIND (need 'expr AS ?var'): '${inner.take(60)}'")
+        }
+        exprTxt match {
+          case IriConcatRe(pfx, v) =>
+            val iri = prefixes.getOrElse(pfx, throw new IllegalArgumentException(
+              s"BIND IRI prefix '$pfx:' has no PREFIX declaration in the query"))
+            iriBinds += ((alias, iri, v))
+          case IfEqRe(v1, v2, t, el) => ifBinds += IfBind(alias, v1, v2, t, el)
+          case ReplaceRe(v, p, r) => exprBinds += ExprBind(alias, SReplace(v, p, r))
+          case ConcatRe(args) => exprBinds += ExprBind(alias,
+            SConcat(quoteAwareSplit(args, ',').toSeq.map(parseConcatPart)))
+          case single if !single.exists(_.isWhitespace) => binds(alias) = term(single)
+          case other => throw new IllegalArgumentException(
+            s"unsupported BIND expression: '${other.take(60)}'")
+        }
+        i = e
+      }
+      else { sb += c; i += 1 }
+    }
+    flushChunk()
+    val pats = chunks.toList.flatMap(ch => triples(desugarBlank(ch, fresh)))
+    Body(pats, optionals.toList, unions.toList, filters.toList, minuses.toList,
+      binds.toMap, iriBinds.toList, exprBinds.toList, ifBinds.toList,
+      values.toList, services.toList, labelLangs)
+  }
+
+  /** Variables bound anywhere in a body subtree — the projection of a
+    * SERVICE sub-query (constant binds excluded: they surface as
+    * columns but are projected away by the sub-select). */
+  private def varsOfBody(b: Body): Seq[String] = {
+    def patVars(p: Pattern): Seq[String] =
+      (p.s match { case V(x) => Seq(x); case _ => Nil }) ++
+        (if (p.p.startsWith("?")) Seq(p.p.drop(1)) else Nil) ++
+        (p.o match { case V(x) => Seq(x); case _ => Nil })
+    (b.patterns.flatMap(patVars) ++
+      b.optionals.flatMap(varsOfBody) ++ b.unions.flatten.flatMap(varsOfBody) ++
+      b.iriBinds.map(_._1) ++ b.exprBinds.map(_.alias) ++ b.ifBinds.map(_.alias) ++
+      b.services.flatMap(s => varsOfBody(s.body))).distinct
+  }
+
+  /** Render a parsed pattern back to chunk text (bare-group merge). */
+  private def patText(p: Pattern): String = {
+    def t(x: Term): String = x match {
+      case V(v) => s"?$v"
+      case Num(v) => v.toString
+      case Lit(v) if v.startsWith(Pfx) => v.stripPrefix(Pfx)
+      case Lit(v) if v.startsWith(IriPfx) => s"<${v.stripPrefix(IriPfx)}>"
+      case Lit(v) => "\"" + v + "\""
+    }
+    s"${t(p.s)} ${p.p} ${t(p.o)}"
   }
 
   /** Sentinels marking a prefixed-name / `<IRI>` term for resolution
@@ -253,6 +550,8 @@ object Sparql {
   private def term(tok: String): Term = tok.trim match {
     case t if t.startsWith("?")                      => V(t.drop(1))
     case t if t.startsWith("\"") && t.endsWith("\"") => Lit(t.drop(1).dropRight(1))
+    case t if t.length >= 2 && t.startsWith("'") && t.endsWith("'") =>
+      Lit(t.drop(1).dropRight(1)) // SPARQL's single-quoted literal form
     case t if t.matches("-?\\d+")                    => Num(t.toLong)
     case t if PrefixedRe.matches(t)                  => Lit(Pfx + t) // resolved at compile
     case t if t.startsWith("<") && t.endsWith(">")   => Lit(IriPfx + t.drop(1).dropRight(1))
@@ -322,17 +621,34 @@ object Sparql {
   private def quoteAwareSplit(s: String, sep: Char): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val sb = new StringBuilder
-    var inQ = false; var inIri = false
+    var q = ' '; var inIri = false // q = the OPENING quote char (both
+    // styles — an apostrophe inside "…" stays content, and vice versa)
     s.foreach { c =>
-      if (c == '"' && !inIri) { inQ = !inQ; sb += c }
-      else if (c == '<' && !inQ) { inIri = true; sb += c }
-      else if (c == '>' && !inQ) { inIri = false; sb += c }
-      else if (c == sep && !inQ && !inIri) { out += sb.toString; sb.clear() }
+      if (q != ' ') { if (c == q) q = ' '; sb += c }
+      else if ((c == '"' || c == '\'') && !inIri) { q = c; sb += c }
+      else if (c == '<') { inIri = true; sb += c }
+      else if (c == '>') { inIri = false; sb += c }
+      else if (c == sep && !inIri) { out += sb.toString; sb.clear() }
       else sb += c
     }
     out += sb.toString
     out.toArray
   }
+
+  /** A predicate token glued to its object variable
+    * (`dbo:thumbnail?image`, companions_and_relations.rq's DBpedia
+    * OPTIONAL) splits into two tokens; a path `?` MODIFIER (`p?`,
+    * `p?/q`) does not match the tail shape and stays one token for
+    * the path parser's loud reject. */
+  private def splitGlued(tok: String): Seq[String] =
+    if (tok.isEmpty || "\"'?<".contains(tok.head)) Seq(tok)
+    else {
+      val qi = tok.indexOf('?')
+      if (qi > 0 && qi < tok.length - 1 &&
+        tok.substring(qi + 1).forall(ch => ch.isLetterOrDigit || ch == '_'))
+        Seq(tok.substring(0, qi), tok.substring(qi))
+      else Seq(tok)
+    }
 
   /** Statements: `.`-separated, each a triple with optional `;`
     * continuations reusing the subject (`?s p1 o1; p2 o2 .`); both
@@ -340,27 +656,19 @@ object Sparql {
     * path expression is one whitespace-free token in the predicate
     * slot, so tokenization is unchanged. */
   private def triples(body: String): Seq[Pattern] =
-    {
-      require(!body.contains(Marker),
-        "BIND/VALUES/SERVICE/MINUS inside a nested group (OPTIONAL / MINUS / " +
-          "NOT EXISTS) is unsupported (hoisting would change the group's " +
-          "semantics) — move it to the top level")
-    quoteAwareSplit(body.replace(SafeMarker, ' '), '.').map(_.trim).filter(_.nonEmpty).flatMap { stmt =>
-      require(!stmt.toUpperCase.contains("FILTER"),
-        s"FILTER inside a nested group (OPTIONAL / UNION branch) is unsupported: '$stmt'")
+    quoteAwareSplit(body, '.').map(_.trim).filter(_.nonEmpty).flatMap { stmt =>
       val groups = quoteAwareSplit(stmt, ';').map(_.trim).filter(_.nonEmpty)
-      val headToks = TokenRe.findAllIn(groups.head).toList
+      val headToks = TokenRe.findAllIn(groups.head).toList.flatMap(splitGlued)
       require(headToks.length == 3, s"unsupported pattern (need 's p o'): '${groups.head}'")
       val subj = term(headToks.head)
       val first = Pattern(subj, headToks(1), term(headToks(2)))
       val rest = groups.tail.map { g =>
-        val toks = TokenRe.findAllIn(g).toList
+        val toks = TokenRe.findAllIn(g).toList.flatMap(splitGlued)
         require(toks.length == 2, s"unsupported ';' continuation (need 'p o'): '$g'")
         Pattern(subj, toks.head, term(toks(1)))
       }
       first +: rest
     }.toSeq
-    }
 
   private def parseFilt(body: String): Filt = body.trim match {
     case LangRe(v, lang) => FLang(v, lang)
@@ -400,99 +708,12 @@ object Sparql {
             ProjAgg2Re.replaceAllIn(ProjAggRe.replaceAllIn(proj, " "), " "))
           .toList.map(_.group(1))
         require(aggs.nonEmpty || plainVars.nonEmpty, "empty SELECT projection")
-        var body = body0
-        // keyword-anchored groups first (SERVICE/BIND/VALUES/MINUS/
-        // NOT EXISTS/OPTIONAL) — once removed, a bare `{...} UNION
-        // {...}` chain can never accidentally capture another
-        // construct's braces as a branch. Each leaves a Marker byte so
-        // a keyword group that lived INSIDE a union branch is detected
-        // (branch-scoped semantics differ from the hoisted global
-        // form — reject loudly rather than silently compile the wrong
-        // query).
-        val marker = s"$Marker "
-        // SERVICE wikibase:label — record languages, drop the block;
-        // any OTHER SERVICE (endpoint federation) is rejected below
-        val labelLangs = ServiceLabelRe.findAllMatchIn(body).toList.headOption.map { m =>
-          LangParamRe.findFirstMatchIn(m.group(1))
-            .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-            .getOrElse(Seq("[AUTO_LANGUAGE]"))
-        }
-        body = ServiceLabelRe.replaceAllIn(body, marker)
-        // SERVICE <endpoint> {…} — the federation surface: extract the
-        // brace-balanced blocks here (bodies may nest OPTIONAL groups);
-        // each compiles against a registered ServiceGraph
-        val services0 = extractServices(body)
-        body = services0._1
-        val services = services0._2.map { case (ep, b) => parseServiceBody(ep, b) }
-        require(ServiceAnyRe.findFirstIn(body).isEmpty,
-          "unsupported SERVICE form — only SERVICE wikibase:label and " +
-            "SERVICE <endpoint> {…} (compiled against a registered graph) are recognized")
-        // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x) — the qid→IRI transform;
-        // the prefix resolves through the query's own PREFIX declarations
+        // prefixes resolve the IRI-CONCAT BINDs; everything else in
+        // the body is the recursive scanner's job
         val prefixes = PrefixDeclRe.findAllMatchIn(q0).map(m => m.group(1) -> m.group(2)).toMap
-        // BIND(IF(?a = ?b, "t", "f") AS ?x) — null-propagating verdict;
-        // safe to hoist (unbound in → unbound out), like the IRI BIND
-        val ifBinds = BindIfRe.findAllMatchIn(body).toList.map(m =>
-          IfBind(m.group(5), m.group(1), m.group(2), m.group(3), m.group(4)))
-        body = BindIfRe.replaceAllIn(body, s"$SafeMarker ")
-        val iriBinds = BindIriRe.findAllMatchIn(body).toList.map { m =>
-          val iri = prefixes.getOrElse(m.group(1), throw new IllegalArgumentException(
-            s"BIND IRI prefix '${m.group(1)}:' has no PREFIX declaration in the query"))
-          (m.group(3), iri, m.group(2))
-        }
-        body = BindIriRe.replaceAllIn(body, s"$SafeMarker ")
-        val binds = BindRe.findAllMatchIn(body).toList
-          .map(m => m.group(2) -> term(m.group(1))).toMap
-        body = BindRe.replaceAllIn(body, marker)
-        val values = ValuesRe.findAllMatchIn(body).toList.map { m =>
-          val vars = ProjVarRe.findAllMatchIn(m.group(1)).toList.map(_.group(1))
-          val rows: Seq[Seq[Term]] =
-            if (m.group(1).trim.startsWith("(")) {
-              val rs = ValuesRowRe.findAllMatchIn(m.group(2)).toList.map { r =>
-                val ts = TokenRe.findAllIn(r.group(1)).toList.map(term)
-                require(ts.length == vars.length,
-                  s"VALUES row arity ${ts.length} != ${vars.length} vars in '${r.matched}'")
-                ts
-              }
-              // loose tokens outside the row parens would be silently
-              // dropped data — reject
-              require(ValuesRowRe.replaceAllIn(m.group(2), " ").trim.isEmpty,
-                s"multi-var VALUES rows must be parenthesized: '${m.group(2).trim.take(60)}'")
-              rs
-            } else TokenRe.findAllIn(m.group(2)).toList.map(t => Seq(term(t)))
-          require(rows.nonEmpty, s"empty VALUES block for ?${vars.mkString(" ?")}")
-          ValuesBlock(vars, rows)
-        }
-        body = ValuesRe.replaceAllIn(body, marker)
-        def minusGroup(groupBody: String): Minus = {
-          val fs = FilterRe.findAllMatchIn(groupBody).toList.map(m => parseFilt(m.group(1)))
-          val rest = FilterRe.replaceAllIn(groupBody, " ")
-          val pats = if (rest.trim.isEmpty) Seq.empty[Pattern] else triples(rest)
-          require(pats.nonEmpty || fs.nonEmpty, "empty MINUS / FILTER NOT EXISTS group")
-          Minus(pats, fs)
-        }
-        val minuses =
-          NotExistsRe.findAllMatchIn(body).toList.map(m => minusGroup(m.group(1))) ++ {
-            body = NotExistsRe.replaceAllIn(body, marker)
-            MinusRe.findAllMatchIn(body).toList.map(m => minusGroup(m.group(1)))
-          }
-        body = MinusRe.replaceAllIn(body, marker)
-        val opts = OptionalRe.findAllMatchIn(body).toList.map(m => triples(m.group(1)))
-        body = OptionalRe.replaceAllIn(body, marker)
-        val unions = UnionRe.findAllMatchIn(body).toList.map { m =>
-          require(!m.matched.exists(c => c == Marker || c == SafeMarker),
-            "OPTIONAL/BIND/VALUES/MINUS/SERVICE inside a UNION branch is unsupported " +
-              "(branch-scoped semantics differ from the global form)")
-          UnionBranchRe.findAllMatchIn(m.matched).toList.map(b => triples(b.group(1)))
-        }
-        body = UnionRe.replaceAllIn(body, " ")
-        body = body.replace(Marker, ' ').replace(SafeMarker, ' ')
-        val filts = FilterRe.findAllMatchIn(body).toList.map(m => parseFilt(m.group(1)))
-        body = FilterRe.replaceAllIn(body, " ")
-        require(!body.contains("{") && !body.contains("}"),
-          s"unsupported nested group in: '${body.trim.take(80)}'")
-        val pats = triples(body)
-        require(pats.nonEmpty || unions.nonEmpty, "empty graph pattern")
+        val root = parseBody(body0, prefixes, new Fresh)
+        require(root.patterns.nonEmpty || root.unions.nonEmpty ||
+          root.services.nonEmpty || root.optionals.nonEmpty, "empty graph pattern")
         val groupVars = Option(group)
           .map(_.trim.split("\\s+").map(_.stripPrefix("?")).toSeq).getOrElse(Seq.empty)
         // aggregates ⟺ GROUP BY, and the group keys are exactly the
@@ -504,15 +725,11 @@ object Sparql {
         Query(
           select = plainVars, aggs = aggs,
           distinct = distinct != null,
-          patterns = pats, optionals = opts, unions = unions,
-          filters = filts, minuses = minuses,
-          binds = binds, iriBinds = iriBinds, values = values,
-          labelLangs = labelLangs,
+          body = root,
           groupBy = groupVars,
           orderBy = Option(order).map(ProjVarRe.findAllMatchIn(_).toList.map(_.group(1)).toSeq)
             .getOrElse(Seq.empty),
-          limit = Option(limit).map(_.toInt),
-          services = services, ifBinds = ifBinds)
+          limit = Option(limit).map(_.toInt))
       case _ => throw new IllegalArgumentException("unsupported query shape (need SELECT ... WHERE {...})")
     }
   }
@@ -593,21 +810,32 @@ object Sparql {
     def bareIri(v: String): String = v.stripPrefix(IriPfx)
 
     // BIND(const AS ?var) seeds substitute the constant into every
-    // pattern position of the var (the seed-item idiom of the
-    // reference's network-* queries)
-    val binds = q.binds.map { case (v, t) => v -> resolve(t) }
-    def subst(p: Pattern): Pattern = Pattern(
+    // pattern position of the var IN SCOPE (the seed-item idiom of
+    // the reference's network-* queries); a bind at a nested level
+    // scopes to its own subtree
+    def resolveBinds(b: Body, inherited: Map[String, Term]): Map[String, Term] =
+      inherited ++ b.binds.map { case (v, t) => v -> resolve(t) }
+    def substWith(p: Pattern, binds: Map[String, Term]): Pattern = Pattern(
       p.s match { case V(n) if binds.contains(n) => binds(n); case s => s },
       p.p,
       p.o match { case V(n) if binds.contains(n) => binds(n); case o => o })
-    val patterns = q.patterns.map(subst)
-    val optionals = q.optionals.map(_.map(subst))
-    val unions = q.unions.map(_.map(_.map(subst)))
-    val minuses = q.minuses.map(m => Minus(m.patterns.map(subst), m.filters))
 
     // type-conflict check: every binding site of a var must agree —
-    // including MINUS groups, whose shared vars become anti-join keys
-    val allGroups = ((patterns +: optionals) ++ unions.flatten) ++ minuses.map(_.patterns)
+    // across ALL nesting levels (MINUS groups' shared vars become
+    // anti-join keys; SERVICE bodies type against their own graph in
+    // their own recursive compile)
+    def collectGroups(b: Body, inh: Map[String, Term]): Seq[Seq[Pattern]] = {
+      val bs = resolveBinds(b, inh)
+      (b.patterns.map(substWith(_, bs)) +:
+        b.minuses.map(_.patterns.map(substWith(_, bs)))) ++
+        b.optionals.flatMap(collectGroups(_, bs)) ++
+        b.unions.flatten.flatMap(collectGroups(_, bs))
+    }
+    val allGroups = collectGroups(q.body, Map.empty)
+    def collectValues(b: Body): Seq[ValuesBlock] =
+      b.values ++ (b.optionals ++ b.unions.flatten).flatMap(collectValues)
+    def collectFilters(b: Body): Seq[Filt] =
+      b.filters ++ (b.optionals ++ b.unions.flatten).flatMap(collectFilters)
     def isVarPred(p: String): Boolean = p.startsWith("?")
     // VALUES blocks restricting a PREDICATE variable (the
     // db_all_person_relations.rq idiom: `VALUES ?rel { fgt:P84 … }
@@ -615,7 +843,7 @@ object Sparql {
     // by pattern compilation (p-isin pushdown), not the generic filter
     val predVars: Set[String] =
       allGroups.flatten.collect { case p0 if isVarPred(p0.p) => p0.p.drop(1) }.toSet
-    val predValues: Map[String, Seq[String]] = q.values.collect {
+    val predValues: Map[String, Seq[String]] = collectValues(q.body).collect {
       case ValuesBlock(Seq(v), rows) if predVars(v) =>
         v -> rows.map {
           case Seq(Lit(s)) if s.startsWith(Pfx) =>
@@ -664,10 +892,17 @@ object Sparql {
       varKinds.groupBy(_._1).map { case (v, ks) => v -> normKind(ks.head._2) }
 
     // FILTER(LANG(?v) = "…") → a lang-column restriction applied at
-    // every statements scan binding ?v as a literal object (see FLang)
-    val langOf: Map[String, String] = q.filters.collect {
+    // every statements scan binding ?v as a literal object (see
+    // FLang) — collected across nesting levels (a LANG filter inside
+    // the group that binds ?v restricts the same scans)
+    val flangs = collectFilters(q.body).collect {
       case FLang(v, l) => v -> (if (l == "[AUTO_LANGUAGE]") autoLang else l)
-    }.toMap
+    }.distinct
+    flangs.groupBy(_._1).foreach { case (v, ls) =>
+      require(ls.size == 1,
+        s"conflicting FILTER(LANG(?$v)) restrictions: ${ls.map(_._2).mkString(", ")}")
+    }
+    val langOf: Map[String, String] = flangs.toMap
     langOf.keys.foreach { v =>
       require(kindMap.get(v).contains("literal"),
         s"FILTER(LANG(?$v)) needs ?$v bound as a literal object by a pattern")
@@ -862,57 +1097,29 @@ object Sparql {
       acc
     }
 
-    var acc =
-      if (patterns.nonEmpty) bgp(patterns)
-      else { // UNION-only body: first chain is the root
-        require(unions.nonEmpty, "empty graph pattern"); null
-      }
-    unions.foreach { branches =>
-      val frames = branches.map(bgp)
-      val cols0 = frames.head.columns.toSeq.sorted
-      frames.tail.foreach(f => require(f.columns.toSeq.sorted == cols0,
-        s"UNION branches bind different variables: $cols0 vs ${f.columns.toSeq.sorted}"))
-      val u = frames.map(_.select(cols0.map(col): _*)).reduce(_ union _)
-      acc = if (acc == null) u else {
-        val keys = joinKeys(acc, u)
-        require(keys.nonEmpty, "UNION block not connected to the rest of the BGP")
-        acc.join(u, keys)
-      }
-    }
-    optionals.foreach { group =>
-      val f = bgp(group) // all-or-nothing: the group inner-joins first
-      val keys = joinKeys(acc, f)
-      require(keys.nonEmpty, s"OPTIONAL group not connected: $group")
-      acc = acc.join(f, keys, "left_outer")
-    }
-    // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x) — render the IRI text from
-    // the declared prefix + the bound literal (the qid→IRI transform)
-    q.iriBinds.foreach { case (nv, iri, sv) =>
-      require(acc.columns.contains(sv), s"BIND IRI source ?$sv not bound by the pattern")
-      acc = acc.withColumn(nv, concat(lit(iri), col(sv).cast("string")))
-    }
-    // SERVICE <endpoint> {…} — compile the body against the graph
-    // registered for the endpoint (its own store + dialect + typing)
-    // and join on the shared variables. Bindings-injected semantics
-    // (see [[ServiceBlock]]): required body patterns inner-join, each
-    // OPTIONAL group in the body left-joins per outer row.
-    q.services.foreach { sv =>
+    /** Join a SERVICE block into `acc0` against its registered graph.
+      * The body compiles RECURSIVELY through [[compileOn]] on the
+      * remote statements frame (its own dialect, typing dictionary,
+      * label service, nested groups); outer constant binds inject
+      * into the remote scans. A body with a required part joins once
+      * (inner — or left under `OPTIONAL { SERVICE … }`); an
+      * all-OPTIONAL body left-joins each group per outer row — the
+      * bindings-injected endpoint behavior (see [[ServiceBlock]]). */
+    def serviceJoin(sv: ServiceBlock, acc0: DataFrame, binds: Map[String, Term],
+        forceLeft: Boolean): DataFrame = {
+      var acc = acc0
+      require(acc != null, s"SERVICE <${sv.endpoint}> block needs a preceding pattern")
       val g = graphs.getOrElse(sv.endpoint, throw new IllegalArgumentException(
         s"SERVICE endpoint <${sv.endpoint}> is not registered — pass a ServiceGraph " +
           s"for it (registered: ${if (graphs.isEmpty) "none" else graphs.keys.map(e => s"<$e>").mkString(", ")})"))
-      def bodyFrame(pats0: Seq[Pattern], filts: Seq[Filt]): DataFrame = {
-        val ps = pats0.map(subst) // outer BIND-const seeds push into the remote scan
-        val vars = ps.flatMap(p =>
-          (p.s match { case V(n) => Seq(n); case _ => Nil }) ++
-            (if (isVarPred(p.p)) Seq(p.p.drop(1)) else Nil) ++
-            (p.o match { case V(n) => Seq(n); case _ => Nil })).distinct
+      def compileSub(b: Body): DataFrame = {
+        val vars = varsOfBody(b)
         require(vars.nonEmpty, s"SERVICE <${sv.endpoint}> pattern group binds no variables")
         val subQ = Query(select = vars, aggs = Nil, distinct = false,
-          patterns = ps, optionals = Nil, unions = Nil, filters = filts,
-          minuses = Nil, binds = Map.empty, iriBinds = Nil, values = Nil,
-          labelLangs = None, groupBy = Nil, orderBy = Nil, limit = None)
+          body = b.copy(binds = binds ++ b.binds),
+          groupBy = Nil, orderBy = Nil, limit = None)
         compileOn(spark, g.statements, subQ,
-          g.predAliases, g.entityAliases, autoLang, g.entityValued)
+          g.predAliases, g.entityAliases, autoLang, g.entityValued, graphs)
       }
       def joinIn(f: DataFrame, how: String): Unit = {
         val keys = joinKeys(acc, f)
@@ -927,16 +1134,211 @@ object Sparql {
         }
         acc = acc.join(f, keys, how)
       }
-      if (sv.patterns.nonEmpty) joinIn(bodyFrame(sv.patterns, sv.filters), "inner")
-      sv.optionals.foreach(grp => joinIn(bodyFrame(grp, Nil), "left_outer"))
+      val sb = sv.body
+      require(sb.patterns.nonEmpty || sb.unions.nonEmpty || sb.filters.isEmpty,
+        s"FILTER in an all-OPTIONAL SERVICE <${sv.endpoint}> body is unsupported")
+      if (sb.patterns.nonEmpty || sb.unions.nonEmpty)
+        joinIn(compileSub(sb), if (forceLeft) "left_outer" else "inner")
+      else {
+        require(sb.optionals.nonEmpty, s"empty SERVICE <${sv.endpoint}> body")
+        sb.optionals.foreach { grp =>
+          val gb = grp.copy(labelLangs = grp.labelLangs.orElse(sb.labelLangs))
+          require(gb.patterns.nonEmpty || gb.unions.nonEmpty,
+            s"OPTIONAL group inside SERVICE <${sv.endpoint}> binds no required pattern")
+          joinIn(compileSub(gb), "left_outer")
+        }
+      }
+      acc
     }
+
+    def exprDeps(e: SExpr): Seq[String] = e match {
+      case SLit(_) => Nil
+      case SStr(v) => Seq(v)
+      case SReplace(v, _, _) => Seq(v)
+      case SConcat(ps) => ps.flatMap(exprDeps)
+    }
+    def exprCol(e: SExpr): Column = e match {
+      case SLit(x) => lit(x)
+      case SStr(v) => col(v).cast("string")
+      // SPARQL REPLACE is regex-based and replaces every occurrence —
+      // so is Spark's regexp_replace (DuckDB needs the 'g' flag)
+      case SReplace(v, p, r) => regexp_replace(col(v).cast("string"), p, r)
+      case SConcat(ps) => concat(ps.map(exprCol): _*)
+    }
+
+    /** Compile one [[Body]] level into/onto `acc0` (null at the root
+      * before any pattern lands). Everything a level contains folds
+      * into the accumulator in the order the flat compiler used:
+      * required BGP, UNION chains, OPTIONAL groups, IRI binds, ready
+      * expression binds, SERVICE blocks, MINUS groups, VALUES,
+      * FILTERs, IF binds, deferred expression binds — then this
+      * level's constant binds surface as columns (a per-branch
+      * `BIND("factgrid" AS ?source)` tags only its branch; other
+      * branches null-pad in the union). */
+    def compileBody(b: Body, acc0: DataFrame, inh: Map[String, Term]): DataFrame = {
+      val binds = resolveBinds(b, inh)
+      def sub(p: Pattern): Pattern = substWith(p, binds)
+      var acc = acc0
+      def joinRequired(f: DataFrame, what: String): Unit = {
+        if (acc == null) acc = f
+        else {
+          val keys = joinKeys(acc, f)
+          require(keys.nonEmpty, s"$what not connected to the rest of the BGP")
+          acc = acc.join(f, keys)
+        }
+      }
+      if (b.patterns.nonEmpty) joinRequired(bgp(b.patterns.map(sub)), "pattern group")
+      b.unions.foreach { branches =>
+        // plain-BGP branches binding the SAME variables keep the
+        // union-then-join-once plan (the accumulator's sub-plan is
+        // evaluated once); richer branches compile per branch against
+        // the accumulator — checkpointed first, because Catalyst does
+        // not CSE a sub-plan fanned out under several join branches —
+        // and the branch results union BY NAME with null padding
+        // (SPARQL UNION does not require aligned variables).
+        val simpleFrames =
+          if (branches.forall(bb => bb.copy(patterns = Nil) == Body()))
+            Some(branches.map(bb => bgp(bb.patterns.map(sub))))
+          else None
+        val sameCols = simpleFrames.exists { fs =>
+          val c0 = fs.head.columns.toSeq.sorted
+          fs.tail.forall(_.columns.toSeq.sorted == c0)
+        }
+        if (sameCols) {
+          val fs = simpleFrames.get
+          val cols0 = fs.head.columns.toSeq.sorted
+          joinRequired(fs.map(_.select(cols0.map(col): _*)).reduce(_ union _), "UNION block")
+        } else {
+          val base = if (acc != null && branches.size > 1) acc.localCheckpoint(false) else acc
+          val frames = branches.map { bb =>
+            val f = compileBody(bb, base, binds)
+            require(f != null, "empty UNION branch")
+            f
+          }
+          acc = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+        }
+      }
+      b.optionals.foreach { ob =>
+        if (ob.patterns.isEmpty && ob.unions.isEmpty && ob.services.nonEmpty) {
+          // OPTIONAL { SERVICE <ep> {…} } — bindings-injected per-row
+          // left join (the companions/test wikidata-branch shape)
+          require(acc != null, "OPTIONAL SERVICE group needs a preceding pattern")
+          require(ob.copy(services = Nil, labelLangs = None) == Body(),
+            "unsupported constructs beside SERVICE inside an OPTIONAL group")
+          ob.services.foreach { sv => acc = serviceJoin(sv, acc, binds, forceLeft = true) }
+        } else {
+          require(ob.patterns.nonEmpty || ob.unions.nonEmpty,
+            "OPTIONAL group with no required pattern is unsupported " +
+              "(only OPTIONAL { SERVICE … } and empty groups)")
+          val f = compileBody(ob, null, binds)
+          require(acc != null, "OPTIONAL group needs a preceding pattern")
+          val keys = joinKeys(acc, f)
+          require(keys.nonEmpty, s"OPTIONAL group not connected: ${ob.patterns}")
+          acc = acc.join(f, keys, "left_outer")
+        }
+      }
+      // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x) — render the IRI text
+      // from the declared prefix + the bound literal (qid→IRI)
+      b.iriBinds.foreach { case (nv, iri, sv) =>
+        require(acc != null && acc.columns.contains(sv),
+          s"BIND IRI source ?$sv not bound by the pattern")
+        acc = acc.withColumn(nv, concat(lit(iri), col(sv).cast("string")))
+      }
+      // expression BINDs apply as soon as their inputs are bound —
+      // before the SERVICE joins for those feeding a remote pattern
+      // (get_factgrid_ids_from_wikidata.rq), after them for those
+      // reading service-bound vars (time-items.rq)
+      val (ready, deferred) = b.exprBinds.partition(e =>
+        acc != null && exprDeps(e.expr).forall(acc.columns.contains))
+      ready.foreach(e => acc = acc.withColumn(e.alias, exprCol(e.expr)))
+      b.services.foreach { sv => acc = serviceJoin(sv, acc, binds, forceLeft = false) }
+      // MINUS / FILTER NOT EXISTS — left-anti join on the shared
+      // vars; a pattern-less group is a pure row exclusion (NOT the
+      // filter)
+      b.minuses.foreach { case Minus(pats0, filts) =>
+        def cond(f: Filt): Column = f match {
+          case FRegex(v, re) => col(v).rlike(re)
+          case FEq(v, value) => col(v) === value
+          case FLang(v, _)   => throw new IllegalArgumentException(
+            s"FILTER(LANG(?$v)) inside a MINUS / NOT EXISTS group is unsupported")
+        }
+        val pats = pats0.map(sub)
+        if (pats.isEmpty) filts.foreach(f => acc = acc.filter(!coalesce(cond(f), lit(false))))
+        else {
+          var g = bgp(pats)
+          filts.foreach(f => g = g.filter(cond(f)))
+          val keys = joinKeys(acc, g)
+          require(keys.nonEmpty,
+            s"MINUS / FILTER NOT EXISTS group shares no variable with the outer pattern: $pats")
+          acc = acc.join(g.select(keys.map(col): _*), keys, "left_anti")
+        }
+      }
+      // VALUES — inline-data restriction; multi-var rows compile to
+      // an OR-of-ANDs predicate (query-sized, codegen'd, pushes
+      // down). Predicate-variable blocks are consumed by varPredFrame.
+      b.values.filterNot(vb => vb.vars.sizeIs == 1 && predValues.contains(vb.vars.head))
+        .foreach { case ValuesBlock(vars, rows0) =>
+          val rows = rows0.map(_.map(resolve))
+          vars.foreach(v => require(acc != null && acc.columns.contains(v),
+            s"VALUES variable ?$v not bound by the pattern"))
+          vars.indices.foreach { i =>
+            val kinds = rows.map(_(i) match {
+              case Num(_) => "n"; case Lit(_) => "l"
+              case V(x) => throw new IllegalArgumentException(s"variable ?$x inside VALUES block")
+            }).distinct
+            require(kinds.size == 1, s"VALUES ?${vars(i)} mixes entity and literal terms")
+          }
+          def litOf(t: Term): Column = t match {
+            case Num(x) => lit(x); case Lit(x) => lit(bareIri(x))
+            case V(x)   => throw new IllegalArgumentException(s"variable ?$x inside VALUES block")
+          }
+          acc = acc.filter(rows.map(r =>
+            vars.zip(r).map { case (v, t) => col(v) === litOf(t) }.reduce(_ && _)
+          ).reduce(_ || _))
+        }
+      b.filters.foreach {
+        case FRegex(v, re) => acc = acc.filter(col(v).rlike(re))
+        case FEq(v, value) => acc = acc.filter(col(v) === value)
+        case FLang(_, _)   => // consumed at the binding-site scans (langFilter)
+      }
+      // BIND(IF(?a = ?b, "t", "f") AS ?x): two-arm when with NO
+      // otherwise — an unbound side yields an unbound verdict, exactly
+      // SPARQL's IF-on-error semantics (and DuckDB's CASE twin)
+      b.ifBinds.foreach { case IfBind(alias, v1, v2, t, e) =>
+        Seq(v1, v2).foreach(v => require(acc != null && acc.columns.contains(v),
+          s"BIND IF compares ?$v, which is not bound by the pattern"))
+        acc = acc.withColumn(alias,
+          when(col(v1) === col(v2), t).when(col(v1) =!= col(v2), e))
+      }
+      deferred.foreach { e =>
+        exprDeps(e.expr).foreach(v => require(acc != null && acc.columns.contains(v),
+          s"BIND expression input ?$v is not bound by the pattern"))
+        acc = acc.withColumn(e.alias, exprCol(e.expr))
+      }
+      // this level's constant binds surface as columns of THIS frame
+      if (acc != null) b.binds.foreach { case (v, t0) =>
+        if (!acc.columns.contains(v)) acc = acc.withColumn(v, resolve(t0) match {
+          case Num(x) => lit(x); case Lit(x) => lit(bareIri(x))
+          case V(x)   => throw new IllegalArgumentException(s"BIND of variable ?$x unsupported")
+        })
+      }
+      acc
+    }
+
+    var acc = compileBody(q.body, null, Map.empty)
+    require(acc != null, "empty graph pattern")
     // SERVICE wikibase:label — synthesize each projected `?xLabel`
     // whose stem ?x is entity-bound: rank the label set by language
     // preference ([AUTO_LANGUAGE] resolves to `autoLang`), take the
     // top label per entity (one window — the kg_label_lang shape),
     // left-join, and fall back to the entity id rendered as a string
-    // (Wikibase shows "Q123" when no label exists in the chain).
-    q.labelLangs.foreach { langs0 =>
+    // (Wikibase shows "Q123" when no label exists in the chain). The
+    // block is honored wherever it appears in the tree (the reference
+    // files put it first inside WHERE; WDQS treats it globally).
+    def findLangs(b: Body): Option[Seq[String]] =
+      b.labelLangs.orElse(
+        (b.optionals ++ b.unions.flatten).flatMap(findLangs(_).toSeq).headOption)
+    findLangs(q.body).foreach { langs0 =>
       val langs = langs0.map(l => if (l == "[AUTO_LANGUAGE]") autoLang else l).distinct
       val want = (q.select ++ q.orderBy).distinct
         .filter(v => v.endsWith("Label") && v.length > "Label".length &&
@@ -970,69 +1372,6 @@ object Sparql {
     (q.select ++ q.orderBy).filter(v => v.endsWith("Label") && !acc.columns.contains(v))
       .foreach(v => throw new IllegalArgumentException(
         s"?$v is unbound — label-convention variables need a SERVICE wikibase:label block"))
-    // MINUS / FILTER NOT EXISTS — left-anti join on the shared vars;
-    // a pattern-less group is a pure row exclusion (NOT the filter)
-    minuses.foreach { case Minus(pats, filts) =>
-      def cond(f: Filt): Column = f match {
-        case FRegex(v, re) => col(v).rlike(re)
-        case FEq(v, value) => col(v) === value
-        case FLang(v, _)   => throw new IllegalArgumentException(
-          s"FILTER(LANG(?$v)) inside a MINUS / NOT EXISTS group is unsupported")
-      }
-      if (pats.isEmpty) filts.foreach(f => acc = acc.filter(!coalesce(cond(f), lit(false))))
-      else {
-        var g = bgp(pats)
-        filts.foreach(f => g = g.filter(cond(f)))
-        val keys = joinKeys(acc, g)
-        require(keys.nonEmpty,
-          s"MINUS / FILTER NOT EXISTS group shares no variable with the outer pattern: $pats")
-        acc = acc.join(g.select(keys.map(col): _*), keys, "left_anti")
-      }
-    }
-    // VALUES — inline-data restriction; multi-var rows compile to an
-    // OR-of-ANDs predicate (query-sized, codegen'd, pushes down).
-    // Predicate-variable blocks were consumed by varPredFrame above.
-    q.values.filterNot(b => b.vars.sizeIs == 1 && predValues.contains(b.vars.head))
-      .foreach { case ValuesBlock(vars, rows0) =>
-      val rows = rows0.map(_.map(resolve))
-      vars.foreach(v => require(acc.columns.contains(v),
-        s"VALUES variable ?$v not bound by the pattern"))
-      vars.indices.foreach { i =>
-        val kinds = rows.map(_(i) match {
-          case Num(_) => "n"; case Lit(_) => "l"
-          case V(x) => throw new IllegalArgumentException(s"variable ?$x inside VALUES block")
-        }).distinct
-        require(kinds.size == 1, s"VALUES ?${vars(i)} mixes entity and literal terms")
-      }
-      def litOf(t: Term): Column = t match {
-        case Num(x) => lit(x); case Lit(x) => lit(bareIri(x))
-        case V(x)   => throw new IllegalArgumentException(s"variable ?$x inside VALUES block")
-      }
-      acc = acc.filter(rows.map(r =>
-        vars.zip(r).map { case (v, t) => col(v) === litOf(t) }.reduce(_ && _)
-      ).reduce(_ || _))
-    }
-    q.filters.foreach {
-      case FRegex(v, re) => acc = acc.filter(col(v).rlike(re))
-      case FEq(v, value) => acc = acc.filter(col(v) === value)
-      case FLang(_, _)   => // consumed at the binding-site scans (langFilter)
-    }
-    // BIND(IF(?a = ?b, "t", "f") AS ?x): two-arm when with NO
-    // otherwise — an unbound side yields an unbound verdict, exactly
-    // SPARQL's IF-on-error semantics (and DuckDB's CASE twin)
-    q.ifBinds.foreach { case IfBind(alias, v1, v2, t, e) =>
-      Seq(v1, v2).foreach(v => require(acc.columns.contains(v),
-        s"BIND IF compares ?$v, which is not bound by the pattern"))
-      acc = acc.withColumn(alias,
-        when(col(v1) === col(v2), t).when(col(v1) =!= col(v2), e))
-    }
-    // a BIND-seeded var in the projection surfaces as its constant
-    q.select.filter(binds.contains).foreach { v =>
-      acc = acc.withColumn(v, binds(v) match {
-        case Num(x) => lit(x); case Lit(x) => lit(x)
-        case V(x)   => throw new IllegalArgumentException(s"BIND of variable ?$x unsupported")
-      })
-    }
     // SPARQL allows projecting (and ordering by) an UNBOUND variable —
     // a null column (lokale-from-factgrid.rq projects ?Notiz whose
     // binding OPTIONAL is commented out, and ?fg_itemDescription has
@@ -1519,8 +1858,7 @@ object Sparql {
       val prefixLines = text.linesIterator.filter(_.trim.toUpperCase.startsWith("PREFIX"))
         .mkString("", "\n", "\n")
       val probe = parse(prefixLines + "SELECT ?__probe WHERE " + body)
-      val vars = varsOf(probe.patterns ++ probe.optionals.flatten ++
-        probe.unions.flatten.flatten)
+      val vars = varsOfBody(probe.body)
       require(vars.nonEmpty, "ASK body binds no variables")
       val sel = compile(spark, dir,
         parse(prefixLines + "SELECT " + vars.map("?" + _).mkString(" ") + " WHERE " + body),
@@ -1658,7 +1996,87 @@ object Sparql {
   def kgSparqlDescribe(spark: SparkSession, dir: String): DataFrame =
     runDescribe(spark, dir, describeText)
 
+  /** Heterogeneous-UNION text — the companions_and_relations.rq WHERE
+    * shape: branches carrying their OWN OPTIONAL groups and
+    * per-branch source tags (`BIND("factgrid" AS ?source)`,
+    * companions_and_relations.rq:50), bound variable sets differing
+    * per branch. Branch results compile per branch against the
+    * (checkpointed) outer frame and union BY NAME — a branch that
+    * binds no ?l null-pads it, SPARQL's unaligned-UNION rule. */
+  val unionOptText: String =
+    """SELECT ?c ?n ?l ?src WHERE {
+      |  ?c in_nation ?n .
+      |  { ?c mktsegment "BUILDING" . OPTIONAL { ?c label ?l . } BIND("building" AS ?src) }
+      |  UNION
+      |  { ?c mktsegment "MACHINERY" . BIND("machinery" AS ?src) }
+      |}""".stripMargin
+
+  /** kg_sparql_union_opt — [[unionOptText]] under the hash gate. */
+  def kgSparqlUnionOpt(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, unionOptText)
+
+  /** Expression-BIND text — the get_gnd_from_fg_and_wd.rq /
+    * get_factgrid_ids_from_wikidata.rq transforms: CONCAT over
+    * single-quoted literals + STR(?v) (note the DOT-LESS triple
+    * termination before BIND — the SPARQL grammar allows it and the
+    * reference file uses it), and regex REPLACE. Both null-propagate
+    * (SPARQL error-to-unbound = Spark concat/regexp_replace = DuckDB
+    * || / regexp_replace-'g'). */
+  val exprBindText: String =
+    """SELECT ?c ?l ?tag ?qid WHERE {
+      |  ?c in_nation ?n .
+      |  ?c label ?l
+      |  BIND(CONCAT('"', STR(?l), '"') AS ?tag)
+      |  BIND(REPLACE(STR(?l), "Customer#0*", "C-") AS ?qid)
+      |  FILTER(LANG(?l) = "en")
+      |}""".stripMargin
+
+  /** kg_sparql_expr_bind — [[exprBindText]] under the hash gate. */
+  def kgSparqlExprBind(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, exprBindText)
+
+  /** Deep-SERVICE text — companions_hirschfeld.rq's remote shape: a
+    * required remote pattern, an OPTIONAL remote group carrying its
+    * own MINUS-regex exclusion (hirschfeld:48), and an empty
+    * `OPTIONAL { }` (hirschfeld's trailing wikidata block) compiled
+    * as a no-op. The whole body runs recursively on the registered
+    * remote graph, then joins the outer frame once. */
+  val serviceOptText: String =
+    """PREFIX wdt: <http://www.wikidata.org/prop/direct/>
+      |SELECT ?c ?n ?seg1 ?seg2 WHERE {
+      |  ?c in_nation ?n .
+      |  SERVICE <https://query.wikidata.org/sparql> {
+      |    ?c wdt:P131 ?seg1
+      |    OPTIONAL {
+      |      ?c wdt:P131 ?seg2
+      |      MINUS { FILTER(REGEX(STR(?seg2), "^LEGACY$")) }
+      |    }
+      |    OPTIONAL { }
+      |  }
+      |}""".stripMargin
+
+  /** kg_sparql_service_opt — [[serviceOptText]] under the hash gate. */
+  def kgSparqlServiceOpt(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, serviceOptText, graphs = serviceGraphs(spark, dir))
+
+  /** Blank-node text — time-items.rq's `[ a wikibase:BestRank ; … ]`
+    * statement-reification syntax, desugared to fresh-variable
+    * triples; `in_region?r` exercises the glued predicate?var token
+    * split (companions' `dbo:thumbnail?image`). */
+  val blankText: String =
+    """SELECT ?c ?r WHERE {
+      |  ?c in_nation [ in_region?r ] .
+      |}""".stripMargin
+
+  /** kg_sparql_blank — [[blankText]] under the hash gate. */
+  def kgSparqlBlank(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, blankText)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_sparql_union_opt"   -> (kgSparqlUnionOpt _),
+    "kg_sparql_expr_bind"   -> (kgSparqlExprBind _),
+    "kg_sparql_service_opt" -> (kgSparqlServiceOpt _),
+    "kg_sparql_blank"       -> (kgSparqlBlank _),
     "kg_sparql"             -> (kgSparql _),
     "kg_sparql_agg"         -> (kgSparqlAgg _),
     "kg_sparql_path"        -> (kgSparqlPath _),
@@ -1681,6 +2099,42 @@ object Sparql {
     "kg_sparql_path_neg"    -> (kgSparqlPathNeg _))
 
   val oracles: Map[String, String] = Map(
+    "kg_sparql_union_opt" ->
+      s"""$T,
+         |cn AS (SELECT s AS c, o_id AS n FROM triples WHERE p = 'in_nation'),
+         |lbl AS (SELECT s, o_val FROM triples WHERE p = 'label' AND o_val IS NOT NULL),
+         |u AS (
+         |  SELECT cn.c, cn.n, l.o_val AS l, 'building' AS src
+         |  FROM cn JOIN triples m ON m.s = cn.c AND m.p = 'mktsegment' AND m.o_val = 'BUILDING'
+         |  LEFT JOIN lbl l ON l.s = cn.c
+         |  UNION ALL
+         |  SELECT cn.c, cn.n, NULL, 'machinery'
+         |  FROM cn JOIN triples m ON m.s = cn.c AND m.p = 'mktsegment' AND m.o_val = 'MACHINERY')
+         |SELECT c, n, l, src FROM u""".stripMargin,
+    "kg_sparql_expr_bind" ->
+      s"""$T,
+         |cn AS (SELECT s FROM triples WHERE p = 'in_nation'),
+         |lbl AS (SELECT s, o_val AS l FROM triples
+         |        WHERE p = 'label' AND o_val IS NOT NULL AND lang = 'en')
+         |SELECT cn.s AS c, lbl.l AS l, '"' || lbl.l || '"' AS tag,
+         |  regexp_replace(lbl.l, 'Customer#0*', 'C-', 'g') AS qid
+         |FROM cn JOIN lbl ON lbl.s = cn.s""".stripMargin,
+    "kg_sparql_service_opt" ->
+      s"""$T,
+         |remote AS (SELECT * FROM $remoteSql r0),
+         |cn AS (SELECT s AS c, o_id AS n FROM triples WHERE p = 'in_nation'),
+         |req AS (SELECT cn.c, cn.n, r1.o_val AS seg1
+         |        FROM cn JOIN remote r1 ON r1.s = cn.c AND r1.o_val IS NOT NULL),
+         |opt AS (SELECT s, o_val AS seg2 FROM remote
+         |        WHERE o_val IS NOT NULL AND NOT regexp_matches(o_val, '^LEGACY$$'))
+         |SELECT req.c, req.n, req.seg1, o.seg2
+         |FROM req LEFT JOIN opt o ON o.s = req.c""".stripMargin,
+    "kg_sparql_blank" ->
+      s"""$T
+         |SELECT t.s AS c, r.o_id AS r
+         |FROM triples t
+         |JOIN triples r ON r.s = t.o_id AND r.p = 'in_region'
+         |WHERE t.p = 'in_nation'""".stripMargin,
     "kg_sparql" ->
       s"""$T
          |SELECT cn.s AS c, cn.o_id AS n, nl.o_val AS nname, cl.o_val AS cname

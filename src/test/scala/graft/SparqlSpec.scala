@@ -462,12 +462,44 @@ class SparqlSpec extends SparkSpec {
     // object with no typing site must still reject, not guess)
     fails("SELECT ?s ?o WHERE { ?s ?p ?o . }", "type-ambiguous")
     fails("SELECT ?x WHERE { ?x a ?y . }", "rdf:type shorthand")
-    fails("""SELECT ?c WHERE { { ?c mktsegment "BUILDING" . OPTIONAL { ?c label ?l . } } UNION { ?c mktsegment "MACHINERY" . } }""",
-      "inside a UNION branch")
-    // a BIND inside an OPTIONAL (lokale-from-factgrid.rq:43's shape)
-    // rejects with a CLEAR hoisting message, not an opaque token error
-    fails("""SELECT ?c ?x WHERE { ?c in_nation ?n . OPTIONAL { ?c label ?l . BIND("x" AS ?x) } }""",
-      "move it to the top level")
+    // nested SERVICE inside a MINUS body stays out (silently-wrong
+    // class: the anti-join would ignore the remote restriction)
+    fails("""SELECT ?c WHERE { ?c in_nation ?n . MINUS { ?c label ?l .
+            |  SERVICE <https://x/sparql> { ?c mktsegment ?v . } } }""".stripMargin,
+      "nested group")
+  }
+
+  test("recursive groups: OPTIONAL inside a UNION branch, scoped BIND inside OPTIONAL") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    import org.apache.spark.sql.functions.col
+    // BUILDING rows fan out per label (bag semantics — the en/de
+    // label dimension yields two rows for labeled-in-both customers)
+    val bld = st.filter(col("p") === "mktsegment" && col("o_val") === "BUILDING")
+      .select(col("s"))
+      .join(st.filter(col("p") === "label").select(col("s")), Seq("s"), "left_outer")
+      .count()
+    val mch = st.filter(col("p") === "mktsegment" && col("o_val") === "MACHINERY").count()
+    // branch 1 left-joins labels; branch 2 binds no ?l — its rows
+    // null-pad (SPARQL UNION does not require aligned variables)
+    val u = Sparql.run(spark, sf,
+      """SELECT ?c ?l WHERE {
+        |  { ?c mktsegment "BUILDING" . OPTIONAL { ?c label ?l . } }
+        |  UNION { ?c mktsegment "MACHINERY" . }
+        |}""".stripMargin).collect()
+    assert(u.length == bld + mch, s"${u.length} != $bld + $mch")
+    assert(u.count(_.isNullAt(1)) >= mch, "MACHINERY rows must null-pad ?l")
+    // a BIND inside an OPTIONAL scopes to the group: bound only on
+    // rows where the group matched (lokale-from-factgrid.rq:43 shape)
+    val b = Sparql.run(spark, sf,
+      """SELECT ?c ?l ?x WHERE {
+        |  ?c in_nation ?n . OPTIONAL { ?c label ?l . BIND("x" AS ?x) }
+        |}""".stripMargin).collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      if (r.isNullAt(1)) assert(r.isNullAt(2), "?x must stay unbound when the OPTIONAL missed")
+      else assert(r.getString(2) == "x", "?x must carry the branch tag when the OPTIONAL hit")
+    }
+    assert(b.exists(!_.isNullAt(2)), "some row should hit the OPTIONAL")
   }
 
   test("parser robustness: late-connecting BGPs, quoted separators, numeric literals") {
@@ -674,5 +706,47 @@ class SparqlSpec extends SparkSpec {
     assert(q.ifBinds == Seq(Sparql.IfBind(
       "is_same", "wd_value_from_fg", "wd_value_from_wd", "true", "false")))
     assert(q.iriBinds.size == 3) // the three qid→IRI transforms
+  }
+
+  test("recursive parse: the ENTIRE reference .rq corpus parses structurally (22/22)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get("/root/reference/data-publishing/factgrid/queries")
+    assume(Files.isDirectory(dir), "reference corpus not present")
+    val files = Files.list(dir).iterator().asScala.toList
+      .filter(_.getFileName.toString.endsWith(".rq"))
+    assert(files.size == 22)
+    files.foreach { f =>
+      val text = new String(Files.readAllBytes(f), "UTF-8")
+      Sparql.parse(text) // throws on a structural reject
+    }
+    // spot structure of the previously-rejecting classes:
+    def parseFile(name: String) = Sparql.parse(new String(
+      Files.readAllBytes(dir.resolve(name)), "UTF-8"))
+    // companions: 5-branch UNION whose branches carry OPTIONALs,
+    // SERVICEs, per-branch BINDs and the MINUS-regex exclusion
+    val comp = parseFile("companions_and_relations.rq")
+    assert(comp.unions.head.size == 5)
+    assert(comp.unions.head.exists(_.optionals.nonEmpty))
+    assert(comp.unions.head.exists(b =>
+      b.services.nonEmpty || b.optionals.exists(_.services.nonEmpty)))
+    assert(comp.unions.head.exists(_.binds.contains("source")) ||
+      comp.unions.head.exists(_.optionals.exists(_.binds.contains("source"))))
+    // hirschfeld: SERVICE body = required pattern + OPTIONAL group
+    // with a MINUS-filter + empty OPTIONAL dropped as a no-op
+    val hir = parseFile("companions_hirschfeld.rq")
+    val db = hir.services.find(_.endpoint.contains("dbpedia")).get
+    assert(db.body.patterns.nonEmpty && db.body.optionals.nonEmpty)
+    assert(db.body.optionals.head.minuses.nonEmpty,
+      "the Stefan-Zweig MINUS-regex exclusion must parse inside the OPTIONAL")
+    // time-items: blank-node property lists desugar to fresh _b vars
+    val ti = parseFile("time-items.rq")
+    val tiVars = ti.patterns.flatMap(p => Seq(p.s, p.o)).collect {
+      case Sparql.V(n) if n.startsWith("_b") => n }
+    assert(tiVars.distinct.size >= 2, s"expected fresh blank vars, got $tiVars")
+    // gnd: dot-less triple termination before BIND keeps the triple
+    val gnd = parseFile("get_gnd_from_fg_and_wd.rq")
+    assert(gnd.patterns.exists(p => p.o == Sparql.V("fg_gnd")),
+      "?fg_item fgt:P76 ?fg_gnd (no trailing dot) must survive as a pattern")
   }
 }
