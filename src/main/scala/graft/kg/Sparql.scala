@@ -512,6 +512,13 @@ object Sparql {
       values.toList, services.toList, labelLangs)
   }
 
+  private def exprDepsOf(e: SExpr): Seq[String] = e match {
+    case SLit(_) => Nil
+    case SStr(v) => Seq(v)
+    case SReplace(v, _, _) => Seq(v)
+    case SConcat(ps) => ps.flatMap(exprDepsOf)
+  }
+
   /** Variables bound anywhere in a body subtree — the projection of a
     * SERVICE sub-query (constant binds excluded: they surface as
     * columns but are projected away by the sub-select). */
@@ -888,8 +895,50 @@ object Sparql {
       require(norm.size == 1,
         s"type conflict: ?$v bound as both ${norm.sorted.mkString(" and ")} across patterns")
     }
+    // a variable's pattern-site count and non-pattern uses — the
+    // "unreferenced object" rule's inputs: an object var of a
+    // variable-predicate pattern with NO other site and NO use
+    // anywhere (network-01/03's trailing ?item2) binds nothing and
+    // keeps every scan row — each statement has exactly one object
+    // term, so multiplicity is exact without guessing a type
+    val siteCount: Map[String, Int] =
+      allGroups.flatten.flatMap(p0 =>
+        (p0.s match { case V(n) => Seq(n); case _ => Nil }) ++
+          (if (isVarPred(p0.p)) Seq(p0.p.drop(1)) else Nil) ++
+          (p0.o match { case V(n) => Seq(n); case _ => Nil }))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+    def filtVars(fs: Seq[Filt]): Seq[String] = fs.collect {
+      case FRegex(v, _) => v; case FEq(v, _) => v; case FLang(v, _) => v }
+    def collectUses(b: Body): Seq[String] =
+      b.values.flatMap(_.vars) ++ b.iriBinds.map(_._3) ++
+        b.exprBinds.flatMap(e => exprDepsOf(e.expr)) ++
+        b.ifBinds.flatMap(i => Seq(i.v1, i.v2)) ++
+        filtVars(b.filters) ++ b.minuses.flatMap(m => filtVars(m.filters)) ++
+        b.services.flatMap(sv => varsOfBody(sv.body)) ++
+        (b.optionals ++ b.unions.flatten).flatMap(collectUses)
+    val referenced: Set[String] =
+      (q.select ++ q.orderBy ++ q.groupBy ++ q.aggs.map(_.v) ++ collectUses(q.body) ++
+        q.select.filter(v => v.endsWith("Label") && v.length > "Label".length)
+          .map(v => v.dropRight(if (v.endsWith("AltLabel")) "AltLabel".length
+            else "Label".length))).toSet
+
+    // label-convention fallback typing: a projected `?xLabel` under a
+    // label-service block implies ?x is an ENTITY (Wikibase resolves
+    // labels for entities only) — the rule that lets network-00/01's
+    // `?item1 ?fgt2 ?item2` type its otherwise site-free ?item2.
+    // Site-derived kinds always win; this fills only the gaps.
+    def findLangsOf(b: Body): Option[Seq[String]] =
+      b.labelLangs.orElse(
+        (b.optionals ++ b.unions.flatten).flatMap(b2 => findLangsOf(b2).toSeq).headOption)
+    val labelStemKinds: Seq[(String, String)] =
+      if (findLangsOf(q.body).isEmpty) Nil
+      else q.select.filter(v => v.endsWith("Label") && v.length > "Label".length)
+        .map(v => v.dropRight(if (v.endsWith("AltLabel")) "AltLabel".length else "Label".length))
+        .filterNot(stem => varKinds.exists(_._1 == stem))
+        .map(_ -> "entity")
     val kindMap: Map[String, String] =
-      varKinds.groupBy(_._1).map { case (v, ks) => v -> normKind(ks.head._2) }
+      (varKinds.groupBy(_._1).map { case (v, ks) => v -> normKind(ks.head._2) }) ++
+        labelStemKinds
 
     // FILTER(LANG(?v) = "…") → a lang-column restriction applied at
     // every statements scan binding ?v as a literal object (see
@@ -990,6 +1039,9 @@ object Sparql {
           case Some("entity")  => df = df.filter(col("o_id").isNotNull); cols += col("o_id").as(n)
           case Some("literal") =>
             df = langFilter(df.filter(col("o_val").isNotNull), n); cols += col("o_val").as(n)
+          // site-free AND use-free object (network-01/03's trailing
+          // ?item2): bind nothing, keep every row — exact multiplicity
+          case _ if siteCount.getOrElse(n, 0) <= 1 && !referenced(n) => ()
           case _ => throw new IllegalArgumentException(
             s"object ?$n of variable-predicate pattern is type-ambiguous — " +
               s"bind ?$n in another pattern or restrict ?$pv with a VALUES block")
@@ -1024,6 +1076,7 @@ object Sparql {
         case V(n) => kindMap.get(n) match {
           case Some("entity")  => df = df.filter(col("o_id").isNotNull); cols += col("o_id").as(n)
           case Some("literal") => df = df.filter(col("o_val").isNotNull); cols += col("o_val").as(n)
+          case _ if siteCount.getOrElse(n, 0) <= 1 && !referenced(n) => ()
           case _ => throw new IllegalArgumentException(
             s"object ?$n of negated-property-set pattern is type-ambiguous — " +
               s"bind ?$n in another pattern")
@@ -1338,6 +1391,13 @@ object Sparql {
     def findLangs(b: Body): Option[Seq[String]] =
       b.labelLangs.orElse(
         (b.optionals ++ b.unions.flatten).flatMap(findLangs(_).toSeq).headOption)
+    // BIND-constant stems (net0's seeded ?root) fold to literals — an
+    // equi-key on a folded constant degenerates to a nested loop over
+    // the whole label frame. Those stems fetch their label as a 1-ROW
+    // aggregate broadcast instead (filter pushes under the window via
+    // its partition key; the build side is exactly one row).
+    val rootBindConsts: Map[String, Long] = q.body.binds.toSeq.collect {
+      case (v, t) => (v, resolve(t)) }.collect { case (v, Num(x)) => v -> x }.toMap
     findLangs(q.body).foreach { langs0 =>
       val langs = langs0.map(l => if (l == "[AUTO_LANGUAGE]") autoLang else l).distinct
       val want = (q.select ++ q.orderBy).distinct
@@ -1364,8 +1424,14 @@ object Sparql {
           val best = st.filter(col("p") === "label" && col("lang").isin(langs: _*))
             .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
             .select(col("s").as(key), col("o_val").as(lv))
-          acc = acc.join(best, col(stem) === col(key), "left_outer").drop(key)
-            .withColumn(lv, coalesce(col(lv), col(stem).cast("string")))
+          acc = rootBindConsts.get(stem) match {
+            case Some(id) =>
+              val one = best.filter(col(key) === id).agg(min(col(lv)).as(lv))
+              acc.crossJoin(broadcast(one))
+            case None =>
+              acc.join(best, col(stem) === col(key), "left_outer").drop(key)
+          }
+          acc = acc.withColumn(lv, coalesce(col(lv), col(stem).cast("string")))
         }
       }
     }
@@ -2072,7 +2138,62 @@ object Sparql {
   def kgSparqlBlank(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, blankText)
 
+  /** Read a reference query file VERBATIM (the lokale milestone's
+    * contract, now as oracle-gated entries: the bytes on disk are the
+    * query — nothing is edited, only dialect maps are supplied). */
+  def referenceText(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      s"/root/reference/data-publishing/factgrid/queries/$name")), "UTF-8")
+
+  /** Dialect maps for the network-* files: the class/root anchors and
+    * the two predicates the files name; everything else is variable
+    * predicates + the directClaim dictionary + the label service. */
+  private def networkAliases: (Map[String, String], Map[String, Long]) = (
+    Map("fgt:P131" -> "in_nation", "wikibase:directClaim" -> "directClaim"),
+    Map("fg:Q400012" -> (2L * Triples.NS + 3), // the anchor class → nation 3
+      "fg:Q225307" -> (3L * Triples.NS + 7))) // the root item → customer 7
+
+  /** kg_sparql_net0 — network-00-starting-point.rq BYTE-FOR-BYTE: a
+    * BIND-seeded root, two VARIABLE-PREDICATE hops (`?root ?fgt1
+    * ?item1 . ?item1 ?fgt2 ?item2`), the directClaim property
+    * dictionary resolving each hop's property entity, and five
+    * label-service columns. ?item2 has NO binding-site typing — the
+    * projected ?item2Label types it as an entity (the label-service
+    * convention rule). */
+  def kgSparqlNet0(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = networkAliases
+    compileOn(spark, directClaimStatements(spark, dir),
+      parse(referenceText("network-00-starting-point.rq")), pa, ea)
+  }
+
+  /** kg_sparql_net1 — network-01-remove-na.rq BYTE-FOR-BYTE: as net0
+    * but anchored by the `?root fgt:P131 fg:Q400012` class membership
+    * (every entity of the anchor class is a root). */
+  def kgSparqlNet1(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = networkAliases
+    compileOn(spark, directClaimStatements(spark, dir),
+      parse(referenceText("network-01-remove-na.rq")), pa, ea)
+  }
+
+  /** Unreferenced-object text — network-03's trailing `?item1 ?fgt2
+    * ?item2` where ?item2 is never projected, joined, filtered, or
+    * labeled: the scan binds nothing for it and keeps EVERY statement
+    * row (exact multiplicity — each statement has one object term),
+    * instead of guessing a type or rejecting. */
+  val predFreeText: String =
+    """SELECT ?s ?p WHERE {
+      |  ?s ?p ?o .
+      |  ?s in_nation ?n .
+      |}""".stripMargin
+
+  /** kg_sparql_pred_free — [[predFreeText]] under the hash gate. */
+  def kgSparqlPredFree(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, predFreeText)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_sparql_net0"        -> (kgSparqlNet0 _),
+    "kg_sparql_net1"        -> (kgSparqlNet1 _),
+    "kg_sparql_pred_free"   -> (kgSparqlPredFree _),
     "kg_sparql_union_opt"   -> (kgSparqlUnionOpt _),
     "kg_sparql_expr_bind"   -> (kgSparqlExprBind _),
     "kg_sparql_service_opt" -> (kgSparqlServiceOpt _),
@@ -2098,7 +2219,48 @@ object Sparql {
     "kg_sparql_path_plus"   -> (kgSparqlPathPlus _),
     "kg_sparql_path_neg"    -> (kgSparqlPathNeg _))
 
+  /** Shared oracle pieces for the network-* files: the directClaim
+    * dictionary as inline VALUES, the best-label window (de-preferred,
+    * en fallback, id-string default), and the entity-object hop scan. */
+  private def networkOracle(rootsCte: String): String =
+    s"""$T,
+       |props AS (SELECT * FROM (VALUES ${directClaimProps
+                    .map { case (id, p) => s"($id, '$p')" }.mkString(", ")}) AS v(prop, rel)),
+       |best AS (SELECT s, o_val FROM (
+       |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+       |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+       |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1),
+       |roots AS ($rootsCte),
+       |h AS (SELECT s, p, o_id FROM triples WHERE o_id IS NOT NULL),
+       |hops AS (
+       |  SELECT r.s AS root, t1.p AS p1, t1.o_id AS item1, t2.p AS p2, t2.o_id AS item2
+       |  FROM roots r JOIN h t1 ON t1.s = r.s JOIN h t2 ON t2.s = t1.o_id),
+       |j AS (SELECT hops.*, pr1.prop AS prop1, pr2.prop AS prop2
+       |  FROM hops JOIN props pr1 ON pr1.rel = hops.p1
+       |            JOIN props pr2 ON pr2.rel = hops.p2)
+       |SELECT j.root AS root,
+       |  COALESCE(bR.o_val, CAST(j.root AS VARCHAR)) AS "rootLabel",
+       |  COALESCE(b1p.o_val, CAST(j.prop1 AS VARCHAR)) AS "property1Label",
+       |  j.item1 AS item1,
+       |  COALESCE(b1.o_val, CAST(j.item1 AS VARCHAR)) AS "item1Label",
+       |  COALESCE(b2p.o_val, CAST(j.prop2 AS VARCHAR)) AS "property2Label",
+       |  j.item2 AS item2,
+       |  COALESCE(b2.o_val, CAST(j.item2 AS VARCHAR)) AS "item2Label"
+       |FROM j LEFT JOIN best bR ON bR.s = j.root
+       |LEFT JOIN best b1p ON b1p.s = j.prop1
+       |LEFT JOIN best b1  ON b1.s  = j.item1
+       |LEFT JOIN best b2p ON b2p.s = j.prop2
+       |LEFT JOIN best b2  ON b2.s  = j.item2""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "kg_sparql_net0" -> networkOracle(
+      s"SELECT ${3L * Triples.NS + 7} AS s"),
+    "kg_sparql_net1" -> networkOracle(
+      s"SELECT s FROM triples WHERE p = 'in_nation' AND o_id = ${2L * Triples.NS + 3}"),
+    "kg_sparql_pred_free" ->
+      s"""$T
+         |SELECT t.s AS s, t.p AS p FROM triples t
+         |JOIN triples cn ON cn.s = t.s AND cn.p = 'in_nation'""".stripMargin,
     "kg_sparql_union_opt" ->
       s"""$T,
          |cn AS (SELECT s AS c, o_id AS n FROM triples WHERE p = 'in_nation'),

@@ -19,7 +19,8 @@ class PlanHygieneSpec extends SparkSpec {
     "sketch_bloom"        -> "1-row filter-sizing stats (n_build, m_bits) broadcast",
     "kg_having"           -> "1-row aggregate-subquery threshold broadcast",
     "text_keywords"       -> "1-row corpus-size broadcast into the tf/df join",
-    "q_gap_fill"          -> "calendar axis × type dictionary (both bounded)")
+    "q_gap_fill"          -> "calendar axis × type dictionary (both bounded)",
+    "kg_sparql_net0"      -> "1-row label lookup broadcast for the BIND-constant root")
 
   test("no query plans a cartesian product; nested-loop joins only where bounded by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

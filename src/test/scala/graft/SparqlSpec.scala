@@ -749,4 +749,28 @@ class SparqlSpec extends SparkSpec {
     assert(gnd.patterns.exists(p => p.o == Sparql.V("fg_gnd")),
       "?fg_item fgt:P76 ?fg_gnd (no trailing dot) must survive as a pattern")
   }
+
+  test("verbatim network files + the typing rules that make them runnable") {
+    // network-00/01 run byte-for-byte through their dialect maps
+    val n0 = Sparql.kgSparqlNet0(spark, sf)
+    assert(n0.count() > 0)
+    assert(n0.columns.toSeq == Seq("root", "rootLabel", "property1Label",
+      "item1", "item1Label", "property2Label", "item2", "item2Label"))
+    assert(Sparql.kgSparqlNet1(spark, sf).count() > 0)
+    // the unreferenced-object rule keeps multiplicity without binding
+    val free = Sparql.run(spark, sf, Sparql.predFreeText)
+    val st = graft.kg.Triples.statements(spark, sf)
+    import org.apache.spark.sql.functions.col
+    val cn = st.filter(col("p") === "in_nation").select(col("s"))
+    assert(free.count() == st.select("s", "p", "o_id", "o_val").join(cn, "s").count())
+    // SAFETY boundary: the rule must NOT fire when the var is used —
+    // a projected or re-bound object still rejects as type-ambiguous
+    Seq(
+      "SELECT ?s ?o WHERE { ?s ?p ?o . ?s in_nation ?n . }",       // projected
+      "SELECT ?s WHERE { ?s ?p ?o . FILTER(REGEX(STR(?o), \"x\")) }" // filtered
+    ).foreach { q =>
+      val e = intercept[IllegalArgumentException](Sparql.run(spark, sf, q))
+      assert(e.getMessage.contains("type-ambiguous"), s"'$q' must stay a loud reject")
+    }
+  }
 }
