@@ -105,6 +105,18 @@ object Incremental {
     * shuffles — same merge layout, omitted here to keep the CDC
     * semantics the subject. */
   def qCdcMerge(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq").desc)
+    cdcLog(spark, dir).withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key"), col("name"), col("seq").as("last_seq"), col("op").as("last_op"))
+  }
+
+  /** The synthesized CDC op log `(key, name, seq, op)` q_cdc_merge
+    * applies — exposed so [[graft.streaming.Streaming.streamCdc]] can
+    * replay the SAME log through the streaming apply path (shared
+    * synthesis = the batch and stream gates check the same facts). */
+  def cdcLog(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val base = c.select(col("c_custkey").as("key"), col("c_name").as("name"),
       lit(0L).as("seq"), lit("I").as("op"))
@@ -120,12 +132,7 @@ object Incremental {
     val fresh = c.filter(col("c_custkey") % 11 === 0)
       .select((col("c_custkey") + lit(1000000000L)).as("key"),
         concat(lit("NEW "), col("c_name")).as("name"), lit(1L).as("seq"), lit("I").as("op"))
-    val log = base.union(updates).union(deletes).union(reinserts).union(fresh)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key")).orderBy(col("seq").desc)
-    log.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("op") =!= "D")
-      .select(col("key"), col("name"), col("seq").as("last_seq"), col("op").as("last_op"))
+    base.union(updates).union(deletes).union(reinserts).union(fresh)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -161,6 +161,8 @@ object Streaming {
     stagedSrc.clear()
     stagedDocs.values.forEach(p => deleteRecursively(java.nio.file.Paths.get(p)))
     stagedDocs.clear()
+    stagedCdcLog.values.forEach(p => deleteRecursively(java.nio.file.Paths.get(p)))
+    stagedCdcLog.clear()
   }
 
   /** Stage the events table + run one file-source replay: write events
@@ -366,6 +368,113 @@ object Streaming {
           (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
     }
 
+  final case class CdcEv(key: Long, name: String, seq: Long, op: String, ts: Timestamp)
+  /** Latest op seen for a key: (seq, op, name, max event µs seen). */
+  type CdcState = (Long, String, String, Long)
+  final case class CdcOut(key: Long, name: String, last_seq: Long, last_op: String)
+
+  /** Deterministic event-time base for the CDC log replay (epoch µs);
+    * op at sequence s carries ts = base + s hours. */
+  private val cdcBaseUs = 1700000000000000L
+  private val cdcSchema = Encoders.product[CdcEv].schema
+  private val stagedCdcLog = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cdcEmit(key: Long, evs: Iterator[CdcEv],
+      state: org.apache.spark.sql.streaming.GroupState[CdcState]): Iterator[CdcOut] = {
+    if (!evs.hasNext) { // event-time timeout: the log for this key is sealed
+      val out = state.getOption.toList.collect {
+        case (seq, op, name, _) if op != "D" => CdcOut(key, name, seq, op)
+      }
+      state.remove()
+      return out.iterator
+    }
+    var cur = state.getOption
+    var maxUs = cur.map(_._4).getOrElse(Long.MinValue)
+    evs.foreach { e =>
+      val t = evMicros(e.ts)
+      if (t > maxUs) maxUs = t
+      if (cur.isEmpty || e.seq > cur.get._1) cur = Some((e.seq, e.op, e.name, t))
+    }
+    cur = cur.map(c => (c._1, c._2, c._3, maxUs))
+    state.update(cur.get)
+    // seal once the watermark passes one hour past the newest op
+    // (ms-granular timeout: round UP so it never fires a µs early)
+    state.setTimeoutTimestamp(Math.floorDiv(maxUs + 3600000000L + 999L, 1000L))
+    Iterator.empty
+  }
+
+  /** stream_cdc — STREAMING change-data-capture apply: the op log
+    * (inserts/updates/deletes with sequence numbers — the SAME
+    * synthesized log [[graft.queries.Incremental.cdcLog]] that
+    * q_cdc_merge applies in batch) arrives as a stream, per-key state
+    * holds only the LATEST op (bounded: one tuple per live key, the
+    * Delta/Paimon changelog-compaction shape), and a key's final row
+    * emits when the event-time timeout seals it — deletes emit
+    * nothing. The oracle is q_cdc_merge's batch MERGE SQL verbatim:
+    * the streaming apply must land byte-identical to the batch
+    * snapshot or the hash gate fails. */
+  def streamCdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.shuffle.partitions", "8")
+    val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
+    val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
+    sinkReaper
+    val prev = sinkDirs.put("stream_cdc", java.nio.file.Paths.get(sinkDir))
+    if (prev != null) deleteRecursively(prev)
+    val staging = stagedCdcLog.computeIfAbsent(dir, _ => {
+      val st = Files.createTempDirectory("graft_stream_cdclog").toString
+      graft.queries.Incremental.cdcLog(sess, dir)
+        .withColumn("ts", timestamp_micros(lit(cdcBaseUs) + col("seq") * lit(3600000000L)))
+        .select("key", "name", "seq", "op", "ts")
+        .write.mode("append").parquet(st)
+      st
+    })
+    locally { // reap the previous replay's sentinels (fileReplay rule)
+      val listing = Files.list(java.nio.file.Paths.get(staging))
+      try listing.filter(_.getFileName.toString.startsWith("sentinel-"))
+        .forEach(p => Files.deleteIfExists(p))
+      finally listing.close()
+    }
+    def pushSentinel(offsetH: Int): Unit = {
+      import sess.implicits._
+      val df = Seq(CdcEv(-1L, "sentinel", -1L, "S",
+        new Timestamp(cdcBaseUs / 1000L + offsetH * 3600L * 1000L))).toDF()
+      val tmp = Files.createTempDirectory("graft_sentinel")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val partListing = Files.list(tmp)
+      val part = try partListing
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally partListing.close()
+      Files.move(part, java.nio.file.Paths.get(staging, s"sentinel-$offsetH.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(tmp)
+    }
+    import sess.implicits._
+    val source = sess.readStream.schema(cdcSchema).parquet(staging).as[CdcEv]
+    val q = source
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.key)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(cdcEmit _)(
+        Encoders.product[CdcState], Encoders.product[CdcOut])
+      .filter(col("key") >= 0)
+      .writeStream.format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      pushSentinel(100)
+      q.processAllAvailable()
+      pushSentinel(200)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      deleteRecursively(java.nio.file.Paths.get(checkpoint))
+    }
+    sess.read.parquet(sinkDir)
+  }
+
   /** stream_quality — the streaming INGEST gate of a training-data
     * pipeline: documents are quality-scored AS THEY ARRIVE, with the
     * batch gate's exact projection ([[graft.dedup.Text.qualityCols]] —
@@ -484,6 +593,7 @@ object Streaming {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cdc"         -> (streamCdc _),
     "stream_topk"        -> (streamTopk _),
     "stream_cardinality" -> (streamCardinality _),
     "stream_quality"     -> (streamQuality _),
@@ -547,6 +657,10 @@ object Streaming {
     },
     // the batch gate's oracle verbatim: stream and batch share the
     // projection CODE, so they share the oracle too — drift impossible
+    // the streaming CDC apply must land byte-identical to the batch
+    // MERGE snapshot — same oracle SQL, so drift between the two
+    // apply paths is a hash failure
+    "stream_cdc" -> graft.queries.Incremental.oracles("q_cdc_merge"),
     "stream_quality" -> graft.dedup.Text.oracles("text_quality"),
     "stream_sessionize" ->
       """WITH flagged AS (

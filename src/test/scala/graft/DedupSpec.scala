@@ -643,6 +643,23 @@ class DedupSpec extends SparkSpec {
       s"deduped total $dedupedTotal != original ${events.count()} — a copy survived")
   }
 
+  test("stream_cdc lands byte-identical to the batch MERGE snapshot") {
+    val streamed = Streaming.streamCdc(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getString(3))).toSet
+    val batch = graft.queries.Incremental.qCdcMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getString(3))).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      s"CDC apply paths diverge: ${streamed.size} streamed vs ${batch.size} batch")
+    // every CDC path is present in the result: updates won, deletes
+    // removed their key, delete-then-reinsert came back, fresh keys in
+    assert(streamed.exists(_._4 == "U"), "no surviving update")
+    assert(!streamed.exists(t => t._1 % 7 == 0 && t._1 % 14 != 0 && t._1 < 1000000000L),
+      "a deleted key survived")
+    assert(streamed.exists(t => t._1 % 14 == 0 && t._2.exists(_.startsWith("REINS"))),
+      "no delete-then-reinsert key")
+    assert(streamed.exists(_._1 >= 1000000000L), "no fresh insert")
+  }
+
   test("stream-stream join emits exactly the batch interval-join pairs") {
     val streamed = Streaming.streamStreamJoin(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
