@@ -169,10 +169,56 @@ object Multimodal {
         concat_ws("-", col("fmt"), col("shard_idx")).as("shard"))
   }
 
+  /** [[mmNearDup]] chunking: 64 payload bytes per chunk (= 128 hex
+    * chars), near-dup at ≥ 3 shared aligned chunks. */
+  private val ChunkBytes = 64
+  private val NearDupMinShared = 3
+
+  /** mm_near_dup — NEAR-duplicate binary payloads via aligned
+    * fixed-size chunk hashes (the block-dedup / CTPH-lite baseline):
+    * the payload splits into 64-byte chunks, each chunk hashes, and
+    * two payloads are near-dups when ≥ 3 chunks agree AT THE SAME
+    * OFFSET. Pair generation is BLOCKED on (chunk index, chunk hash)
+    * — only byte-identical aligned content ever meets in a bucket, so
+    * the join is the bounded LSH-band shape, never all-pairs (a
+    * pathological boilerplate chunk is the documented skew case —
+    * salt or drop top-frequency chunks like the MinHash bands).
+    * Chunks hash through the payload's HEX rendering (2 chars/byte,
+    * pure ASCII) so the DuckDB oracle replays byte-exactly for ANY
+    * payload — this engine's md5 sees exactly the bytes DuckDB's
+    * does, no charset assumption (unlike substring-on-text, which
+    * slices characters). Fixed-size chunking is shift-SENSITIVE: an
+    * insertion misaligns everything after it — the scale path for
+    * shift-resistant matching is content-defined chunk boundaries
+    * (FastCDC), which changes only the chunker, not this join. */
+  def mmNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val recs = records(spark, dir).toDF()
+      .select(col("doc_id"), hex(col("payload")).as("hexp"))
+      .withColumn("n_chunks",
+        expr(s"(length(hexp) + ${2 * ChunkBytes - 1}) div ${2 * ChunkBytes}"))
+      .filter(col("n_chunks") > 0)
+    val chunks = recs
+      .select(col("doc_id"), col("n_chunks"),
+        explode(sequence(lit(0L), col("n_chunks") - 1)).as("idx"), col("hexp"))
+      .select(col("doc_id"), col("n_chunks"), col("idx"),
+        md5(encode(expr(s"substring(hexp, CAST(idx * ${2 * ChunkBytes} + 1 AS INT), ${2 * ChunkBytes})"),
+          "UTF-8")).as("ch"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.idx") === col("b.idx") && col("a.ch") === col("b.ch") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_chunks").as("n_chunks_a"), col("b.n_chunks").as("n_chunks_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= NearDupMinShared)
+      .select(col("doc_a"), col("doc_b"), col("shared_chunks"),
+        col("n_chunks_a"), col("n_chunks_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_meta"        -> (mmMeta _),
     "mm_framesample" -> (mmFrameSample _),
     "mm_dedup"       -> (mmDedup _),
+    "mm_near_dup"    -> (mmNearDup _),
     "mm_shard"       -> (mmShard _))
 
   /** Both multimodal stages replay exactly in DuckDB. mm_meta's stub
@@ -194,6 +240,24 @@ object Multimodal {
          |  $p60 AS checksum
          |FROM documents""".stripMargin
     },
+    // the hex rendering is byte-exact on both engines (DuckDB hex()
+    // and Spark hex() both emit uppercase, 2 chars per byte), so the
+    // aligned-chunk hashes agree for ANY payload bytes
+    "mm_near_dup" ->
+      s"""WITH r AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+         |n AS (SELECT doc_id, hx,
+         |        (length(hx) + ${2 * 64 - 1}) // ${2 * 64} AS n_chunks FROM r
+         |      WHERE length(hx) > 0),
+         |c AS (
+         |  SELECT doc_id, n_chunks, i AS idx, md5(substring(hx, i*${2 * 64}+1, ${2 * 64})) AS ch
+         |  FROM n, generate_series(0, 100000) AS g(i)
+         |  WHERE i < n_chunks)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*) AS shared_chunks,
+         |  min(a.n_chunks) AS n_chunks_a, min(b.n_chunks) AS n_chunks_b
+         |FROM c a JOIN c b ON a.idx = b.idx AND a.ch = b.ch AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 3""".stripMargin,
     // md5 of the payload bytes = md5 of the UTF-8 text (the payload IS
     // the UTF-8 encoding — same bytes, no charset assumption)
     "mm_dedup" ->

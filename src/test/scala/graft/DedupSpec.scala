@@ -504,6 +504,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("mm_near_dup: pairs recompute from an in-memory chunk scan; bounds hold") {
+    val got = graft.dedup.Multimodal.mmNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "the planted near-dups must share aligned chunks")
+    got.foreach { case (a, b, shared, na, nb) =>
+      assert(a < b, "canonical pair order")
+      assert(shared >= 3 && shared <= math.min(na, nb),
+        s"shared $shared outside [3, min($na,$nb)] for ($a,$b)")
+    }
+    // in-memory replay: chunk every payload, count aligned matches
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8")).toMap
+    def chunks(p: Array[Byte]): Seq[Seq[Byte]] = p.grouped(64).map(_.toSeq).toSeq
+    val expected = (for {
+      (a, pa) <- docs.toSeq; (b, pb) <- docs.toSeq if a < b
+      ca = chunks(pa); cb = chunks(pb)
+      shared = ca.zip(cb).count { case (x, y) => x == y }
+      if shared >= 3
+    } yield (a, b, shared.toLong, ca.size.toLong, cb.size.toLong)).toSet
+    assert(got.toSet == expected,
+      s"pairs diverge from the in-memory replay: ${got.length} vs ${expected.size}")
+  }
+
   test("mm_meta: deterministic features, one row per doc, stub recomputes in-JVM") {
     val a = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
     val b = Multimodal.mmMeta(spark, sf).orderBy("doc_id").collect()
