@@ -135,11 +135,48 @@ object Incremental {
     base.union(updates).union(deletes).union(reinserts).union(fresh)
   }
 
+  /** q_scd2 — slowly-changing-dimension TYPE-2 history from the same
+    * CDC log: every non-delete op opens a version row valid
+    * [its seq, the next op's seq); the key's last op leaves an OPEN
+    * version (valid_to null, is_current) unless that last op is a
+    * delete — then the delete CLOSES the previous version and emits
+    * nothing itself. One shuffle on the key for the lead() window —
+    * the standard warehouse history-table build; at scale the
+    * dimension lives bucketed on the key so only the op log shuffles
+    * (the q_cdc_merge note). */
+  def qScd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq"))
+    cdcLog(spark, dir)
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") =!= "D")
+      .select(col("key"), col("name"), col("seq").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2"            -> (qScd2 _),
     "q_incremental_agg" -> (qIncrementalAgg _),
     "q_cdc_merge"       -> (qCdcMerge _))
 
   val oracles: Map[String, String] = Map(
+    "q_scd2" ->
+      """WITH log AS (
+        |  SELECT c_custkey AS key, c_name AS name, 0 AS seq, 'I' AS op FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'UPD1 ' || c_name, 1, 'U' FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(NULL AS VARCHAR), 2, 'D' FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'REINS ' || c_name, 3, 'I' FROM customer WHERE c_custkey % 14 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000000, 'NEW ' || c_name, 1, 'I' FROM customer WHERE c_custkey % 11 = 0),
+        |v AS (SELECT key, name, seq, op,
+        |        lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |      FROM log)
+        |SELECT key, name, CAST(seq AS BIGINT) AS valid_from,
+        |  CAST(valid_to AS BIGINT) AS valid_to, valid_to IS NULL AS is_current
+        |FROM v WHERE op <> 'D'""".stripMargin,
     "q_cdc_merge" ->
       """WITH log AS (
         |  SELECT c_custkey AS key, c_name AS name, 0 AS seq, 'I' AS op FROM customer

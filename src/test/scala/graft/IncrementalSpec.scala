@@ -45,4 +45,31 @@ class IncrementalSpec extends SparkSpec {
         assert(out(k + 1000000000L)._1.startsWith("NEW "), s"fresh key $k")
     }
   }
+
+  test("q_scd2: versions tile each key's history; current row = the CDC snapshot") {
+    val hist = Incremental.qScd2(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(hist.nonEmpty)
+    hist.groupBy(_._1).foreach { case (k, vs) =>
+      // versions are disjoint and ordered: each closes where the next
+      // op (possibly a delete) begins; at most one is current
+      val sorted = vs.sortBy(_._3)
+      sorted.sliding(2).foreach {
+        case Array((_, _, _, Some(to), _), (_, _, from, _, _)) =>
+          assert(to <= from, s"key $k overlapping versions")
+        case _ =>
+      }
+      assert(vs.count(_._5) <= 1, s"key $k has two current versions")
+      vs.foreach { case (_, _, from, to, cur) =>
+        assert(cur == to.isEmpty)
+        to.foreach(t => assert(t > from))
+      }
+    }
+    // the current (open) versions are EXACTLY the q_cdc_merge snapshot
+    val current = hist.filter(_._5).map(v => (v._1, v._2, v._3)).toSet
+    val snap = Incremental.qCdcMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(current == snap, s"${current.size} current vs ${snap.size} snapshot")
+  }
 }
