@@ -294,7 +294,36 @@ object Text {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("g"))
       .limit(20)
 
+  /** text_rarity — corpus-rarity scoring per document: the unigram
+    * LM's sufficient statistics kept INTEGER-exact (no logs, no float
+    * sums — the BM25/idf determinism lesson). Pass 1 builds the
+    * corpus term-frequency census (map-side-combinable groupBy); pass
+    * 2 joins each doc's tokens back to it and aggregates
+    * `sum(freq)` / `min(freq)` / hapax count as exact longs, with
+    * mean_freq the ONE final IEEE division (deterministic: a single
+    * op on identical operands). Low mean/min frequency and a high
+    * hapax share = rare/OOV-heavy text — the rarity half of a
+    * perplexity filter, with the census as the "model". At 100 TB the
+    * census is vocabulary-sized and serves broadcast-or-bucketed; the
+    * token join shuffles once on the term. */
+  def textRarity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val census = toks.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    toks.join(census, "term")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("freq")).as("sum_freq"),
+        min(col("freq")).as("min_freq"),
+        sum(when(col("freq") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_freq"), col("min_freq"),
+        col("n_hapax"),
+        (col("sum_freq").cast("double") / col("n_tokens").cast("double")).as("mean_freq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_rarity"      -> (textRarity _),
     "text_langid"      -> (textLangid _),
     "text_quality"     -> (textQuality _),
     "text_tokens"      -> (textTokens _),
@@ -365,6 +394,20 @@ object Text {
            |  regexp_replace(text, '$scrubPat', '<PII>', 'g') AS clean_text,
            |  CAST(len(regexp_extract_all(text, '$scrubPat')) AS INTEGER) AS n_redactions
            |FROM documents""".stripMargin,
+      "text_rarity" ->
+        """WITH toks AS (
+          |  SELECT doc_id, u.term FROM documents,
+          |    unnest(string_split(text, ' ')) AS u(term)
+          |  WHERE length(u.term) > 0),
+          |census AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1)
+          |SELECT t.doc_id,
+          |  count(*) AS n_tokens,
+          |  sum(c.freq) AS sum_freq,
+          |  min(c.freq) AS min_freq,
+          |  sum(CASE WHEN c.freq = 1 THEN 1 ELSE 0 END) AS n_hapax,
+          |  CAST(sum(c.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
+          |FROM toks t JOIN census c ON c.term = t.term
+          |GROUP BY 1""".stripMargin,
       "text_langid" ->
         s"""WITH t0 AS (SELECT doc_id, lang AS declared_lang, string_split(text,' ') AS t FROM documents),
            |s AS (SELECT doc_id, declared_lang,

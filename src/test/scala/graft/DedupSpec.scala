@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(got.exists(_.getAs[Long]("n_flagged") > 0))
   }
 
+  test("text_rarity equals an in-memory census replay") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    val census = docs.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val expected = docs.map { case (id, toks) =>
+      val fs = toks.map(census)
+      id -> (toks.size.toLong, fs.sum, fs.min, fs.count(_ == 1L).toLong)
+    }
+    val got = graft.dedup.Text.textRarity(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val (n, sum, min, hapax) = expected(r.getLong(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == ((n, sum, min, hapax)),
+        s"doc ${r.getLong(0)} stats diverge")
+      assert(r.getDouble(5) == sum.toDouble / n.toDouble)
+    }
+  }
+
   test("text_span_mask equals an in-memory mask replay; accounting consistent") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
