@@ -189,7 +189,9 @@ object Sparql {
       select: Seq[String], aggs: Seq[Agg], distinct: Boolean,
       body: Body,
       groupBy: Seq[String],
-      orderBy: Seq[String], limit: Option[Int]) {
+      orderKeys: Seq[(String, Boolean)], // (var, descending)
+      limit: Option[Int], offset: Option[Int] = None) {
+    def orderBy: Seq[String] = orderKeys.map(_._1)
     def patterns: Seq[Pattern] = body.patterns
     def optionals: Seq[Body] = body.optionals
     def unions: Seq[Seq[Body]] = body.unions
@@ -206,7 +208,10 @@ object Sparql {
 
   // ---- parser --------------------------------------------------------
 
-  private val SelectRe = """(?is).*?SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*(GROUP\s+BY\s+((?:\?\w+\s*)+))?\s*(ORDER\s+BY\s+((?:\(?\s*\?\w+\s*\)?\s*)+))?\s*(LIMIT\s+(\d+))?\s*""".r
+  private val SelectRe = """(?is).*?SELECT\s+(DISTINCT\s+)?(.*?)\s*WHERE\s*\{(.*)\}\s*(GROUP\s+BY\s+((?:\?\w+\s*)+))?\s*(ORDER\s+BY\s+((?:(?:ASC|DESC)?\s*\(?\s*\?\w+\s*\)?\s*)+))?\s*(LIMIT\s+(\d+))?\s*(OFFSET\s+(\d+))?\s*""".r
+  /** One ORDER BY key: optional ASC/DESC wrapper around a (possibly
+    * parenthesized) variable — `?v`, `(?v)`, `DESC(?v)`, `ASC (?v)`. */
+  private val OrderKeyRe = """(?i)(ASC|DESC)?\s*\(?\s*\?(\w+)\s*\)?""".r
   private val ProjVarRe = """\?(\w+)""".r
   private val ProjAggRe = """(?i)\(\s*COUNT\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*\)\s+AS\s+\?(\w+)\s*\)""".r
   private val ProjAgg2Re = """(?i)\(\s*(SAMPLE|MIN|MAX|GROUP_CONCAT)\s*\(\s*(DISTINCT\s+)?\?(\w+)\s*(?:;\s*separator\s*=\s*"([^"]*)"\s*)?\)\s+AS\s+\?(\w+)\s*\)""".r
@@ -704,7 +709,7 @@ object Sparql {
       .filterNot(_.trim.toUpperCase.startsWith("PREFIX"))
       .mkString("\n")
     q match {
-      case SelectRe(distinct, proj, body0, _, group, _, order, _, limit) =>
+      case SelectRe(distinct, proj, body0, _, group, _, order, _, limit, _, offset) =>
         // the projection is plain vars and aggregates, in order
         val aggs = ProjAggRe.findAllMatchIn(proj).toList
           .map(m => Agg(m.group(1) != null, m.group(2), m.group(3))) ++
@@ -734,9 +739,11 @@ object Sparql {
           distinct = distinct != null,
           body = root,
           groupBy = groupVars,
-          orderBy = Option(order).map(ProjVarRe.findAllMatchIn(_).toList.map(_.group(1)).toSeq)
+          orderKeys = Option(order).map(OrderKeyRe.findAllMatchIn(_).toList.map(m =>
+              (m.group(2), m.group(1) != null && m.group(1).equalsIgnoreCase("DESC"))).toSeq)
             .getOrElse(Seq.empty),
-          limit = Option(limit).map(_.toInt))
+          limit = Option(limit).map(_.toInt),
+          offset = Option(offset).map(_.toInt))
       case _ => throw new IllegalArgumentException("unsupported query shape (need SELECT ... WHERE {...})")
     }
   }
@@ -1170,7 +1177,7 @@ object Sparql {
         require(vars.nonEmpty, s"SERVICE <${sv.endpoint}> pattern group binds no variables")
         val subQ = Query(select = vars, aggs = Nil, distinct = false,
           body = b.copy(binds = binds ++ b.binds),
-          groupBy = Nil, orderBy = Nil, limit = None)
+          groupBy = Nil, orderKeys = Nil, limit = None)
         compileOn(spark, g.statements, subQ,
           g.predAliases, g.entityAliases, autoLang, g.entityValued, graphs)
       }
@@ -1403,6 +1410,23 @@ object Sparql {
       val want = (q.select ++ q.orderBy).distinct
         .filter(v => v.endsWith("Label") && v.length > "Label".length &&
           !acc.columns.contains(v))
+      // the language-ranked best-label relation, built ONCE per query:
+      // Catalyst does not CSE a sub-plan referenced from several join
+      // branches (the kg_describe lesson), so a query with N label
+      // vars would otherwise run the ranking window N times —
+      // checkpoint it when more than one join will read it (net1's
+      // five label vars: 5 windows → 1). At scale this is the
+      // precomputed co-bucketed label layout (Scale.writeBucketed).
+      lazy val bestAll: DataFrame = {
+        val rank = langs.zipWithIndex.foldLeft(lit(langs.size): Column) {
+          case (e, (l, i)) => when(col("lang") === l, i).otherwise(e)
+        }
+        val w = Window.partitionBy(col("s")).orderBy(rank, col("lang"))
+        val b = st.filter(col("p") === "label" && col("lang").isin(langs: _*))
+          .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+          .select(col("s").as("_lbl_s"), col("o_val").as("_lbl_v"))
+        if (want.count(v => !v.endsWith("AltLabel")) > 1) b.localCheckpoint(false) else b
+      }
       want.foreach { lv =>
         val alt = lv.endsWith("AltLabel")
         val stem = lv.dropRight(if (alt) "AltLabel".length else "Label".length)
@@ -1416,14 +1440,8 @@ object Sparql {
           // an entity without aliases
           acc = acc.withColumn(lv, lit(null).cast("string"))
         } else {
-          val rank = langs.zipWithIndex.foldLeft(lit(langs.size): Column) {
-            case (e, (l, i)) => when(col("lang") === l, i).otherwise(e)
-          }
-          val w = Window.partitionBy(col("s")).orderBy(rank, col("lang"))
           val key = s"_lbl_key_$stem"
-          val best = st.filter(col("p") === "label" && col("lang").isin(langs: _*))
-            .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
-            .select(col("s").as(key), col("o_val").as(lv))
+          val best = bestAll.select(col("_lbl_s").as(key), col("_lbl_v").as(lv))
           acc = rootBindConsts.get(stem) match {
             case Some(id) =>
               val one = best.filter(col(key) === id).agg(min(col(lv)).as(lv))
@@ -1467,7 +1485,10 @@ object Sparql {
         .select((q.select ++ q.aggs.map(_.alias)).map(col): _*)
     } else acc = acc.select(q.select.map(col): _*)
     if (q.distinct) acc = acc.distinct()
-    if (q.orderBy.nonEmpty) acc = acc.orderBy(q.orderBy.map(col): _*)
+    if (q.orderKeys.nonEmpty)
+      acc = acc.orderBy(q.orderKeys.map { case (v, desc) =>
+        if (desc) col(v).desc else col(v).asc }: _*)
+    q.offset.foreach(n => acc = acc.offset(n)) // SPARQL: OFFSET before LIMIT
     q.limit.foreach(n => acc = acc.limit(n))
     acc
   }
@@ -2190,10 +2211,24 @@ object Sparql {
   def kgSparqlPredFree(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, predFreeText)
 
+  /** Solution-modifier text — `ORDER BY DESC(?v) ?tiebreak LIMIT n
+    * OFFSET m` (OFFSET applies first, per spec). The unique ?c key in
+    * the sort makes the selected WINDOW deterministic, so the page is
+    * hash-checkable. */
+  val orderText: String =
+    """SELECT ?c ?n WHERE {
+      |  ?c in_nation ?n .
+      |} ORDER BY DESC(?n) ?c LIMIT 20 OFFSET 5""".stripMargin
+
+  /** kg_sparql_order — [[orderText]] under the hash gate. */
+  def kgSparqlOrder(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, orderText)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_sparql_net0"        -> (kgSparqlNet0 _),
     "kg_sparql_net1"        -> (kgSparqlNet1 _),
     "kg_sparql_pred_free"   -> (kgSparqlPredFree _),
+    "kg_sparql_order"       -> (kgSparqlOrder _),
     "kg_sparql_union_opt"   -> (kgSparqlUnionOpt _),
     "kg_sparql_expr_bind"   -> (kgSparqlExprBind _),
     "kg_sparql_service_opt" -> (kgSparqlServiceOpt _),
@@ -2261,6 +2296,10 @@ object Sparql {
       s"""$T
          |SELECT t.s AS s, t.p AS p FROM triples t
          |JOIN triples cn ON cn.s = t.s AND cn.p = 'in_nation'""".stripMargin,
+    "kg_sparql_order" ->
+      s"""$T
+         |SELECT s AS c, o_id AS n FROM triples WHERE p = 'in_nation'
+         |ORDER BY o_id DESC, s LIMIT 20 OFFSET 5""".stripMargin,
     "kg_sparql_union_opt" ->
       s"""$T,
          |cn AS (SELECT s AS c, o_id AS n FROM triples WHERE p = 'in_nation'),
