@@ -403,6 +403,7 @@ object ER {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_survivorship"         -> (erSurvivorship _),
     "er_fs_score"             -> (erFsScore _),
     "er_incremental"          -> (erIncremental _),
     "er_canonicalize"         -> (erCanonicalize _),
@@ -415,7 +416,65 @@ object ER {
 
   private val N = normSql("p_name")
 
+  /** er_survivorship — the golden record per duplicate cluster:
+    * after matching (fuzzy edges) and clustering (CC), each cluster
+    * fuses ONE surviving attribute set by rule — name = longest
+    * surface form (tie: lexicographically smallest), brand = most
+    * frequent value (tie: smallest), canonical id = min member id —
+    * the MDM survivorship step that turns ER clusters into a usable
+    * dimension. Deterministic tie-breaks make the fused record
+    * hash-checkable; singletons fuse to themselves (every entity gets
+    * a golden record, the production contract). Shares the memoized
+    * component map; rules are per-cluster windows/aggregates — one
+    * shuffle on the cluster id. */
+  def erSurvivorship(spark: SparkSession, dir: String): DataFrame = {
+    val attrs = Tables.part(spark, dir).select(col("p_partkey").as("id"),
+      col("p_name"), col("p_brand"))
+    val j = componentsOf(spark, dir).join(attrs, Seq("id"))
+    val nameW = Window.partitionBy(col("comp"))
+      .orderBy(length(col("p_name")).desc, col("p_name"))
+    val names = j.withColumn("rk", row_number().over(nameW)).filter(col("rk") === 1)
+      .select(col("comp"), col("p_name").as("name"))
+    val brandCnt = j.groupBy(col("comp"), col("p_brand")).agg(count(lit(1)).as("n"))
+    val brandW = Window.partitionBy(col("comp")).orderBy(col("n").desc, col("p_brand"))
+    val brands = brandCnt.withColumn("rk", row_number().over(brandW)).filter(col("rk") === 1)
+      .select(col("comp"), col("p_brand").as("brand"), col("n").as("brand_support"))
+    j.groupBy(col("comp"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("canonical_id"))
+      .join(names, Seq("comp")).join(brands, Seq("comp"))
+      .select(col("comp").as("cluster"), col("canonical_id"), col("n_members"),
+        col("name"), col("brand"), col("brand_support"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "er_survivorship" ->
+      s"""WITH p AS (SELECT p_partkey AS id, $N AS norm, p_name, p_brand FROM part),
+         |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),
+         |m AS (SELECT a.id AS id_a, x.id AS id_b
+         |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
+         |      WHERE levenshtein(a.norm, x.norm) <= 2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
+         |reach AS (
+         |  WITH RECURSIVE r(src, node) AS (
+         |    SELECT id, id FROM p
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
+         |  SELECT src, node FROM r),
+         |comp AS (SELECT src AS id, min(node) AS comp FROM reach GROUP BY src),
+         |j AS (SELECT c.comp, p.id, p.p_name, p.p_brand FROM comp c JOIN p ON p.id = c.id),
+         |names AS (
+         |  SELECT comp, p_name AS name FROM j
+         |  QUALIFY row_number() OVER (PARTITION BY comp
+         |    ORDER BY length(p_name) DESC, p_name) = 1),
+         |bc AS (SELECT comp, p_brand, count(*) AS n FROM j GROUP BY 1, 2),
+         |brands AS (
+         |  SELECT comp, p_brand AS brand, n AS brand_support FROM bc
+         |  QUALIFY row_number() OVER (PARTITION BY comp ORDER BY n DESC, p_brand) = 1),
+         |sizes AS (SELECT comp, count(*) AS n_members, min(id) AS canonical_id
+         |          FROM j GROUP BY 1)
+         |SELECT s.comp AS cluster, s.canonical_id, s.n_members,
+         |  nm.name, br.brand, br.brand_support
+         |FROM sizes s JOIN names nm USING (comp) JOIN brands br USING (comp)""".stripMargin,
     "er_fs_score" ->
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm, p_brand AS brand, p_type AS ptype FROM part),
          |b AS (SELECT id, norm, brand, ptype, string_split(norm, ' ')[1] AS blk FROM p),

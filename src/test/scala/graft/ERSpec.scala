@@ -107,4 +107,29 @@ class ERSpec extends SparkSpec {
     assert(Graphs.degrees(spark, st).count() > 0)
     assert(Graphs.pageRank(spark, st, 0.01).count() > 0)
   }
+
+  test("er_survivorship: one golden record per cluster, rules hold") {
+    import graft.er.ER
+    val gold = ER.erSurvivorship(spark, sf).collect()
+    val comp = ER.erConnectedComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(gold.length == comp.map(_._2).distinct.length, "one row per cluster")
+    val byCluster = comp.groupBy(_._2)
+    gold.foreach { r =>
+      val members = byCluster(r.getLong(0)).map(_._1)
+      assert(r.getLong(1) == members.min, "canonical = min member id")
+      assert(r.getLong(2) == members.length, "n_members")
+      // name rule: longest surface form, lexicographic tiebreak
+      val names = members.map(parts(_)._1)
+      assert(r.getString(3) == names.sortBy(n => (-n.length, n)).head, "name rule")
+      // brand rule: mode with lexicographic tiebreak, support = its count
+      val brandGroups = members.map(parts(_)._2).groupBy(identity)
+      val (bBrand, bs) = brandGroups.map { case (b, xs) => (b, xs.size) }
+        .toSeq.sortBy { case (b, n) => (-n, b) }.head
+      assert(r.getString(4) == bBrand && r.getLong(5) == bs, "brand rule")
+    }
+  }
 }
