@@ -535,6 +535,7 @@ object Sparql {
     (b.patterns.flatMap(patVars) ++
       b.optionals.flatMap(varsOfBody) ++ b.unions.flatten.flatMap(varsOfBody) ++
       b.iriBinds.map(_._1) ++ b.exprBinds.map(_.alias) ++ b.ifBinds.map(_.alias) ++
+      b.binds.keys ++ // OWN constant binds (branch tags) project out
       b.services.flatMap(s => varsOfBody(s.body))).distinct
   }
 
@@ -766,7 +767,15 @@ object Sparql {
   final case class ServiceGraph(statements: DataFrame,
       predAliases: Map[String, String] = Map.empty,
       entityAliases: Map[String, Long] = Map.empty,
-      entityValued: Set[String] = Set.empty)
+      entityValued: Set[String] = Set.empty,
+      /** When set, an OUTER string column holding `prefix` + "Q" +
+        * digits joins this graph's entity ids as `ns + digits` — the
+        * qid→IRI→remote round trip the reference's wikidata SERVICE
+        * blocks perform (companions branches 3/4), declared
+        * explicitly so the mapping is part of the graph's dialect
+        * (and replayable by the oracle) rather than an implicit
+        * string coercion. */
+      iriScheme: Option[(String, Long)] = None)
 
   def compile(spark: SparkSession, dir: String, q: Query,
       predAliases: Map[String, String] = Map.empty,
@@ -1173,6 +1182,9 @@ object Sparql {
         s"SERVICE endpoint <${sv.endpoint}> is not registered — pass a ServiceGraph " +
           s"for it (registered: ${if (graphs.isEmpty) "none" else graphs.keys.map(e => s"<$e>").mkString(", ")})"))
       def compileSub(b: Body): DataFrame = {
+        // varsOfBody runs on the body BEFORE the inherited-bind merge,
+        // so the sub-select carries the body's OWN binds (branch tags)
+        // but not the outer substitution seeds
         val vars = varsOfBody(b)
         require(vars.nonEmpty, s"SERVICE <${sv.endpoint}> pattern group binds no variables")
         val subQ = Query(select = vars, aggs = Nil, distinct = false,
@@ -1181,18 +1193,49 @@ object Sparql {
         compileOn(spark, g.statements, subQ,
           g.predAliases, g.entityAliases, autoLang, g.entityValued, graphs)
       }
-      def joinIn(f: DataFrame, how: String): Unit = {
-        val keys = joinKeys(acc, f)
+      /** Map an outer IRI-string column to this graph's entity id
+        * under the declared scheme: strip `prefix` + "Q", parse the
+        * digits, add the namespace base. A non-matching string maps
+        * to null (joins nothing — the endpoint behavior for an IRI
+        * outside the graph). */
+      def iriToId(c: Column): Column = g.iriScheme match {
+        case Some((prefix, ns)) =>
+          when(c.startsWith(prefix + "Q"),
+            substring(c, prefix.length + 2, 20).cast("long") + ns)
+        case None => lit(null).cast("long")
+      }
+      def joinIn(f0: DataFrame, how: String): Unit = {
+        val keys = joinKeys(acc, f0)
         require(keys.nonEmpty,
           s"SERVICE <${sv.endpoint}> block shares no variable with the outer pattern")
-        keys.foreach { k =>
-          require(acc.schema(k).dataType == f.schema(k).dataType,
-            s"cross-graph join key ?$k is ${acc.schema(k).dataType.typeName} in the outer " +
-              s"graph but ${f.schema(k).dataType.typeName} in SERVICE <${sv.endpoint}> — " +
-              "single-engine federation joins on a SHARED entity id space (see " +
-              "ServiceGraph); an IRI-string round trip does not compile")
+        val (mapped, aligned) = keys.partition { k =>
+          acc.schema(k).dataType.typeName == "string" &&
+            f0.schema(k).dataType.typeName == "long" && g.iriScheme.isDefined
         }
-        acc = acc.join(f, keys, how)
+        aligned.foreach { k =>
+          require(acc.schema(k).dataType == f0.schema(k).dataType,
+            s"cross-graph join key ?$k is ${acc.schema(k).dataType.typeName} in the outer " +
+              s"graph but ${f0.schema(k).dataType.typeName} in SERVICE <${sv.endpoint}> — " +
+              "single-engine federation joins on a SHARED entity id space (see " +
+              "ServiceGraph); an IRI-string round trip compiles only under a declared " +
+              "iriScheme")
+        }
+        if (mapped.isEmpty) acc = acc.join(f0, keys, how)
+        else {
+          // condition join: mapped keys compare through the scheme;
+          // the remote copies of all keys drop afterwards (aligned
+          // copies equal the outer's on match and null off-match)
+          val f = mapped.foldLeft(f0)((d, k) => d.withColumnRenamed(k, s"_svc_$k"))
+          val cond = (mapped.map(k => iriToId(acc(k)) === f(s"_svc_$k")) ++
+            aligned.map(k => acc(k) === f(k))).reduce(_ && _)
+          val dropCols = mapped.map(k => s"_svc_$k") ++ aligned
+          var joined = acc.join(f, cond, how)
+          // aligned keys exist on both sides under the same name —
+          // drop the remote copy by reference, keep the outer's
+          aligned.foreach(k => joined = joined.drop(f(k)))
+          mapped.foreach(k => joined = joined.drop(col(s"_svc_$k")))
+          acc = joined
+        }
       }
       val sb = sv.body
       require(sb.patterns.nonEmpty || sb.unions.nonEmpty || sb.filters.isEmpty,
@@ -1235,7 +1278,8 @@ object Sparql {
       * level's constant binds surface as columns (a per-branch
       * `BIND("factgrid" AS ?source)` tags only its branch; other
       * branches null-pad in the union). */
-    def compileBody(b: Body, acc0: DataFrame, inh: Map[String, Term]): DataFrame = {
+    def compileBody(b: Body, acc0: DataFrame, inh: Map[String, Term],
+        productOk: Boolean = false): DataFrame = {
       val binds = resolveBinds(b, inh)
       def sub(p: Pattern): Pattern = substWith(p, binds)
       var acc = acc0
@@ -1243,11 +1287,35 @@ object Sparql {
         if (acc == null) acc = f
         else {
           val keys = joinKeys(acc, f)
-          require(keys.nonEmpty, s"$what not connected to the rest of the BGP")
-          acc = acc.join(f, keys)
+          if (keys.isEmpty && productOk)
+            // a UNION branch sharing no variable with the outer
+            // solutions is a SPARQL-legal product (companions' root is
+            // one seed-bound sitelink row; each branch multiplies it).
+            // The outer side is query-seeded, so broadcast it — pins
+            // the plan to BroadcastNestedLoopJoin, never a shuffled
+            // CartesianProduct
+            acc = broadcast(acc).crossJoin(f)
+          else {
+            require(keys.nonEmpty, s"$what not connected to the rest of the BGP")
+            acc = acc.join(f, keys)
+          }
         }
       }
+      // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x) applies as soon as its
+      // source is bound — BEFORE the UNION chains when the source
+      // comes from the required BGP (companions' branches read the
+      // root-level ?wd_item), later when it comes from an OPTIONAL or
+      // SERVICE
+      val pendingIri = scala.collection.mutable.ListBuffer(b.iriBinds: _*)
+      def applyIriBinds(): Unit = if (acc != null) {
+        val ready = pendingIri.filter { case (_, _, sv) => acc.columns.contains(sv) }
+        ready.foreach { case (nv, iri, sv) =>
+          acc = acc.withColumn(nv, concat(lit(iri), col(sv).cast("string")))
+        }
+        pendingIri --= ready
+      }
       if (b.patterns.nonEmpty) joinRequired(bgp(b.patterns.map(sub)), "pattern group")
+      applyIriBinds()
       b.unions.foreach { branches =>
         // plain-BGP branches binding the SAME variables keep the
         // union-then-join-once plan (the accumulator's sub-plan is
@@ -1271,13 +1339,14 @@ object Sparql {
         } else {
           val base = if (acc != null && branches.size > 1) acc.localCheckpoint(false) else acc
           val frames = branches.map { bb =>
-            val f = compileBody(bb, base, binds)
+            val f = compileBody(bb, base, binds, productOk = true)
             require(f != null, "empty UNION branch")
             f
           }
           acc = frames.reduce(_.unionByName(_, allowMissingColumns = true))
         }
       }
+      applyIriBinds()
       b.optionals.foreach { ob =>
         if (ob.patterns.isEmpty && ob.unions.isEmpty && ob.services.nonEmpty) {
           // OPTIONAL { SERVICE <ep> {…} } — bindings-injected per-row
@@ -1293,17 +1362,18 @@ object Sparql {
           val f = compileBody(ob, null, binds)
           require(acc != null, "OPTIONAL group needs a preceding pattern")
           val keys = joinKeys(acc, f)
-          require(keys.nonEmpty, s"OPTIONAL group not connected: ${ob.patterns}")
-          acc = acc.join(f, keys, "left_outer")
+          if (keys.isEmpty && productOk)
+            // LeftJoin with no shared vars = product that keeps the
+            // outer row when the group is empty (companions branch 2);
+            // broadcast the group side (left-outer builds right)
+            acc = acc.join(broadcast(f), lit(true), "left_outer")
+          else {
+            require(keys.nonEmpty, s"OPTIONAL group not connected: ${ob.patterns}")
+            acc = acc.join(f, keys, "left_outer")
+          }
         }
       }
-      // BIND(IRI(CONCAT(STR(p:), ?v)) AS ?x) — render the IRI text
-      // from the declared prefix + the bound literal (qid→IRI)
-      b.iriBinds.foreach { case (nv, iri, sv) =>
-        require(acc != null && acc.columns.contains(sv),
-          s"BIND IRI source ?$sv not bound by the pattern")
-        acc = acc.withColumn(nv, concat(lit(iri), col(sv).cast("string")))
-      }
+      applyIriBinds()
       // expression BINDs apply as soon as their inputs are bound —
       // before the SERVICE joins for those feeding a remote pattern
       // (get_factgrid_ids_from_wikidata.rq), after them for those
@@ -1312,12 +1382,17 @@ object Sparql {
         acc != null && exprDeps(e.expr).forall(acc.columns.contains))
       ready.foreach(e => acc = acc.withColumn(e.alias, exprCol(e.expr)))
       b.services.foreach { sv => acc = serviceJoin(sv, acc, binds, forceLeft = false) }
+      applyIriBinds()
+      pendingIri.foreach { case (_, _, sv) =>
+        throw new IllegalArgumentException(s"BIND IRI source ?$sv not bound by the pattern")
+      }
       // MINUS / FILTER NOT EXISTS — left-anti join on the shared
       // vars; a pattern-less group is a pure row exclusion (NOT the
       // filter)
       b.minuses.foreach { case Minus(pats0, filts) =>
         def cond(f: Filt): Column = f match {
-          case FRegex(v, re) => col(v).rlike(re)
+          // REGEX(STR(?v), …) — STR of an entity var is its id digits
+          case FRegex(v, re) => col(v).cast("string").rlike(re)
           case FEq(v, value) => col(v) === value
           case FLang(v, _)   => throw new IllegalArgumentException(
             s"FILTER(LANG(?$v)) inside a MINUS / NOT EXISTS group is unsupported")
@@ -1357,7 +1432,7 @@ object Sparql {
           ).reduce(_ || _))
         }
       b.filters.foreach {
-        case FRegex(v, re) => acc = acc.filter(col(v).rlike(re))
+        case FRegex(v, re) => acc = acc.filter(col(v).cast("string").rlike(re))
         case FEq(v, value) => acc = acc.filter(col(v) === value)
         case FLang(_, _)   => // consumed at the binding-site scans (langFilter)
       }
@@ -1408,8 +1483,7 @@ object Sparql {
     findLangs(q.body).foreach { langs0 =>
       val langs = langs0.map(l => if (l == "[AUTO_LANGUAGE]") autoLang else l).distinct
       val want = (q.select ++ q.orderBy).distinct
-        .filter(v => v.endsWith("Label") && v.length > "Label".length &&
-          !acc.columns.contains(v))
+        .filter(v => v.endsWith("Label") && v.length > "Label".length)
       // the language-ranked best-label relation, built ONCE per query:
       // Catalyst does not CSE a sub-plan referenced from several join
       // branches (the kg_describe lesson), so a query with N label
@@ -1430,26 +1504,44 @@ object Sparql {
       want.foreach { lv =>
         val alt = lv.endsWith("AltLabel")
         val stem = lv.dropRight(if (alt) "AltLabel".length else "Label".length)
-        require(acc.columns.contains(stem),
-          s"label-service variable ?$lv needs ?$stem bound by the pattern")
-        require(acc.schema(stem).dataType.typeName == "long",
-          s"?$stem is literal-typed — the label service resolves entities")
-        if (alt) {
-          // ?xAltLabel — this store carries no alias relation, so the
-          // alias column is unbound (null), the Wikibase behavior for
-          // an entity without aliases
-          acc = acc.withColumn(lv, lit(null).cast("string"))
+        // a label var some UNION branch already bound (the remote
+        // rdfs:label idiom, companions branches 3-5) is GAP-FILLED:
+        // the synthesized label applies only where the branch left it
+        // null — the endpoint behavior (the label service fills
+        // unbound vars, never overrides bound ones)
+        val lvBound = acc.columns.contains(lv)
+        val stemEntity = acc.columns.contains(stem) &&
+          acc.schema(stem).dataType.typeName == "long"
+        if (!stemEntity && lvBound) {
+          // branch-bound only (e.g. the stem is an IRI string) — keep
         } else {
-          val key = s"_lbl_key_$stem"
-          val best = bestAll.select(col("_lbl_s").as(key), col("_lbl_v").as(lv))
-          acc = rootBindConsts.get(stem) match {
-            case Some(id) =>
-              val one = best.filter(col(key) === id).agg(min(col(lv)).as(lv))
-              acc.crossJoin(broadcast(one))
-            case None =>
-              acc.join(best, col(stem) === col(key), "left_outer").drop(key)
+          require(acc.columns.contains(stem),
+            s"label-service variable ?$lv needs ?$stem bound by the pattern")
+          require(stemEntity,
+            s"?$stem is literal-typed — the label service resolves entities")
+          if (alt) {
+            // ?xAltLabel — this store carries no alias relation, so the
+            // alias column is unbound (null), the Wikibase behavior for
+            // an entity without aliases
+            if (!lvBound) acc = acc.withColumn(lv, lit(null).cast("string"))
+          } else {
+            val key = s"_lbl_key_$stem"
+            val pre = s"_lbl_pre_$lv"
+            if (lvBound) acc = acc.withColumnRenamed(lv, pre)
+            val best = bestAll.select(col("_lbl_s").as(key), col("_lbl_v").as(lv))
+            acc = rootBindConsts.get(stem) match {
+              case Some(id) =>
+                val one = best.filter(col(key) === id).agg(min(col(lv)).as(lv))
+                acc.crossJoin(broadcast(one))
+              case None =>
+                acc.join(best, col(stem) === col(key), "left_outer").drop(key)
+            }
+            acc =
+              if (lvBound)
+                acc.withColumn(lv, coalesce(col(pre), col(lv), col(stem).cast("string")))
+                  .drop(pre)
+              else acc.withColumn(lv, coalesce(col(lv), col(stem).cast("string")))
           }
-          acc = acc.withColumn(lv, coalesce(col(lv), col(stem).cast("string")))
         }
       }
     }
@@ -1686,6 +1778,73 @@ object Sparql {
     val name = c.select(link, lit("schema_name").as("p"), nul("long").as("o_id"),
       concat(lit("Q"), col("c_custkey").cast("string")).as("o_val"), nul("string").as("lang"))
     Triples.statements(spark, dir).unionAll(about).unionAll(partOf).unionAll(name)
+  }
+
+  /** Multi-site sitelink store — [[sitelinkStatements]] (the
+    * www.wikidata.org site) plus four per-language wikipedia sites,
+    * each a deterministic customer subset with its own link-node
+    * namespace, site IRI literal and title scheme: the store
+    * get_wiki_sitelinks.rq's five OPTIONAL blocks
+    * (get_wiki_sitelinks.rq:14–50) discriminate by `schema:isPartOf`
+    * object. Pure projection+union off the customer scan — the
+    * sitelink block at 100 TB is a per-site predicate-pruned scan,
+    * never a shuffle. */
+  def wikiSitelinkStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val c = Tables.customer(spark, dir)
+    def nul(t: String) = lit(null).cast(t)
+    def site(linkNs: Long, keep: Column, url: String, prefix: String): DataFrame = {
+      val f = c.filter(keep)
+      val link = (lit(linkNs * Triples.NS) + col("c_custkey")).as("s")
+      f.select(link, lit("schema_about").as("p"),
+          Triples.id(Triples.CUSTOMER, col("c_custkey")).as("o_id"),
+          nul("string").as("o_val"), nul("string").as("lang"))
+        .unionAll(f.select(link, lit("schema_ispartof").as("p"), nul("long").as("o_id"),
+          lit(url).as("o_val"), nul("string").as("lang")))
+        .unionAll(f.select(link, lit("schema_name").as("p"), nul("long").as("o_id"),
+          concat(lit(prefix), col("c_name")).as("o_val"), nul("string").as("lang")))
+    }
+    sitelinkStatements(spark, dir)
+      .unionAll(site(12, col("c_custkey") % 2 === 0, "https://de.wikipedia.org/", "de "))
+      .unionAll(site(13, lit(true),                  "https://en.wikipedia.org/", "en "))
+      .unionAll(site(14, col("c_custkey") % 5 === 0, "https://es.wikipedia.org/", "es "))
+      .unionAll(site(15, col("c_custkey") % 7 === 0, "https://fr.wikipedia.org/", "fr "))
+  }
+
+  /** Shared dialect map for the two get_wiki_sitelinks files: the
+    * sitelink reification plus the class anchors their WHERE clauses
+    * name (`fgt:P2/fgt:P3*` = membership-then-hierarchy closure,
+    * `fgt:P131` = the direct remove-na set edge). */
+  private def wikilinksAliases: (Map[String, String], Map[String, Long]) = (
+    Map("schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+      "schema:name" -> "schema_name",
+      "fgt:P2" -> "in_nation", "fgt:P3" -> "in_region", "fgt:P131" -> "in_nation"),
+    Map("fg:Q12" -> (Triples.REGION.toLong * Triples.NS + 1), // class → region 1
+      "fg:Q400012" -> (2L * Triples.NS + 3)))                 // remove-na set → nation 3
+
+  /** kg_sparql_wikilinks — get_wiki_sitelinks.rq BYTE-FOR-BYTE: a
+    * property-path class filter (`?fg_item (fgt:P2/fgt:P3*) fg:Q12`,
+    * get_wiki_sitelinks.rq:12) anchoring items (customers AND
+    * suppliers — both carry the membership edge), then FIVE optional
+    * sitelink-reification blocks (wikidata with the qid→IRI BIND,
+    * de/en/es/fr wikipedia), discriminated per block by the
+    * `schema:isPartOf` IRI literal, under the label service. */
+  def kgSparqlWikilinks(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = wikilinksAliases
+    compileOn(spark, wikiSitelinkStatements(spark, dir),
+      parse(referenceText("get_wiki_sitelinks.rq")), pa, ea,
+      autoLang = "en", entityValued = defaultEntityPreds + "schema_about")
+  }
+
+  /** kg_sparql_wikilinks_rna — get_wiki_sitelinks_removena.rq
+    * BYTE-FOR-BYTE: as [[kgSparqlWikilinks]] but anchored by the
+    * direct `fgt:P131 fg:Q400012` remove-na membership edge
+    * (get_wiki_sitelinks_removena.rq:10). */
+  def kgSparqlWikilinksRna(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = wikilinksAliases
+    compileOn(spark, wikiSitelinkStatements(spark, dir),
+      parse(referenceText("get_wiki_sitelinks_removena.rq")), pa, ea,
+      autoLang = "en", entityValued = defaultEntityPreds + "schema_about")
   }
 
   /** Sitelink text — the exact link-reification block + qid→IRI BIND
@@ -2224,7 +2383,135 @@ object Sparql {
   def kgSparqlOrder(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, orderText)
 
+  // ---- companions_and_relations.rq VERBATIM -------------------------
+
+  /** The companions outer store: base statements + the sitelink
+    * reification + the directClaim property dictionary — everything
+    * the file's factgrid side touches. */
+  def companionsStatements(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val props = directClaimProps.toDF("sid", "name")
+      .select(col("sid").as("s"), lit("directClaim").as("p"),
+        lit(null).cast("long").as("o_id"), col("name").as("o_val"),
+        lit(null).cast("string").as("lang"))
+    sitelinkStatements(spark, dir).unionAll(props)
+  }
+
+  /** The deterministic DBpedia stand-in graph (companions branch 5):
+    * a db-namespace mirror entity per wikidata-linked customer,
+    * `owl:sameAs` carrying the wikidata IRI TEXT as a literal (what
+    * joins the outer `?wd_item` string), wiki-link edges to the next
+    * two customers' mirrors, a Person class for even custkeys, labels
+    * and thumbnails. Everything derives from the customer table, so
+    * the DuckDB twin regenerates it exactly. */
+  def dbpediaStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val c = Tables.customer(spark, dir)
+    def nul(t: String) = lit(null).cast(t)
+    val DB = 9L * Triples.NS
+    val linked = c.filter(col("c_custkey") % 3 === 0)
+    val sameas = linked.select((lit(DB) + col("c_custkey")).as("s"),
+      lit("owl_sameas").as("p"), nul("long").as("o_id"),
+      concat(lit("http://www.wikidata.org/entity/Q"), col("c_custkey")).as("o_val"),
+      nul("string").as("lang"))
+    val tgt = c.select(col("c_custkey").as("t_key"))
+    val wikilinks = linked.select(col("c_custkey"))
+      .crossJoin(spark.range(1, 3).select(col("id").as("off")))
+      .join(tgt, col("t_key") === col("c_custkey") + col("off"))
+      .select((lit(DB) + col("c_custkey")).as("s"), lit("db_wikilink").as("p"),
+        (lit(DB) + col("t_key")).as("o_id"), nul("string").as("o_val"),
+        nul("string").as("lang"))
+    val persons = c.filter(col("c_custkey") % 2 === 0)
+      .select((lit(DB) + col("c_custkey")).as("s"), lit("db_type").as("p"),
+        lit(10L * Triples.NS + 1).as("o_id"), nul("string").as("o_val"),
+        nul("string").as("lang"))
+    val labels = c.select((lit(DB) + col("c_custkey")).as("s"), lit("db_label").as("p"),
+      nul("long").as("o_id"), concat(lit("DBP "), col("c_name")).as("o_val"),
+      lit("en").as("lang"))
+    val thumbs = c.filter(col("c_custkey") % 5 === 0)
+      .select((lit(DB) + col("c_custkey")).as("s"), lit("db_thumb").as("p"),
+      nul("long").as("o_id"), concat(lit("thumb_"), col("c_custkey"), lit(".jpg")).as("o_val"),
+      nul("string").as("lang"))
+    sameas.unionAll(wikilinks).unionAll(persons).unionAll(labels).unionAll(thumbs)
+  }
+
+  /** The companions root item (a sitelinked customer) and its class
+    * anchors: the query's `fg:Q7`/`fg:Q12`/`wd:Q5` aliases resolve to
+    * the root's own region (so the class checks MATCH — the
+    * deployment fact the dialect map encodes), `wd:Q43229` to the
+    * next region (the organisation branch stays empty, as it would
+    * for a person). One 2-row driver lookup — the query-sized-seed
+    * contract. */
+  private val companionsRootKey = 9L
+  def companionAnchorsPublic(spark: SparkSession, dir: String): (Long, Long) =
+    companionAnchors(spark, dir)
+  private def companionAnchors(spark: SparkSession, dir: String): (Long, Long) = {
+    import graft.sources.Tables
+    val nk = Tables.customer(spark, dir).filter(col("c_custkey") === companionsRootKey)
+      .select(col("c_nationkey").cast("long")).head().getLong(0)
+    val rk = Tables.nation(spark, dir).filter(col("n_nationkey") === nk)
+      .select(col("n_regionkey").cast("long")).head().getLong(0)
+    (Triples.REGION * Triples.NS + rk, Triples.REGION * Triples.NS + (rk + 1) % 5)
+  }
+
+  private val dbpediaEndpoint = "https://dbpedia.org/sparql"
+
+  /** The two remote graphs companions_and_relations.rq federates
+    * over: "wikidata" = the full base store under wikidata's
+    * vocabulary with the IRI scheme that joins the file's
+    * qid→IRI-string round trip, and the deterministic DBpedia
+    * stand-in. */
+  def companionsGraphs(spark: SparkSession, dir: String,
+      regionA: Long, regionB: Long): Map[String, ServiceGraph] = Map(
+    wikidataEndpoint -> ServiceGraph(Triples.statements(spark, dir),
+      predAliases = Map(
+        "rdfs:label" -> "label",
+        "wdt:P31" -> "in_region", "wdt:P279" -> "in_region",
+        "wdt:P18" -> "mktsegment"),
+      entityAliases = Map("wd:Q5" -> regionA, "wd:Q43229" -> regionB),
+      entityValued = defaultEntityPreds,
+      iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS))),
+    dbpediaEndpoint -> ServiceGraph(dbpediaStatements(spark, dir),
+      predAliases = Map(
+        "owl:sameAs" -> "owl_sameas",
+        "dbo:wikiPageWikiLink" -> "db_wikilink",
+        "a" -> "db_type",
+        "rdfs:label" -> "db_label",
+        "dbo:thumbnail" -> "db_thumb"),
+      entityAliases = Map("dbo:Person" -> (10L * Triples.NS + 1)),
+      entityValued = Set("db_wikilink", "db_type")))
+
+  /** kg_sparql_companions — companions_and_relations.rq, the
+    * reference's FLAGSHIP query, BYTE-FOR-BYTE from its file: the
+    * five-way UNION (factgrid person / factgrid organisation-path /
+    * wikidata person / wikidata organisation-path / dbpedia
+    * wiki-links) with per-branch OPTIONALs, source tags, the
+    * MINUS-regex exclusion, two federated SERVICE graphs, the
+    * qid→IRI round trip joined through the declared IRI scheme, and
+    * gap-filled label synthesis — all under the hash gate. */
+  def kgSparqlCompanions(spark: SparkSession, dir: String): DataFrame = {
+    val (ra, rb) = companionAnchors(spark, dir)
+    compileOn(spark, companionsStatements(spark, dir),
+      parse(referenceText("companions_and_relations.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about",
+        "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name",
+        "fgt:P2" -> "in_region", "fgt:P3" -> "in_region",
+        "fgt:P189" -> "label",
+        "wikibase:directClaim" -> "directClaim"),
+      entityAliases = Map(
+        "fg:Q223420" -> (3L * Triples.NS + companionsRootKey),
+        "fg:Q7" -> ra, "fg:Q12" -> ra),
+      autoLang = "en",
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = companionsGraphs(spark, dir, ra, rb))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_sparql_companions"  -> (kgSparqlCompanions _),
+    "kg_sparql_wikilinks"   -> (kgSparqlWikilinks _),
+    "kg_sparql_wikilinks_rna" -> (kgSparqlWikilinksRna _),
     "kg_sparql_net0"        -> (kgSparqlNet0 _),
     "kg_sparql_net1"        -> (kgSparqlNet1 _),
     "kg_sparql_pred_free"   -> (kgSparqlPredFree _),
@@ -2287,7 +2574,148 @@ object Sparql {
        |LEFT JOIN best b2p ON b2p.s = j.prop2
        |LEFT JOIN best b2  ON b2.s  = j.item2""".stripMargin
 
+  /** DuckDB twin of [[kgSparqlCompanions]] — five branch CTEs over
+    * the same synthesized stores, unioned with explicit null padding,
+    * the same gap-filled label coalesces, DISTINCT. Region anchors
+    * and the root sitelink derive from the data (scalar subqueries),
+    * exactly as [[companionAnchors]] does. */
+  private def companionsOracle: String = {
+    val NS = Triples.NS
+    val CUST = 3L * NS; val REG = 1L * NS; val DB = 9L * NS; val CLS = 10L * NS + 1
+    val props = directClaimProps.map { case (id, p) => s"($id, '$p')" }.mkString(", ")
+    s"""$T,
+       |props AS (SELECT * FROM (VALUES $props) AS v(prop, rel)),
+       |root AS (
+       |  SELECT CAST($CUST + c_custkey AS BIGINT) AS fg_item,
+       |    'http://www.wikidata.org/entity/Q' || c_custkey AS wd_item
+       |  FROM customer WHERE c_custkey = $companionsRootKey AND c_custkey % 3 = 0),
+       |anch AS (
+       |  SELECT CAST($REG + n.n_regionkey AS BIGINT) AS ra,
+       |    CAST($REG + (n.n_regionkey + 1) % 5 AS BIGINT) AS rb
+       |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |  WHERE c.c_custkey = $companionsRootKey),
+       |best AS (SELECT s, o_val FROM (
+       |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+       |    ORDER BY CASE WHEN lang = 'en' THEN 0 END, lang) AS rk
+       |  FROM triples WHERE p = 'label' AND lang IN ('en')) WHERE rk = 1),
+       |body1 AS (
+       |  SELECT t.p AS relation, t.o_id AS value, pr.prop AS relation_string,
+       |    img.o_val AS image, 'factgrid' AS source
+       |  FROM triples t
+       |  JOIN triples cls ON cls.s = t.o_id AND cls.p = 'in_region'
+       |    AND cls.o_id = (SELECT ra FROM anch)
+       |  JOIN props pr ON pr.rel = t.p
+       |  LEFT JOIN triples img ON img.s = t.o_id AND img.p = 'label' AND img.o_val IS NOT NULL
+       |  WHERE t.s = (SELECT fg_item FROM root) AND t.o_id IS NOT NULL),
+       |b1 AS (SELECT r.fg_item, r.wd_item, x.* FROM root r CROSS JOIN body1 x),
+       |b2 AS (SELECT r.fg_item, r.wd_item, x.* FROM root r LEFT JOIN body1 x ON TRUE),
+       |w3 AS (
+       |  SELECT t.s AS wid, t.p AS relation, t.o_id AS value,
+       |    vl.o_val AS valueLabel, img.o_val AS image, 'wikidata' AS source
+       |  FROM triples t
+       |  JOIN triples cls ON cls.s = t.o_id AND cls.p = 'in_region'
+       |    AND cls.o_id = (SELECT ra FROM anch)
+       |  JOIN triples wl ON wl.s = t.s AND wl.p = 'label' AND wl.lang = 'en'
+       |  JOIN triples vl ON vl.s = t.o_id AND vl.p = 'label' AND vl.lang = 'en'
+       |  LEFT JOIN triples img ON img.s = t.o_id AND img.p = 'mktsegment' AND img.o_val IS NOT NULL
+       |  WHERE t.o_id IS NOT NULL),
+       |b3 AS (SELECT r.fg_item, r.wd_item, w.relation, w.value, w.valueLabel, w.image, w.source
+       |  FROM root r LEFT JOIN w3 w
+       |    ON w.wid = CAST(substring(r.wd_item, 33) AS BIGINT) + $CUST),
+       |w4 AS (
+       |  SELECT t.s AS wid, t.p AS relation, t.o_id AS value,
+       |    vl.o_val AS valueLabel, img.o_val AS image, 'wikidata' AS source
+       |  FROM triples t
+       |  JOIN triples cls ON cls.s = t.o_id AND cls.p = 'in_region'
+       |    AND cls.o_id = (SELECT rb FROM anch)
+       |  JOIN triples wl ON wl.s = t.s AND wl.p = 'label' AND wl.lang = 'en'
+       |  JOIN triples vl ON vl.s = t.o_id AND vl.p = 'label' AND vl.lang = 'en'
+       |  LEFT JOIN triples img ON img.s = t.o_id AND img.p = 'mktsegment' AND img.o_val IS NOT NULL
+       |  WHERE t.o_id IS NOT NULL),
+       |b4 AS (SELECT r.fg_item, r.wd_item, w.relation, w.value, w.valueLabel, w.image, w.source
+       |  FROM root r LEFT JOIN w4 w
+       |    ON w.wid = CAST(substring(r.wd_item, 33) AS BIGINT) + $CUST),
+       |db_sameas AS (SELECT CAST($DB + c_custkey AS BIGINT) AS s,
+       |    'http://www.wikidata.org/entity/Q' || c_custkey AS o_val
+       |  FROM customer WHERE c_custkey % 3 = 0),
+       |db_wikilink AS (SELECT CAST($DB + l.c_custkey AS BIGINT) AS s,
+       |    CAST($DB + t.c_custkey AS BIGINT) AS o_id
+       |  FROM customer l JOIN customer t
+       |    ON t.c_custkey IN (l.c_custkey + 1, l.c_custkey + 2)
+       |  WHERE l.c_custkey % 3 = 0),
+       |db_person AS (SELECT CAST($DB + c_custkey AS BIGINT) AS s FROM customer WHERE c_custkey % 2 = 0),
+       |db_label AS (SELECT CAST($DB + c_custkey AS BIGINT) AS s, 'DBP ' || c_name AS o_val FROM customer),
+       |db_thumb AS (SELECT CAST($DB + c_custkey AS BIGINT) AS s,
+       |    'thumb_' || c_custkey || '.jpg' AS o_val FROM customer WHERE c_custkey % 5 = 0),
+       |opt5 AS (
+       |  SELECT w.s AS db_item, w.o_id AS value, l.o_val AS valueLabel, th.o_val AS image,
+       |    'wikipedia' AS source, 'mentioned_in_wikipedia' AS relation_stringLabel
+       |  FROM db_wikilink w
+       |  JOIN db_person ty ON ty.s = w.o_id
+       |  JOIN db_label l ON l.s = w.o_id
+       |  LEFT JOIN db_thumb th ON th.s = w.o_id
+       |  WHERE NOT regexp_matches(CAST(w.o_id AS VARCHAR),
+       |    'Stefan_Zweig|LGBT_rights_by_country_or_territory')),
+       |b5 AS (
+       |  SELECT r.fg_item, r.wd_item, o.value, o.valueLabel, o.image, o.source,
+       |    o.relation_stringLabel
+       |  FROM root r
+       |  JOIN db_sameas r5 ON r5.o_val = r.wd_item
+       |  LEFT JOIN opt5 o ON o.db_item = r5.s),
+       |u AS (
+       |  SELECT fg_item, wd_item, relation, value, CAST(NULL AS VARCHAR) AS valueLabel,
+       |    relation_string, CAST(NULL AS VARCHAR) AS relation_stringLabel, image, source FROM b1
+       |  UNION ALL
+       |  SELECT fg_item, wd_item, relation, value, NULL, relation_string, NULL, image, source FROM b2
+       |  UNION ALL
+       |  SELECT fg_item, wd_item, relation, value, valueLabel,
+       |    CAST(NULL AS BIGINT), NULL, image, source FROM b3
+       |  UNION ALL
+       |  SELECT fg_item, wd_item, relation, value, valueLabel,
+       |    CAST(NULL AS BIGINT), NULL, image, source FROM b4
+       |  UNION ALL
+       |  SELECT fg_item, wd_item, CAST(NULL AS VARCHAR), value, valueLabel,
+       |    CAST(NULL AS BIGINT), relation_stringLabel, image, source FROM b5)
+       |SELECT DISTINCT u.fg_item,
+       |  COALESCE(bfi.o_val, CAST(u.fg_item AS VARCHAR)) AS "fg_itemLabel",
+       |  u.wd_item, u.value,
+       |  COALESCE(u.valueLabel, bv.o_val, CAST(u.value AS VARCHAR)) AS "valueLabel",
+       |  u.relation,
+       |  COALESCE(u.relation_stringLabel, brs.o_val, CAST(u.relation_string AS VARCHAR))
+       |    AS "relation_stringLabel",
+       |  u.image, u.source
+       |FROM u
+       |LEFT JOIN best bfi ON bfi.s = u.fg_item
+       |LEFT JOIN best bv  ON bv.s = u.value
+       |LEFT JOIN best brs ON brs.s = u.relation_string""".stripMargin
+  }
+
+  /** DuckDB twin of the get_wiki_sitelinks files: the anchored item
+    * set (customers AND suppliers carry the membership edge) left-
+    * extended with the five per-site sitelink columns, every site a
+    * deterministic custkey residue — regenerated from the same base
+    * tables [[wikiSitelinkStatements]] projects, so engine and oracle
+    * cannot drift. */
+  private def wikilinksOracle(anchor: String): String =
+    s"""WITH items AS (
+       |  SELECT CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS fg_item,
+       |    c_name AS lbl, c_custkey AS ck
+       |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey WHERE $anchor
+       |  UNION ALL
+       |  SELECT CAST(${4L * Triples.NS} + s_suppkey AS BIGINT), s_name, CAST(NULL AS INTEGER)
+       |  FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey WHERE $anchor)
+       |SELECT DISTINCT fg_item, lbl AS "fg_itemLabel",
+       |  CASE WHEN ck % 3 = 0 THEN 'http://www.wikidata.org/entity/Q' || ck END AS wd_item,
+       |  CASE WHEN ck % 2 = 0 THEN 'de ' || lbl END AS "Sdewiki",
+       |  CASE WHEN ck IS NOT NULL THEN 'en ' || lbl END AS "Senwiki",
+       |  CASE WHEN ck % 7 = 0 THEN 'fr ' || lbl END AS "Sfrwiki",
+       |  CASE WHEN ck % 5 = 0 THEN 'es ' || lbl END AS "Seswiki"
+       |FROM items""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "kg_sparql_companions" -> companionsOracle,
+    "kg_sparql_wikilinks" -> wikilinksOracle("n.n_regionkey = 1"),
+    "kg_sparql_wikilinks_rna" -> wikilinksOracle("n.n_nationkey = 3"),
     "kg_sparql_net0" -> networkOracle(
       s"SELECT ${3L * Triples.NS + 7} AS s"),
     "kg_sparql_net1" -> networkOracle(

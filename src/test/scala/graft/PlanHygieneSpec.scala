@@ -20,7 +20,9 @@ class PlanHygieneSpec extends SparkSpec {
     "kg_having"           -> "1-row aggregate-subquery threshold broadcast",
     "text_keywords"       -> "1-row corpus-size broadcast into the tf/df join",
     "q_gap_fill"          -> "calendar axis × type dictionary (both bounded)",
-    "kg_sparql_net0"      -> "1-row label lookup broadcast for the BIND-constant root")
+    "kg_sparql_net0"      -> "1-row label lookup broadcast for the BIND-constant root",
+    "kg_sparql_companions" -> ("UNION-branch products over the 1-row seed-bound " +
+      "sitelink root (a SPARQL-legal product; each branch multiplies one row)"))
 
   test("no query plans a cartesian product; nested-loop joins only where bounded by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

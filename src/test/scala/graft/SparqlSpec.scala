@@ -750,6 +750,26 @@ class SparqlSpec extends SparkSpec {
       "?fg_item fgt:P76 ?fg_gnd (no trailing dot) must survive as a pattern")
   }
 
+  test("companions_and_relations.rq runs VERBATIM: 5-branch federated union end-to-end") {
+    import org.apache.spark.sql.functions.col
+    val out = Sparql.kgSparqlCompanions(spark, sf)
+    assert(out.columns.toSeq == Seq("fg_item", "fg_itemLabel", "wd_item", "value",
+      "valueLabel", "relation", "relation_stringLabel", "image", "source"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every row carries the single seed root (the sitelinked customer)
+    val (ra, _) = Sparql.companionAnchorsPublic(spark, sf)
+    assert(ra > 0)
+    assert(rows.map(_.getAs[Long]("fg_item")).distinct.length == 1)
+    // the dbpedia branch (source = wikipedia) survives federation:
+    // the root's custkey is divisible by 3, so its sameAs mirror exists
+    val sources = rows.map(_.getAs[String]("source")).distinct.toSet
+    assert(sources.contains("wikipedia"),
+      s"dbpedia wiki-link branch must contribute rows, got sources=$sources")
+    // labels are gap-filled: never null in the projected label columns
+    assert(rows.forall(r => r.getAs[String]("fg_itemLabel") != null))
+  }
+
   test("verbatim network files + the typing rules that make them runnable") {
     // network-00/01 run byte-for-byte through their dialect maps
     val n0 = Sparql.kgSparqlNet0(spark, sf)
