@@ -469,7 +469,16 @@ object Sparql {
           j = skipWs(s, ie + 1)
           require(j < n && s(j) == '{', s"SERVICE <$ep> needs a braced body")
           val e = matchDelim(s, j, '{', '}')
-          services += ServiceBlock(ep, parseBody(s.substring(j + 1, e - 1), prefixes, fresh))
+          val sb2 = parseBody(s.substring(j + 1, e - 1), prefixes, fresh)
+          // a SERVICE whose body is empty after no-op elimination
+          // (companions_hirschfeld.rq's trailing wikidata block holds
+          // one empty OPTIONAL) binds nothing and joins nothing — drop
+          // it rather than demand a registered graph for a no-op
+          if (sb2.patterns.nonEmpty || sb2.unions.nonEmpty || sb2.optionals.nonEmpty ||
+              sb2.binds.nonEmpty || sb2.iriBinds.nonEmpty || sb2.exprBinds.nonEmpty ||
+              sb2.values.nonEmpty || sb2.minuses.nonEmpty || sb2.filters.nonEmpty ||
+              sb2.services.nonEmpty)
+            services += ServiceBlock(ep, sb2)
           i = e
         }
       }
@@ -559,6 +568,11 @@ object Sparql {
     * text (the `schema:isPartOf <https://www.wikidata.org/>` shape). */
   private val Pfx = "\u0000prefixed:"
   private val IriPfx = "\u0000iri:"
+  /** A BIND-constant that resolved to a PREDICATE name (the compare
+    * files' `BIND(fgt:P117 as ?fg_property)` ... `?fg_item ?fg_property
+    * ?fg_value`): substitutes into predicate slots as the resolved
+    * local name and surfaces as that name string when projected. */
+  private val PredName = "\u0000pred:"
 
   private def term(tok: String): Term = tok.trim match {
     case t if t.startsWith("?")                      => V(t.drop(1))
@@ -820,8 +834,13 @@ object Sparql {
     def resolve(t: Term): Term = t match {
       case Lit(v) if v.startsWith(Pfx) =>
         val name = v.stripPrefix(Pfx)
-        Num(entityAliases.getOrElse(name,
-          throw new IllegalArgumentException(s"prefixed entity '$name' has no alias in the dialect map")))
+        // entity alias first; a name only in the PREDICATE dialect map
+        // is a predicate-name constant (BIND(fgt:P117 as ?p) — the
+        // compare files' parameterized-property idiom)
+        entityAliases.get(name).map(Num(_): Term).getOrElse(
+          predAliases.get(name).map(n => Lit(PredName + n): Term).getOrElse(
+            throw new IllegalArgumentException(
+              s"prefixed entity '$name' has no alias in the dialect map")))
       // an IRI with an entity alias becomes that entity id; otherwise
       // it stays a (sentinel-marked) literal and the typing branches
       // decide: literal-valued predicate -> compare bare IRI text,
@@ -840,7 +859,13 @@ object Sparql {
       inherited ++ b.binds.map { case (v, t) => v -> resolve(t) }
     def substWith(p: Pattern, binds: Map[String, Term]): Pattern = Pattern(
       p.s match { case V(n) if binds.contains(n) => binds(n); case s => s },
-      p.p,
+      // a predicate VARIABLE bound to a predicate-name constant
+      // substitutes as that name (the pattern stops being a var-pred
+      // scan and compiles like any fixed-predicate pattern)
+      (if (p.p.startsWith("?")) binds.get(p.p.drop(1)) else None) match {
+        case Some(Lit(v)) if v.startsWith(PredName) => v.stripPrefix(PredName)
+        case _ => p.p
+      },
       p.o match { case V(n) if binds.contains(n) => binds(n); case o => o })
 
     // type-conflict check: every binding site of a var must agree —
@@ -891,6 +916,14 @@ object Sparql {
               require(kinds.size == 1,
                 s"VALUES over ?${p0.p.drop(1)} mixes entity- and literal-valued predicates")
               Seq(n -> kinds.head)
+            // the "*" dialect marker (an all-entity-edges graph — the
+            // network-02 wikidata stand-in whose statements are truthy
+            // entity claims only): site-free var-pred objects type as
+            // entities instead of rejecting. "~" is the literal twin
+            // (the compare files' wikidata stand-in carries IRI TEXT
+            // values so the is_same comparison is string-vs-string).
+            case None if entityPreds("*") => Seq(n -> "entity")
+            case None if entityPreds("~") => Seq(n -> "literal")
             case None => Nil
           }
         case V(_) if p0.p.startsWith("!") => Nil // negated set: typing from other sites
@@ -1149,21 +1182,44 @@ object Sparql {
       a.columns.toSeq.intersect(b.columns.toSeq)
     /** Inner-join a pattern group into one frame (a BGP). SPARQL BGPs
       * are unordered, so connectivity is resolved to a FIXPOINT: each
-      * round joins any pattern sharing a variable with the
-      * accumulator, in textual order among the eligible — a BGP whose
-      * connecting pattern appears last still compiles. */
+      * round joins any pattern sharing a variable (column — predicate
+      * vars count) with the accumulator, in textual order among the
+      * eligible — a BGP whose connecting pattern appears last still
+      * compiles. A BGP may be MORE than one connected component
+      * (network-03-federated.rq: the sitelink block and the hop chain
+      * share only the substituted root CONSTANT) — that is a
+      * SPARQL-legal product, compiled as a broadcast product but ONLY
+      * when every component beyond the first is constant-seeded
+      * (carries a constant term, so it is a filtered lookup, not a
+      * full scan); an unseeded disconnected component stays a loud
+      * reject, never a silent cartesian blow-up. */
     def bgp(pats: Seq[Pattern]): DataFrame = {
+      // a constant subject or object seeds (filters) its component; a
+      // constant PREDICATE alone does not (that's a whole-predicate scan)
+      def seededBy(p: Pattern): Boolean =
+        Seq(p.s, p.o).exists { case V(_) => false; case _ => true }
       val remaining = scala.collection.mutable.ListBuffer(
-        pats.tail.map(p => (p, frame(p))): _*)
-      var acc = frame(pats.head)
+        pats.map(p => (p, frame(p))): _*)
+      val comps = scala.collection.mutable.ListBuffer[(DataFrame, Boolean, Pattern)]()
       while (remaining.nonEmpty) {
-        val idx = remaining.indexWhere { case (_, f) => joinKeys(acc, f).nonEmpty }
-        require(idx >= 0,
-          s"pattern(s) not connected to the rest of the BGP: ${remaining.map(_._1).mkString("; ")}")
-        val (_, f) = remaining.remove(idx)
-        acc = acc.join(f, joinKeys(acc, f))
+        val (p0, f0) = remaining.remove(0)
+        var acc = f0
+        var seeded = seededBy(p0)
+        var idx = remaining.indexWhere { case (_, f) => joinKeys(acc, f).nonEmpty }
+        while (idx >= 0) {
+          val (pp, f) = remaining.remove(idx)
+          seeded ||= seededBy(pp)
+          acc = acc.join(f, joinKeys(acc, f))
+          idx = remaining.indexWhere { case (_, f) => joinKeys(acc, f).nonEmpty }
+        }
+        comps += ((acc, seeded, p0))
       }
-      acc
+      comps.tail.foldLeft(comps.head._1) { case (acc, (f, seeded, p0)) =>
+        require(seeded,
+          s"pattern(s) not connected to the rest of the BGP and not constant-seeded " +
+            s"(a product here could be a full cartesian blow-up): $p0")
+        acc.crossJoin(broadcast(f))
+      }
     }
 
     /** Join a SERVICE block into `acc0` against its registered graph.
@@ -1453,7 +1509,12 @@ object Sparql {
       // this level's constant binds surface as columns of THIS frame
       if (acc != null) b.binds.foreach { case (v, t0) =>
         if (!acc.columns.contains(v)) acc = acc.withColumn(v, resolve(t0) match {
-          case Num(x) => lit(x); case Lit(x) => lit(bareIri(x))
+          case Num(x) => lit(x)
+          // a predicate-name constant surfaces as the name STRING —
+          // this dialect's predicate representation (what ?rel binds
+          // in the directClaim triangle)
+          case Lit(x) if x.startsWith(PredName) => lit(x.stripPrefix(PredName))
+          case Lit(x) => lit(bareIri(x))
           case V(x)   => throw new IllegalArgumentException(s"BIND of variable ?$x unsupported")
         })
       }
@@ -1482,7 +1543,13 @@ object Sparql {
       case (v, t) => (v, resolve(t)) }.collect { case (v, Num(x)) => v -> x }.toMap
     findLangs(q.body).foreach { langs0 =>
       val langs = langs0.map(l => if (l == "[AUTO_LANGUAGE]") autoLang else l).distinct
-      val want = (q.select ++ q.orderBy).distinct
+      // ORDER-BY-only label vars whose stem is nowhere bound are the
+      // reference's own typos (`ORDER BY (?PropertyLabel)`,
+      // get_all_properties_person…rq) — endpoint sorts by unbound =
+      // no-op, so they are excluded here and null below
+      val want = (q.select ++ q.orderBy.filter(v =>
+          q.select.contains(v) || kindMap.contains(v.dropRight(
+            if (v.endsWith("AltLabel")) "AltLabel".length else "Label".length)))).distinct
         .filter(v => v.endsWith("Label") && v.length > "Label".length)
       // the language-ranked best-label relation, built ONCE per query:
       // Catalyst does not CSE a sub-plan referenced from several join
@@ -1545,7 +1612,12 @@ object Sparql {
         }
       }
     }
-    (q.select ++ q.orderBy).filter(v => v.endsWith("Label") && !acc.columns.contains(v))
+    // PROJECTED label vars stay strict (a typo'd select var must not
+    // silently go null); an ORDER-BY-only label var whose stem is
+    // also unbound is the reference's own typo
+    // (get_all_properties_person…rq's `ORDER BY (?PropertyLabel)`) —
+    // endpoint behavior is sort-by-unbound = no-op, so it nulls below
+    q.select.filter(v => v.endsWith("Label") && !acc.columns.contains(v))
       .foreach(v => throw new IllegalArgumentException(
         s"?$v is unbound — label-convention variables need a SERVICE wikibase:label block"))
     // SPARQL allows projecting (and ordering by) an UNBOUND variable —
@@ -2355,6 +2427,586 @@ object Sparql {
       parse(referenceText("network-01-remove-na.rq")), pa, ea)
   }
 
+  /** Statement-reified network store — [[companionsStatements]]
+    * (base + sitelinks + directClaim dictionary) extended with the
+    * Wikibase statement-node access path the network-02/03 files walk
+    * (`?item fgp:P2 ?statement . ?statement (fgps:P2/(fgt:P3*))
+    * ?class`, network-03-federated.rq:43–44): one statement NODE per
+    * nation membership edge (`nation → stmt_claim → stmtNode →
+    * stmt_value → region`), its own namespace. Projection+union off
+    * the nation scan — reification adds rows, never a shuffle. */
+  def reifiedNetworkStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val n = Tables.nation(spark, dir)
+    def nul(t: String) = lit(null).cast(t)
+    val stmtId = lit(16L * Triples.NS) + col("n_nationkey").cast("long")
+    val claim = n.select(Triples.id(Triples.NATION, col("n_nationkey")).as("s"),
+      lit("stmt_claim").as("p"), stmtId.as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val value = n.select(stmtId.as("s"), lit("stmt_value").as("p"),
+      Triples.id(Triples.REGION, col("n_regionkey")).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    companionsStatements(spark, dir).unionAll(claim).unionAll(value)
+  }
+
+  /** network-03's root item and its VALUES class anchors, derived
+    * from the data exactly like [[companionAnchors]]: the three
+    * `wd:Q7 wd:Q12 wd:Q11214` active-entity classes resolve to the
+    * root's own region and the two after it, so the class check
+    * matches (the deployment fact the dialect map encodes). */
+  private val net3RootKey = 12L
+  private def net3Anchors(spark: SparkSession, dir: String): (Long, Long, Long) = {
+    import graft.sources.Tables
+    val nk = Tables.customer(spark, dir).filter(col("c_custkey") === net3RootKey)
+      .select(col("c_nationkey").cast("long")).head().getLong(0)
+    val rk = Tables.nation(spark, dir).filter(col("n_nationkey") === nk)
+      .select(col("n_regionkey").cast("long")).head().getLong(0)
+    def reg(o: Long) = Triples.REGION.toLong * Triples.NS + (rk + o) % 5
+    (reg(0), reg(1), reg(2))
+  }
+
+  /** Dialect map shared by the network-02/03 files: sitelink
+    * reification, direct-claim dictionary, and the statement layer. */
+  private def reifiedAliases: Map[String, String] = Map(
+    "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+    "schema:name" -> "schema_name", "wikibase:directClaim" -> "directClaim",
+    "fgp:P2" -> "stmt_claim", "fgps:P2" -> "stmt_value",
+    "fgt:P3" -> "in_region", "wdt:P3" -> "in_region", "fgt:P131" -> "in_nation")
+
+  /** kg_sparql_net3 — network-03-federated.rq BYTE-FOR-BYTE: a
+    * BIND-seeded root, the sitelink qid→IRI round trip, two
+    * variable-predicate hops with an UNREFERENCED trailing object
+    * (multiplicity only), the directClaim dictionary on hop 1, and
+    * the statement-node class walk `?item1 fgp:P2 ?statement1 .
+    * ?statement1 (fgps:P2/(wdt:P3*)) ?entities` against the 3-entity
+    * VALUES block — under the label service. */
+  def kgSparqlNet3(spark: SparkSession, dir: String): DataFrame = {
+    val (ra, rb, rc) = net3Anchors(spark, dir)
+    compileOn(spark, reifiedNetworkStatements(spark, dir),
+      parse(referenceText("network-03-federated.rq")),
+      predAliases = reifiedAliases,
+      entityAliases = Map(
+        "fg:Q226350" -> (3L * Triples.NS + net3RootKey),
+        "wd:Q7" -> ra, "wd:Q12" -> rb, "wd:Q11214" -> rc),
+      entityValued = defaultEntityPreds ++ Set("schema_about", "stmt_claim", "stmt_value"))
+  }
+
+  /** Digit offset distinguishing NATION qids from customer qids in
+    * the shared wikidata IRI scheme (`Q<custkey>` vs `Q<offset+k>`):
+    * both sides of network-02's double qid→IRI round trip must map
+    * into ONE remote id space (iriScheme base + digits). */
+  private val wdNationOffset = 1000000000L
+
+  /** network-02's outer store — [[reifiedNetworkStatements]] plus
+    * NATION sitelinks (network-02-starting-point.rq:40–43 runs the
+    * qid→IRI round trip on the statement VALUE too), their qid digits
+    * offset per [[wdNationOffset]]. */
+  def net2Statements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val n = Tables.nation(spark, dir)
+    def nul(t: String) = lit(null).cast(t)
+    val link = (lit(17L * Triples.NS) + col("n_nationkey")).as("s")
+    val about = n.select(link, lit("schema_about").as("p"),
+      Triples.id(Triples.NATION, col("n_nationkey")).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val partOf = n.select(link, lit("schema_ispartof").as("p"), nul("long").as("o_id"),
+      lit("https://www.wikidata.org/").as("o_val"), nul("string").as("lang"))
+    val name = n.select(link, lit("schema_name").as("p"), nul("long").as("o_id"),
+      concat(lit("Q"), (lit(wdNationOffset) + col("n_nationkey")).cast("string")).as("o_val"),
+      nul("string").as("lang"))
+    reifiedNetworkStatements(spark, dir).unionAll(about).unionAll(partOf).unionAll(name)
+  }
+
+  /** The network-02 wikidata stand-in: ONE truthy entity claim per
+    * customer (`wd:customer → wd:nation`), both ids in the shared
+    * qid digit space, so the remote `?wd_item ?wdt1 ?wd_value`
+    * variable-predicate pattern (network-02-starting-point.rq:52)
+    * joins the outer round-tripped IRI strings through the declared
+    * iriScheme. All-entity-edges, declared via the "*" typing
+    * marker. */
+  def wdRelStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    Tables.customer(spark, dir).select(
+      (lit(3L * Triples.NS) + col("c_custkey").cast("long")).as("s"),
+      lit("wd_rel").as("p"),
+      (lit(3L * Triples.NS + wdNationOffset) + col("c_nationkey").cast("long")).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+  }
+
+  /** kg_sparql_net2 — network-02-starting-point.rq BYTE-FOR-BYTE: the
+    * directClaim hop off the BIND-seeded root, the statement-node
+    * class walk against the VALUES entity set, the qid→IRI round trip
+    * on BOTH endpoints (root and value, each through its own sitelink
+    * block), and the remote wikidata SERVICE joining the two IRI
+    * strings back onto remote entity ids under the declared scheme —
+    * under the label service. */
+  def kgSparqlNet2(spark: SparkSession, dir: String): DataFrame = {
+    val (ra, rb, rc) = net3Anchors(spark, dir)
+    compileOn(spark, net2Statements(spark, dir),
+      parse(referenceText("network-02-starting-point.rq")),
+      predAliases = reifiedAliases,
+      entityAliases = Map(
+        "fg:Q225307" -> (3L * Triples.NS + net3RootKey),
+        "fg:Q7" -> ra, "fg:Q12" -> rb, "fg:Q11214" -> rc),
+      entityValued = defaultEntityPreds ++ Set("schema_about", "stmt_claim", "stmt_value"),
+      graphs = Map(wikidataEndpoint -> ServiceGraph(wdRelStatements(spark, dir),
+        entityValued = Set("wd_rel", "*"),
+        iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS)))))
+  }
+
+  // ---- get_factgrid_ids / get_gnd files VERBATIM --------------------
+
+  /** Wikidata FactGrid-ID backlink claims (`?wd_item wdt:P8168
+    * ?factgrid_id`, get_factgrid_ids_from_wikidata.rq:18): every
+    * second customer's wikidata twin carries the FactGrid id STRING —
+    * the literal the file's REPLACE(STR(?fg_item),…) round trip joins
+    * on. Remote ids live in the shared qid digit space so the same
+    * graph also serves the -removena variant's iriScheme join. */
+  def wdFgidStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    Tables.customer(spark, dir).filter(col("c_custkey") % 2 === 0).select(
+      (lit(3L * Triples.NS) + col("c_custkey").cast("long")).as("s"),
+      lit("wd_fgid").as("p"), nul("long").as("o_id"),
+      (lit(3L * Triples.NS) + col("c_custkey").cast("long")).cast("string").as("o_val"),
+      nul("string").as("lang"))
+  }
+
+  /** GND identifier literals on every second customer (`?fg_item
+    * fgt:P76 ?fg_gnd`, get_gnd_from_fg_and_wd.rq:8) over the sitelink
+    * store. */
+  def gndStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    val gnd = Tables.customer(spark, dir).filter(col("c_custkey") % 2 === 0).select(
+      Triples.id(Triples.CUSTOMER, col("c_custkey")).as("s"),
+      lit("gnd").as("p"), nul("long").as("o_id"),
+      concat(lit("GND"), col("c_custkey").cast("string")).as("o_val"),
+      nul("string").as("lang"))
+    sitelinkStatements(spark, dir).unionAll(gnd)
+  }
+
+  /** Wikidata GND claims (`?wd_item wdt:P227 ?wd_gnd`,
+    * get_gnd_from_fg_and_wd.rq:14): every fifth customer's wikidata
+    * twin, same GND scheme as the FactGrid side. */
+  def wdGndStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    Tables.customer(spark, dir).filter(col("c_custkey") % 5 === 0).select(
+      (lit(3L * Triples.NS) + col("c_custkey").cast("long")).as("s"),
+      lit("wd_gnd").as("p"), nul("long").as("o_id"),
+      concat(lit("GND"), col("c_custkey").cast("string")).as("o_val"),
+      nul("string").as("lang"))
+  }
+
+  /** kg_sparql_fgids — get_factgrid_ids_from_wikidata.rq
+    * BYTE-FOR-BYTE: remove-na members WITHOUT a wikidata sitelink
+    * (FILTER NOT EXISTS over the link reification), the
+    * REPLACE(STR(?fg_item)) id-string BIND, and the remote P8168
+    * backlink joined on that literal — the reference's
+    * find-unlinked-items maintenance query. */
+  def kgSparqlFgids(spark: SparkSession, dir: String): DataFrame =
+    compileOn(spark, sitelinkStatements(spark, dir),
+      parse(referenceText("get_factgrid_ids_from_wikidata.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name", "fgt:P131" -> "in_nation"),
+      entityAliases = Map("fg:Q400012" -> (2L * Triples.NS + 3)),
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = Map(wikidataEndpoint -> ServiceGraph(wdFgidStatements(spark, dir),
+        predAliases = Map("wdt:P8168" -> "wd_fgid"))))
+
+  /** kg_sparql_fgids_rna — get_factgrid_ids_from_wikidata-removena.rq
+    * BYTE-FOR-BYTE: remove-na members WITH their sitelink, the
+    * qid→IRI BIND, a three-language label chain plus an AltLabel
+    * column, and a remote OPTIONAL P8168 claim joined through the
+    * declared IRI scheme. */
+  def kgSparqlFgidsRna(spark: SparkSession, dir: String): DataFrame =
+    compileOn(spark, sitelinkStatements(spark, dir),
+      parse(referenceText("get_factgrid_ids_from_wikidata-removena.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name", "fgt:P131" -> "in_nation"),
+      entityAliases = Map("fg:Q400012" -> (2L * Triples.NS + 3)),
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = Map(wikidataEndpoint -> ServiceGraph(wdFgidStatements(spark, dir),
+        predAliases = Map("wdt:P8168" -> "wd_fgid"),
+        iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS)))))
+
+  /** kg_sparql_gnd — get_gnd_from_fg_and_wd.rq BYTE-FOR-BYTE: the
+    * FactGrid GND literal and instance-of hop, a dangling quoted
+    * CONCAT BIND, the qid→IRI round trip, and the remote OPTIONAL
+    * P227 GND claim — the reference's cross-authority identifier
+    * reconciliation query. */
+  def kgSparqlGnd(spark: SparkSession, dir: String): DataFrame =
+    compileOn(spark, gndStatements(spark, dir),
+      parse(referenceText("get_gnd_from_fg_and_wd.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name", "fgt:P131" -> "in_nation",
+        "fgt:P2" -> "in_nation", "fgt:P76" -> "gnd"),
+      entityAliases = Map("fg:Q400012" -> (2L * Triples.NS + 3)),
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = Map(wikidataEndpoint -> ServiceGraph(wdGndStatements(spark, dir),
+        predAliases = Map("wdt:P227" -> "wd_gnd"),
+        iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS)))))
+
+  // ---- compare-factgrid-wikidata files VERBATIM ---------------------
+
+  /** Corresponding-Wikidata-property code per property entity
+    * (`fg:P117 fgt:P343 ?code` — compare-factgrid-wikidata_one_item
+    * .rq:13): the dictionary index offset into wikidata's P-space.
+    * Shared between the store rows, the remote claim predicates, and
+    * the oracle so the three cannot drift. */
+  def corrWdCode(p: String): String = {
+    val id = directClaimProps.find(_._2 == p).getOrElse(
+      throw new IllegalArgumentException(s"'$p' is not a dictionary predicate"))._1
+    s"P${100 + (id - 8L * Triples.NS)}"
+  }
+
+  /** The compare files' outer store — [[net2Statements]] (sitelinks
+    * on items AND values) extended with the `corr_wd` property-
+    * dictionary literals. */
+  def compareStatements(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val corr = directClaimProps.map { case (id, p) => (id, corrWdCode(p)) }
+      .toDF("sid", "code")
+      .select(col("sid").as("s"), lit("corr_wd").as("p"),
+        lit(null).cast("long").as("o_id"), col("code").as("o_val"),
+        lit(null).cast("string").as("lang"))
+    net2Statements(spark, dir).unionAll(corr)
+  }
+
+  /** The compare files' wikidata stand-in: every SECOND customer's
+    * twin carries one claim under the corresponding-property IRI
+    * (predicates in this graph's dialect ARE full IRI strings, so the
+    * outer `BIND(IRI(CONCAT(STR(wdt:), ?code)))` round trip joins the
+    * remote p column directly), its value the nation twin's IRI TEXT
+    * — drifted one nation forward for every FOURTH customer, so
+    * is_same exercises all three verdicts (true / false / null). */
+  def wdCompareStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    val wdNation = when(col("c_custkey") % 4 === 0, (col("c_nationkey") + 1) % 25)
+      .otherwise(col("c_nationkey"))
+    Tables.customer(spark, dir).filter(col("c_custkey") % 2 === 0).select(
+      (lit(3L * Triples.NS) + col("c_custkey").cast("long")).as("s"),
+      lit("http://www.wikidata.org/prop/direct/" + corrWdCode("in_nation")).as("p"),
+      nul("long").as("o_id"),
+      concat(lit("http://www.wikidata.org/entity/Q"),
+        (lit(wdNationOffset) + wdNation).cast("string")).as("o_val"),
+      nul("string").as("lang"))
+  }
+
+  private def compareAliases: (Map[String, String], Map[String, Long]) = (
+    Map("schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+      "schema:name" -> "schema_name",
+      "fgt:P117" -> "in_nation", "fgt:P343" -> "corr_wd"),
+    Map("fg:Q223420" -> (3L * Triples.NS + companionsRootKey),
+      "fg:P117" -> directClaimProps.find(_._2 == "in_nation").get._1))
+
+  private def compareGraphs(spark: SparkSession, dir: String): Map[String, ServiceGraph] =
+    Map(wikidataEndpoint -> ServiceGraph(wdCompareStatements(spark, dir),
+      entityValued = Set("~"),
+      iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS))))
+
+  /** kg_sparql_cmp1 — compare-factgrid-wikidata_one_item.rq
+    * BYTE-FOR-BYTE: a parameterized property (BIND'd predicate
+    * constant substituted into the claim pattern), the property's
+    * corresponding-wikidata code read from the dictionary and
+    * IRI-rendered, the qid→IRI round trip on item AND value, and the
+    * remote OPTIONAL claim under the corresponding-property IRI. */
+  def kgSparqlCmp1(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = compareAliases
+    compileOn(spark, compareStatements(spark, dir),
+      parse(referenceText("compare-factgrid-wikidata_one_item.rq")), pa, ea,
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = compareGraphs(spark, dir))
+  }
+
+  /** kg_sparql_cmp — compare-factgrid-wikidata_many_items.rq
+    * BYTE-FOR-BYTE: as [[kgSparqlCmp1]] over EVERY sitelinked item,
+    * closed by the `IF(?wd_value_from_fg = ?wd_value_from_wd)`
+    * drift verdict (true / false / null-propagating, the reference's
+    * cross-graph consistency report). */
+  def kgSparqlCmp(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = compareAliases
+    compileOn(spark, compareStatements(spark, dir),
+      parse(referenceText("compare-factgrid-wikidata_many_items.rq")), pa, ea,
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = compareGraphs(spark, dir))
+  }
+
+  // ---- persons/orgs_factgrid_wikidata files VERBATIM ----------------
+
+  /** Class entities for the persons/orgs exports: fg:Q7 (person) and
+    * fg:Q12 (organisation) as REAL store entities with labels and
+    * their own sitelinks — customers type as persons, suppliers as
+    * organisations, so the two files' class paths split the item set
+    * the way the reference's do. */
+  private val personClass = 10L * Triples.NS + 7
+  private val orgClass    = 10L * Triples.NS + 12
+  /** Qid digit offsets per remote-entity family (customers use the
+    * bare custkey; nations use [[wdNationOffset]]). */
+  private val wdClassOffset    = 2000000000L
+  private val wdSupplierOffset = 3000000000L
+
+  /** The biographical-export store: [[net2Statements]] plus type
+    * edges (customer→person, supplier→org), class labels+sitelinks,
+    * supplier sitelinks, and the P728/P91/P76 identifier literals the
+    * persons file's OPTIONAL blocks read. */
+  def bioStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val sess = spark; import sess.implicits._
+    def nul(t: String) = lit(null).cast(t)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val ctype = c.select(Triples.id(Triples.CUSTOMER, col("c_custkey")).as("s"),
+      lit("type_of").as("p"), lit(personClass).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val stype = s.select(Triples.id(Triples.SUPPLIER, col("s_suppkey")).as("s"),
+      lit("type_of").as("p"), lit(orgClass).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val classes = Seq((personClass, 7L, "Person"), (orgClass, 12L, "Organisation"))
+      .toDF("cid", "code", "cname")
+    val clabels = classes.select(col("cid").as("s"), lit("label").as("p"),
+      nul("long").as("o_id"), col("cname").as("o_val"), lit("en").as("lang"))
+    val clinks = classes.select((lit(18L * Triples.NS) + col("code")).as("s"),
+        lit("schema_about").as("p"), col("cid").as("o_id"),
+        nul("string").as("o_val"), nul("string").as("lang"))
+      .unionAll(classes.select((lit(18L * Triples.NS) + col("code")).as("s"),
+        lit("schema_ispartof").as("p"), nul("long").as("o_id"),
+        lit("https://www.wikidata.org/").as("o_val"), nul("string").as("lang")))
+      .unionAll(classes.select((lit(18L * Triples.NS) + col("code")).as("s"),
+        lit("schema_name").as("p"), nul("long").as("o_id"),
+        concat(lit("Q"), (lit(wdClassOffset) + col("code")).cast("string")).as("o_val"),
+        nul("string").as("lang")))
+    val s3 = s.filter(col("s_suppkey") % 3 === 0)
+    val slinkId = (lit(19L * Triples.NS) + col("s_suppkey")).as("s")
+    val slinks = s3.select(slinkId, lit("schema_about").as("p"),
+        Triples.id(Triples.SUPPLIER, col("s_suppkey")).as("o_id"),
+        nul("string").as("o_val"), nul("string").as("lang"))
+      .unionAll(s3.select(slinkId, lit("schema_ispartof").as("p"), nul("long").as("o_id"),
+        lit("https://www.wikidata.org/").as("o_val"), nul("string").as("lang")))
+      .unionAll(s3.select(slinkId, lit("schema_name").as("p"), nul("long").as("o_id"),
+        concat(lit("Q"), (lit(wdSupplierOffset) + col("s_suppkey")).cast("string")).as("o_val"),
+        nul("string").as("lang")))
+    def custLit(keep: Column, p: String, v: Column) = c.filter(keep).select(
+      Triples.id(Triples.CUSTOMER, col("c_custkey")).as("s"), lit(p).as("p"),
+      nul("long").as("o_id"), v.cast("string").as("o_val"), nul("string").as("lang"))
+    val forum = custLit(col("c_custkey") % 4 === 0, "forum_id",
+      concat(lit("F"), col("c_custkey")))
+    val member = custLit(col("c_custkey") % 5 === 0, "member_of",
+      concat(lit("M"), col("c_custkey")))
+    val gnd = custLit(col("c_custkey") % 2 === 0, "gnd",
+      concat(lit("GND"), col("c_custkey")))
+    net2Statements(spark, dir).unionAll(ctype).unionAll(stype).unionAll(clabels)
+      .unionAll(clinks).unionAll(slinks).unionAll(forum).unionAll(member).unionAll(gnd)
+  }
+
+  private def bioAliases: (Map[String, String], Map[String, Long]) = (
+    Map("schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+      "schema:name" -> "schema_name",
+      "fgt:P131" -> "in_nation", "fgt:P2" -> "type_of", "fgt:P3" -> "subclass_of",
+      "fgt:P83" -> "in_nation", "fgt:P728" -> "forum_id", "fgt:P452" -> "mktsegment",
+      "fgt:P76" -> "gnd", "fgt:P91" -> "member_of"),
+    Map("fg:Q400012" -> (2L * Triples.NS + 3),
+      "fg:Q7" -> personClass, "fg:Q12" -> orgClass))
+
+  /** kg_sparql_persons — persons_factgrid_wikidata.rq BYTE-FOR-BYTE:
+    * remove-na PERSONS (the class path hits the customer type edge),
+    * three sitelink round trips (item, location, instance-class),
+    * and five identifier OPTIONALs — the reference's biographical
+    * export. */
+  def kgSparqlPersons(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = bioAliases
+    compileOn(spark, bioStatements(spark, dir),
+      parse(referenceText("persons_factgrid_wikidata.rq")), pa, ea,
+      entityValued = defaultEntityPreds ++ Set("schema_about", "type_of", "subclass_of"))
+  }
+
+  /** kg_sparql_orgs — orgs_factgrid_wikidata.rq BYTE-FOR-BYTE: as
+    * [[kgSparqlPersons]] for ORGANISATIONS (suppliers). */
+  def kgSparqlOrgs(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = bioAliases
+    compileOn(spark, bioStatements(spark, dir),
+      parse(referenceText("orgs_factgrid_wikidata.rq")), pa, ea,
+      entityValued = defaultEntityPreds ++ Set("schema_about", "type_of", "subclass_of"))
+  }
+
+  // ---- companions_hirschfeld + db_all_person_relations VERBATIM -----
+
+  private val hirschfeldRootKey = 9L
+
+  /** kg_sparql_hirschfeld — companions_hirschfeld.rq BYTE-FOR-BYTE:
+    * the root's sitelink round trip into the DBpedia graph — sameAs,
+    * wiki-links restricted to persons, the Stefan-Zweig MINUS-regex
+    * exclusion, a regex FILTER on the targets' own sameAs text, and
+    * required thumbnails; the trailing wikidata SERVICE holds one
+    * empty OPTIONAL and drops as a no-op. */
+  def kgSparqlHirschfeld(spark: SparkSession, dir: String): DataFrame =
+    compileOn(spark, sitelinkStatements(spark, dir),
+      parse(referenceText("companions_hirschfeld.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name"),
+      entityAliases = Map("fg:Q225307" -> (3L * Triples.NS + hirschfeldRootKey)),
+      autoLang = "en",
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = Map(dbpediaEndpoint -> dbpediaGraph(spark, dir)))
+
+  /** Family-relation edges per kind (predicate name, key residue,
+    * modulus, target offset): deterministic so the DuckDB twin
+    * regenerates them; the spread of moduli gives the root a
+    * multi-kind household. */
+  private val familyKinds: Seq[(String, Long, Long, Long)] = Seq(
+    ("family_spouse",     0L,  3L, 1L),
+    ("family_partner",    0L,  9L, 2L),
+    ("family_sibling",    0L,  3L, 5L),
+    ("family_mother",     0L,  6L, 3L),
+    ("family_stepmother", 0L, 12L, 7L),
+    ("family_father",     3L,  6L, 3L),
+    ("family_stepfather", 9L, 12L, 7L),
+    ("family_student",    0L,  9L, 4L))
+
+  /** db_all_person_relations.rq's outer store: sitelinks + the family
+    * edge families + the DBpedia mirrors' labels (so the label
+    * service can resolve branch-2 values). */
+  def familyStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    val c = Tables.customer(spark, dir)
+    val keys = c.select(col("c_custkey").cast("long").as("k"))
+    val edges = familyKinds.map { case (p, res, mod, off) =>
+      keys.filter(col("k") % mod === res)
+        .join(c.select(col("c_custkey").cast("long").as("t")), col("t") === col("k") + off)
+        .select((lit(3L * Triples.NS) + col("k")).as("s"), lit(p).as("p"),
+          (lit(3L * Triples.NS) + col("t")).as("o_id"),
+          nul("string").as("o_val"), nul("string").as("lang"))
+    }.reduce(_ unionAll _)
+    val dbpLabels = c.select((lit(9L * Triples.NS) + col("c_custkey")).as("s"),
+      lit("label").as("p"), nul("long").as("o_id"),
+      concat(lit("DBP "), col("c_name")).as("o_val"), lit("en").as("lang"))
+    sitelinkStatements(spark, dir).unionAll(edges).unionAll(dbpLabels)
+  }
+
+  /** The wikidata family graph for db_all_person_relations branch 3:
+    * one family claim per third customer twin (all nine `wdt:` family
+    * VALUES names resolve to it) plus a P18 image literal on every
+    * twin. */
+  def wdFamilyStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    val c = Tables.customer(spark, dir)
+    val keys = c.select(col("c_custkey").cast("long").as("k"))
+    val edges = keys.filter(col("k") % 3 === 0)
+      .join(c.select(col("c_custkey").cast("long").as("t")), col("t") === col("k") + 2)
+      .select((lit(3L * Triples.NS) + col("k")).as("s"), lit("wd_family").as("p"),
+        (lit(3L * Triples.NS) + col("t")).as("o_id"),
+        nul("string").as("o_val"), nul("string").as("lang"))
+    val imgs = c.select(Triples.id(Triples.CUSTOMER, col("c_custkey")).as("s"),
+      lit("wd_img").as("p"), nul("long").as("o_id"),
+      concat(lit("wdimg_"), col("c_custkey").cast("string")).as("o_val"),
+      nul("string").as("lang"))
+    edges.unionAll(imgs)
+  }
+
+  /** kg_sparql_family — db_all_person_relations.rq BYTE-FOR-BYTE: a
+    * three-branch UNION reading the same person's relations from
+    * THREE graphs — factgrid family edges via a nine-name VALUES
+    * predicate block, DBpedia via the thirteen dbo: relation names,
+    * wikidata via nine wdt: names through the IRI scheme — each
+    * branch OPTIONAL, images required per branch, under the label
+    * service. */
+  def kgSparqlFamily(spark: SparkSession, dir: String): DataFrame =
+    compileOn(spark, familyStatements(spark, dir),
+      parse(referenceText("db_all_person_relations.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name",
+        "fgt:P84" -> "family_spouse", "fgt:P117" -> "family_partner",
+        "fgt:P203" -> "family_sibling", "fgt:P142" -> "family_mother",
+        "fgt:P313" -> "family_stepmother", "fgt:P141" -> "family_father",
+        "fgt:P312" -> "family_stepfather", "fgt:P190" -> "family_student",
+        "fgt:P189" -> "mktsegment"),
+      entityAliases = Map("fg:Q223420" -> (3L * Triples.NS + hirschfeldRootKey)),
+      autoLang = "de",
+      entityValued = defaultEntityPreds ++ Set("schema_about") ++
+        familyKinds.map(_._1).toSet,
+      graphs = Map(
+        dbpediaEndpoint -> dbpediaGraph(spark, dir),
+        wikidataEndpoint -> ServiceGraph(wdFamilyStatements(spark, dir),
+          predAliases = Seq("P26", "P22", "P25", "P40", "P451", "P1038", "P1066",
+            "P1290", "P3373", "P3448").map(p => s"wdt:$p" -> "wd_family").toMap +
+            ("wdt:P18" -> "wd_img"),
+          entityValued = Set("wd_family"),
+          iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS)))))
+
+  // ---- get_all_properties files VERBATIM ----------------------------
+
+  private val propGroupA = 10L * Triples.NS + 30
+  private val propGroupB = 10L * Triples.NS + 31
+
+  /** Property-dictionary metadata store
+    * (get_all_properties_with_corresponding_prop.rq): each direct-
+    * claim property entity with its label, `wikibase:propertyType`,
+    * corresponding-wikidata code, and a part-of grouping edge
+    * (alternating two labeled groups — fg:Q100632 is the person-
+    * properties group the person variant filters on). */
+  def propMetaStatements(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark; import sess.implicits._
+    def nul(t: String) = lit(null).cast(t)
+    val props = directClaimProps.zipWithIndex
+      .map { case ((id, p), i) => (id, p, corrWdCode(p), i.toLong) }
+      .toDF("pid", "pname", "code", "idx")
+    val labels = props.select(col("pid").as("s"), lit("label").as("p"),
+      nul("long").as("o_id"), col("pname").as("o_val"), lit("en").as("lang"))
+    val ptype = props.select(col("pid").as("s"), lit("prop_type").as("p"),
+      nul("long").as("o_id"), lit("WikibaseItem").as("o_val"), nul("string").as("lang"))
+    val corr = props.select(col("pid").as("s"), lit("corr_wd").as("p"),
+      nul("long").as("o_id"), col("code").as("o_val"), nul("string").as("lang"))
+    val partOf = props.select(col("pid").as("s"), lit("part_of").as("p"),
+      when(col("idx") % 2 === 0, propGroupA).otherwise(propGroupB).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val groups = Seq((propGroupA, "Property group A"), (propGroupB, "Property group B"))
+      .toDF("gid", "gname")
+      .select(col("gid").as("s"), lit("label").as("p"), nul("long").as("o_id"),
+        col("gname").as("o_val"), lit("en").as("lang"))
+    Triples.statements(spark, dir).unionAll(labels).unionAll(ptype)
+      .unionAll(corr).unionAll(partOf).unionAll(groups)
+  }
+
+  private def propMetaAliases: (Map[String, String], Map[String, Long]) = (
+    Map("fgt:P343" -> "corr_wd", "wikibase:propertyType" -> "prop_type",
+      "fgt:P8" -> "part_of"),
+    Map("fg:Q100632" -> propGroupA))
+
+  /** kg_sparql_props — get_all_properties_with_corresponding_prop.rq
+    * BYTE-FOR-BYTE: the whole property dictionary with labels, types,
+    * wikidata correspondence IRIs, and the part-of grouping under the
+    * label service (LIMIT 314 is a no-op above the dictionary
+    * size). */
+  def kgSparqlProps(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = propMetaAliases
+    compileOn(spark, propMetaStatements(spark, dir),
+      parse(referenceText("get_all_properties_with_corresponding_prop.rq")), pa, ea,
+      entityValued = defaultEntityPreds + "part_of")
+  }
+
+  /** kg_sparql_props_person —
+    * get_all_properties_person_with_corresponding_prop.rq
+    * BYTE-FOR-BYTE: the person-group slice of the dictionary; the
+    * file's `ORDER BY (?PropertyLabel)` names an unbound variable
+    * (the reference's own typo) — endpoint semantics make it a no-op
+    * sort, which the compiler honors. */
+  def kgSparqlPropsPerson(spark: SparkSession, dir: String): DataFrame = {
+    val (pa, ea) = propMetaAliases
+    compileOn(spark, propMetaStatements(spark, dir),
+      parse(referenceText("get_all_properties_person_with_corresponding_prop.rq")), pa, ea,
+      entityValued = defaultEntityPreds + "part_of")
+  }
+
   /** Unreferenced-object text — network-03's trailing `?item1 ?fgt2
     * ?item2` where ?item2 is never projected, joined, filtered, or
     * labeled: the scan binds nothing for it and keeps EVERY statement
@@ -2410,7 +3062,10 @@ object Sparql {
     def nul(t: String) = lit(null).cast(t)
     val DB = 9L * Triples.NS
     val linked = c.filter(col("c_custkey") % 3 === 0)
-    val sameas = linked.select((lit(DB) + col("c_custkey")).as("s"),
+    // EVERY mirror carries its wikidata sameAs (hirschfeld's wikilink
+    // TARGETS need one; companions only ever joins the root's row, so
+    // its result is unchanged by the wider coverage)
+    val sameas = c.select((lit(DB) + col("c_custkey")).as("s"),
       lit("owl_sameas").as("p"), nul("long").as("o_id"),
       concat(lit("http://www.wikidata.org/entity/Q"), col("c_custkey")).as("o_val"),
       nul("string").as("lang"))
@@ -2471,15 +3126,25 @@ object Sparql {
       entityAliases = Map("wd:Q5" -> regionA, "wd:Q43229" -> regionB),
       entityValued = defaultEntityPreds,
       iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS))),
-    dbpediaEndpoint -> ServiceGraph(dbpediaStatements(spark, dir),
+    dbpediaEndpoint -> dbpediaGraph(spark, dir))
+
+  /** The DBpedia stand-in as a registered federation target — shared
+    * by companions, hirschfeld, and db_all_person_relations (the
+    * latter's 13 `dbo:` person-relation VALUES names all resolve to
+    * the wiki-link edge, this graph's relation stand-in). */
+  def dbpediaGraph(spark: SparkSession, dir: String): ServiceGraph =
+    ServiceGraph(dbpediaStatements(spark, dir),
       predAliases = Map(
         "owl:sameAs" -> "owl_sameas",
         "dbo:wikiPageWikiLink" -> "db_wikilink",
         "a" -> "db_type",
         "rdfs:label" -> "db_label",
-        "dbo:thumbnail" -> "db_thumb"),
+        "dbo:thumbnail" -> "db_thumb") ++
+        Seq("partner", "relation", "relative", "child", "spouse", "parent",
+          "opponent", "affair", "colleague", "friend", "sibling", "spouseName",
+          "student").map(n => s"dbo:$n" -> "db_wikilink"),
       entityAliases = Map("dbo:Person" -> (10L * Triples.NS + 1)),
-      entityValued = Set("db_wikilink", "db_type")))
+      entityValued = Set("db_wikilink", "db_type"))
 
   /** kg_sparql_companions — companions_and_relations.rq, the
     * reference's FLAGSHIP query, BYTE-FOR-BYTE from its file: the
@@ -2512,6 +3177,19 @@ object Sparql {
     "kg_sparql_companions"  -> (kgSparqlCompanions _),
     "kg_sparql_wikilinks"   -> (kgSparqlWikilinks _),
     "kg_sparql_wikilinks_rna" -> (kgSparqlWikilinksRna _),
+    "kg_sparql_net3"        -> (kgSparqlNet3 _),
+    "kg_sparql_net2"        -> (kgSparqlNet2 _),
+    "kg_sparql_fgids"       -> (kgSparqlFgids _),
+    "kg_sparql_fgids_rna"   -> (kgSparqlFgidsRna _),
+    "kg_sparql_gnd"         -> (kgSparqlGnd _),
+    "kg_sparql_cmp1"        -> (kgSparqlCmp1 _),
+    "kg_sparql_cmp"         -> (kgSparqlCmp _),
+    "kg_sparql_persons"     -> (kgSparqlPersons _),
+    "kg_sparql_orgs"        -> (kgSparqlOrgs _),
+    "kg_sparql_props"       -> (kgSparqlProps _),
+    "kg_sparql_props_person" -> (kgSparqlPropsPerson _),
+    "kg_sparql_hirschfeld"  -> (kgSparqlHirschfeld _),
+    "kg_sparql_family"      -> (kgSparqlFamily _),
     "kg_sparql_net0"        -> (kgSparqlNet0 _),
     "kg_sparql_net1"        -> (kgSparqlNet1 _),
     "kg_sparql_pred_free"   -> (kgSparqlPredFree _),
@@ -2637,7 +3315,7 @@ object Sparql {
        |    ON w.wid = CAST(substring(r.wd_item, 33) AS BIGINT) + $CUST),
        |db_sameas AS (SELECT CAST($DB + c_custkey AS BIGINT) AS s,
        |    'http://www.wikidata.org/entity/Q' || c_custkey AS o_val
-       |  FROM customer WHERE c_custkey % 3 = 0),
+       |  FROM customer),
        |db_wikilink AS (SELECT CAST($DB + l.c_custkey AS BIGINT) AS s,
        |    CAST($DB + t.c_custkey AS BIGINT) AS o_id
        |  FROM customer l JOIN customer t
@@ -2712,10 +3390,284 @@ object Sparql {
        |  CASE WHEN ck % 5 = 0 THEN 'es ' || lbl END AS "Seswiki"
        |FROM items""".stripMargin
 
+  /** DuckDB twin of the compare files: the sitelinked item set, the
+    * dictionary's corresponding-property rendering, both IRI round
+    * trips, the drifted remote claim (every 4th customer one nation
+    * forward, every odd customer claimless), and — for the many-items
+    * variant — the three-valued is_same verdict. */
+  private def compareOracle(oneItem: Boolean): String = {
+    val code = corrWdCode("in_nation")
+    val rootFilter = if (oneItem) s"AND c_custkey = $companionsRootKey" else ""
+    val wdItemCol =
+      if (oneItem) ""
+      else "\n  'http://www.wikidata.org/entity/Q' || i.c_custkey AS wd_item,"
+    val isSameCol =
+      if (oneItem) ""
+      else """,
+  CASE WHEN 'http://www.wikidata.org/entity/Q' || (1000000000 + i.c_nationkey) = wd
+       THEN 'true'
+       WHEN 'http://www.wikidata.org/entity/Q' || (1000000000 + i.c_nationkey) <> wd
+       THEN 'false' END AS is_same"""
+    s"""$T,
+       |best AS (SELECT s, o_val FROM (
+       |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+       |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+       |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1),
+       |items AS (SELECT c_custkey, c_nationkey,
+       |    CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS fg_item,
+       |    CASE WHEN c_custkey % 2 = 0 THEN 'http://www.wikidata.org/entity/Q' ||
+       |      (1000000000 + CASE WHEN c_custkey % 4 = 0
+       |        THEN (c_nationkey + 1) % 25 ELSE c_nationkey END) END AS wd
+       |  FROM customer WHERE c_custkey % 3 = 0 $rootFilter)
+       |SELECT DISTINCT i.fg_item,
+       |  COALESCE(b.o_val, CAST(i.fg_item AS VARCHAR)) AS "fg_itemLabel",$wdItemCol
+       |  'in_nation' AS fg_property,
+       |  'http://www.wikidata.org/prop/direct/$code' AS wd_property,
+       |  CAST(${2L * Triples.NS} + i.c_nationkey AS BIGINT) AS fg_value,
+       |  'http://www.wikidata.org/entity/Q' || (1000000000 + i.c_nationkey) AS wd_value_from_fg,
+       |  i.wd AS wd_value_from_wd$isSameCol
+       |FROM items i LEFT JOIN best b ON b.s = i.fg_item""".stripMargin
+  }
+
+  /** VALUES list of (id, name, idx) for the property dictionary —
+    * shared by both get_all_properties oracles. */
+  private def propValuesSql: String = directClaimProps.zipWithIndex
+    .map { case ((id, p), i) => s"($id, '$p', $i)" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "kg_sparql_props" ->
+      s"""WITH props AS (SELECT * FROM (VALUES $propValuesSql) AS v(pid, pname, idx))
+         |SELECT CAST(pid AS BIGINT) AS fg_property,
+         |  pname AS "fg_propertyLabel",
+         |  'WikibaseItem' AS fg_property_type,
+         |  CAST(NULL AS VARCHAR) AS "fg_propertyDescription",
+         |  'http://www.wikidata.org/prop/direct/P' || (100 + idx) AS wd_property,
+         |  CAST(CASE WHEN idx % 2 = 0 THEN $propGroupA ELSE $propGroupB END AS BIGINT)
+         |    AS fg_part_of,
+         |  CASE WHEN idx % 2 = 0 THEN 'Property group A'
+         |    ELSE 'Property group B' END AS "fg_part_ofLabel"
+         |FROM props""".stripMargin,
+    "kg_sparql_props_person" ->
+      s"""WITH props AS (SELECT * FROM (VALUES $propValuesSql) AS v(pid, pname, idx))
+         |SELECT CAST(pid AS BIGINT) AS fg_property,
+         |  pname AS "fg_propertyLabel",
+         |  CAST(NULL AS VARCHAR) AS "fg_propertyDescription",
+         |  'http://www.wikidata.org/prop/direct/P' || (100 + idx) AS wd_property
+         |FROM props WHERE idx % 2 = 0""".stripMargin,
+    "kg_sparql_hirschfeld" ->
+      s"""WITH root AS (SELECT c_custkey AS rk FROM customer
+         |  WHERE c_custkey = $hirschfeldRootKey AND c_custkey % 3 = 0),
+         |tgt AS (SELECT t.c_custkey AS t FROM root r
+         |  JOIN customer t ON t.c_custkey IN (r.rk + 1, r.rk + 2)
+         |  WHERE t.c_custkey % 2 = 0 AND t.c_custkey % 5 = 0)
+         |SELECT DISTINCT CAST(${9L * Triples.NS} + t AS BIGINT) AS db_wikilink,
+         |  'thumb_' || t || '.jpg' AS image FROM tgt""".stripMargin,
+    "kg_sparql_family" -> {
+      val CUST = 3L * Triples.NS; val DB = 9L * Triples.NS
+      val famCtes = familyKinds.map { case (_, res, mod, off) =>
+        s"""SELECT t.c_custkey AS t FROM root r
+           |    JOIN customer t ON r.rk % $mod = $res AND t.c_custkey = r.rk + $off"""
+          .stripMargin
+      }.mkString("\n  UNION ALL ")
+      s"""$T,
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1),
+         |root AS (SELECT c_custkey AS rk FROM customer
+         |  WHERE c_custkey = $hirschfeldRootKey AND c_custkey % 3 = 0),
+         |rl AS (SELECT COALESCE(b.o_val, CAST($CUST + r.rk AS VARCHAR)) AS fl
+         |  FROM root r LEFT JOIN best b ON b.s = $CUST + r.rk),
+         |fam AS (
+         |  $famCtes),
+         |b1 AS (SELECT CAST($CUST + f.t AS BIGINT) AS value,
+         |    COALESCE(bv.o_val, CAST($CUST + f.t AS VARCHAR)) AS vl,
+         |    c.c_mktsegment AS image
+         |  FROM fam f JOIN customer c ON c.c_custkey = f.t
+         |  LEFT JOIN best bv ON bv.s = $CUST + f.t),
+         |b2 AS (SELECT CAST($DB + t.c_custkey AS BIGINT) AS value,
+         |    'DBP ' || t.c_name AS vl,
+         |    'thumb_' || t.c_custkey || '.jpg' AS image
+         |  FROM root r JOIN customer t ON t.c_custkey IN (r.rk + 1, r.rk + 2)
+         |  WHERE t.c_custkey % 5 = 0),
+         |b3 AS (SELECT CAST($CUST + t.c_custkey AS BIGINT) AS value,
+         |    COALESCE(bv.o_val, CAST($CUST + t.c_custkey AS VARCHAR)) AS vl,
+         |    'wdimg_' || t.c_custkey AS image
+         |  FROM root r JOIN customer t ON r.rk % 3 = 0 AND t.c_custkey = r.rk + 2
+         |  LEFT JOIN best bv ON bv.s = $CUST + t.c_custkey)
+         |SELECT DISTINCT (SELECT fl FROM rl) AS "fg_itemLabel",
+         |  u.value, u.vl AS "valueLabel", u.image
+         |FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2
+         |  UNION ALL SELECT * FROM b3) u""".stripMargin
+    },
     "kg_sparql_companions" -> companionsOracle,
     "kg_sparql_wikilinks" -> wikilinksOracle("n.n_regionkey = 1"),
     "kg_sparql_wikilinks_rna" -> wikilinksOracle("n.n_nationkey = 3"),
+    // net-03: root's dictionary-resolved hop into its nation, gated by
+    // the statement-node class walk (nation's membership-statement
+    // region in the anchor set — derived from the root, like the
+    // Scala side), then the label coalesces. The reified statement
+    // rows are Scala-synthesized from the nation table, so the twin
+    // walks nation directly.
+    "kg_sparql_net3" ->
+      s"""$T,
+         |props AS (SELECT * FROM (VALUES ${directClaimProps
+             .map { case (id, p) => s"($id, '$p')" }.mkString(", ")}) AS v(prop, rel)),
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1),
+         |root AS (SELECT CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS s
+         |  FROM customer WHERE c_custkey = $net3RootKey AND c_custkey % 3 = 0),
+         |anch AS (SELECT n.n_regionkey AS r0 FROM customer c
+         |  JOIN nation n ON n.n_nationkey = c.c_nationkey WHERE c.c_custkey = $net3RootKey),
+         |h AS (SELECT s, p, o_id FROM triples WHERE o_id IS NOT NULL),
+         |j AS (SELECT r.s AS fg_item, pr.prop AS property1, t1.o_id AS item1
+         |  FROM root r
+         |  JOIN h t1 ON t1.s = r.s
+         |  JOIN props pr ON pr.rel = t1.p
+         |  JOIN nation n2 ON CAST(${2L * Triples.NS} + n2.n_nationkey AS BIGINT) = t1.o_id
+         |  JOIN anch a ON n2.n_regionkey IN (a.r0, (a.r0 + 1) % 5, (a.r0 + 2) % 5))
+         |SELECT DISTINCT j.fg_item,
+         |  COALESCE(bR.o_val, CAST(j.fg_item AS VARCHAR)) AS "fg_itemLabel",
+         |  j.property1 AS property1,
+         |  COALESCE(bp.o_val, CAST(j.property1 AS VARCHAR)) AS "property1Label",
+         |  j.item1 AS item1,
+         |  COALESCE(b1.o_val, CAST(j.item1 AS VARCHAR)) AS "item1Label"
+         |FROM j LEFT JOIN best bR ON bR.s = j.fg_item
+         |LEFT JOIN best bp ON bp.s = j.property1
+         |LEFT JOIN best b1 ON b1.s = j.item1""".stripMargin,
+    // net-02: as net-03's walk but projecting the dictionary hop's
+    // VALUE plus the qid→IRI round trip on both endpoints; the remote
+    // wikidata claim (customer→nation) holds by construction for
+    // every customer, so the SERVICE join keeps the row iff the
+    // round-tripped ids pair up — which the twin recomputes directly.
+    "kg_sparql_net2" ->
+      s"""$T,
+         |props AS (SELECT * FROM (VALUES ${directClaimProps
+             .map { case (id, p) => s"($id, '$p')" }.mkString(", ")}) AS v(prop, rel)),
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1),
+         |root AS (SELECT CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS s, c_custkey
+         |  FROM customer WHERE c_custkey = $net3RootKey AND c_custkey % 3 = 0),
+         |anch AS (SELECT n.n_regionkey AS r0 FROM customer c
+         |  JOIN nation n ON n.n_nationkey = c.c_nationkey WHERE c.c_custkey = $net3RootKey),
+         |h AS (SELECT s, p, o_id FROM triples WHERE o_id IS NOT NULL),
+         |j AS (SELECT r.s AS fg_item, pr.prop AS property, t1.o_id AS fg_value,
+         |    'http://www.wikidata.org/entity/Q' || r.c_custkey AS wd_item,
+         |    'http://www.wikidata.org/entity/Q' || ($wdNationOffset + n2.n_nationkey) AS wd_value
+         |  FROM root r
+         |  JOIN h t1 ON t1.s = r.s
+         |  JOIN props pr ON pr.rel = t1.p
+         |  JOIN nation n2 ON CAST(${2L * Triples.NS} + n2.n_nationkey AS BIGINT) = t1.o_id
+         |  JOIN anch a ON n2.n_regionkey IN (a.r0, (a.r0 + 1) % 5, (a.r0 + 2) % 5))
+         |SELECT j.fg_item,
+         |  COALESCE(bR.o_val, CAST(j.fg_item AS VARCHAR)) AS "fg_itemLabel",
+         |  j.property AS property,
+         |  COALESCE(bp.o_val, CAST(j.property AS VARCHAR)) AS "propertyLabel",
+         |  j.fg_value AS fg_value,
+         |  COALESCE(bv.o_val, CAST(j.fg_value AS VARCHAR)) AS "fg_valueLabel",
+         |  j.wd_item AS wd_item, j.wd_value AS wd_value
+         |FROM j LEFT JOIN best bR ON bR.s = j.fg_item
+         |LEFT JOIN best bp ON bp.s = j.property
+         |LEFT JOIN best bv ON bv.s = j.fg_value""".stripMargin,
+    "kg_sparql_fgids" ->
+      s"""$T,
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1)
+         |SELECT DISTINCT CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS fg_item,
+         |  COALESCE(b.o_val, CAST(${3L * Triples.NS} + c_custkey AS VARCHAR)) AS "fg_itemLabel",
+         |  CAST(${3L * Triples.NS} + c_custkey AS VARCHAR) AS fg_item_as_string,
+         |  CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS wd_item
+         |FROM customer c LEFT JOIN best b ON b.s = ${3L * Triples.NS} + c_custkey
+         |WHERE c_nationkey = 3 AND c_custkey % 3 <> 0 AND c_custkey % 2 = 0""".stripMargin,
+    "kg_sparql_fgids_rna" ->
+      s"""$T,
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1)
+         |SELECT DISTINCT CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS fg_item,
+         |  COALESCE(b.o_val, CAST(${3L * Triples.NS} + c_custkey AS VARCHAR)) AS "fg_itemLabel",
+         |  CAST(NULL AS VARCHAR) AS "fg_itemAltLabel",
+         |  'http://www.wikidata.org/entity/Q' || c_custkey AS wd_item,
+         |  CASE WHEN c_custkey % 2 = 0
+         |    THEN CAST(${3L * Triples.NS} + c_custkey AS VARCHAR) END AS wd_fg_id
+         |FROM customer c LEFT JOIN best b ON b.s = ${3L * Triples.NS} + c_custkey
+         |WHERE c_nationkey = 3 AND c_custkey % 3 = 0""".stripMargin,
+    "kg_sparql_gnd" ->
+      s"""$T,
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1)
+         |SELECT DISTINCT CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS fg_item,
+         |  COALESCE(b.o_val, CAST(${3L * Triples.NS} + c_custkey AS VARCHAR)) AS "fg_itemLabel",
+         |  'GND' || c_custkey AS fg_gnd,
+         |  CASE WHEN c_custkey % 5 = 0 THEN 'GND' || c_custkey END AS wd_gnd,
+         |  'http://www.wikidata.org/entity/Q' || c_custkey AS wd_item,
+         |  CAST(${2L * Triples.NS} + c_nationkey AS BIGINT) AS instance,
+         |  COALESCE(bn.o_val, CAST(${2L * Triples.NS} + c_nationkey AS VARCHAR)) AS "instanceLabel"
+         |FROM customer c
+         |LEFT JOIN best b ON b.s = ${3L * Triples.NS} + c_custkey
+         |LEFT JOIN best bn ON bn.s = ${2L * Triples.NS} + c_nationkey
+         |WHERE c_nationkey = 3 AND c_custkey % 3 = 0 AND c_custkey % 2 = 0""".stripMargin,
+    "kg_sparql_cmp1" -> compareOracle(oneItem = true),
+    "kg_sparql_cmp" -> compareOracle(oneItem = false),
+    "kg_sparql_persons" ->
+      s"""$T,
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1),
+         |nl AS (SELECT n_name FROM nation WHERE n_nationkey = 3)
+         |SELECT DISTINCT CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS fg_item,
+         |  COALESCE(b.o_val, CAST(${3L * Triples.NS} + c_custkey AS VARCHAR)) AS "fg_itemLabel",
+         |  CAST(NULL AS VARCHAR) AS "fg_itemDescription",
+         |  CAST(NULL AS VARCHAR) AS "fg_itemAltLabel",
+         |  CASE WHEN c_custkey % 3 = 0
+         |    THEN 'http://www.wikidata.org/entity/Q' || c_custkey END AS wd_item,
+         |  CAST(${2L * Triples.NS + 3} AS BIGINT) AS location,
+         |  (SELECT n_name FROM nl) AS "locationLabel",
+         |  'http://www.wikidata.org/entity/Q${wdNationOffset + 3}' AS wd_location,
+         |  CAST($personClass AS BIGINT) AS instance,
+         |  'Person' AS "instanceLabel",
+         |  'http://www.wikidata.org/entity/Q${wdClassOffset + 7}' AS wd_instance,
+         |  CASE WHEN c_custkey % 4 = 0 THEN 'F' || c_custkey END AS fg_forum_id,
+         |  c_mktsegment AS field_of_work,
+         |  CASE WHEN c_custkey % 2 = 0 THEN 'GND' || c_custkey END AS fg_gnd,
+         |  CASE WHEN c_custkey % 5 = 0 THEN 'M' || c_custkey END AS member
+         |FROM customer c
+         |LEFT JOIN best b ON b.s = ${3L * Triples.NS} + c_custkey
+         |WHERE c_nationkey = 3""".stripMargin,
+    "kg_sparql_orgs" ->
+      s"""$T,
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1),
+         |nl AS (SELECT n_name FROM nation WHERE n_nationkey = 3)
+         |SELECT DISTINCT CAST(${4L * Triples.NS} + s_suppkey AS BIGINT) AS fg_item,
+         |  COALESCE(b.o_val, CAST(${4L * Triples.NS} + s_suppkey AS VARCHAR)) AS "fg_itemLabel",
+         |  CAST(NULL AS VARCHAR) AS "fg_itemDescription",
+         |  CAST(NULL AS VARCHAR) AS "fg_itemAltLabel",
+         |  CASE WHEN s_suppkey % 3 = 0 THEN 'http://www.wikidata.org/entity/Q' ||
+         |    ($wdSupplierOffset + s_suppkey) END AS wd_item,
+         |  CAST(${2L * Triples.NS + 3} AS BIGINT) AS location,
+         |  (SELECT n_name FROM nl) AS "locationLabel",
+         |  'http://www.wikidata.org/entity/Q${wdNationOffset + 3}' AS wd_location,
+         |  CAST($orgClass AS BIGINT) AS instance,
+         |  'Organisation' AS "instanceLabel",
+         |  'http://www.wikidata.org/entity/Q${wdClassOffset + 12}' AS wd_instance,
+         |  CAST(NULL AS VARCHAR) AS fg_forum_id,
+         |  CAST(NULL AS VARCHAR) AS field_of_work
+         |FROM supplier s
+         |LEFT JOIN best b ON b.s = ${4L * Triples.NS} + s_suppkey
+         |WHERE s_nationkey = 3""".stripMargin,
     "kg_sparql_net0" -> networkOracle(
       s"SELECT ${3L * Triples.NS + 7} AS s"),
     "kg_sparql_net1" -> networkOracle(

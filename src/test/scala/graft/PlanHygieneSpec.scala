@@ -22,7 +22,19 @@ class PlanHygieneSpec extends SparkSpec {
     "q_gap_fill"          -> "calendar axis × type dictionary (both bounded)",
     "kg_sparql_net0"      -> "1-row label lookup broadcast for the BIND-constant root",
     "kg_sparql_companions" -> ("UNION-branch products over the 1-row seed-bound " +
-      "sitelink root (a SPARQL-legal product; each branch multiplies one row)"))
+      "sitelink root (a SPARQL-legal product; each branch multiplies one row)"),
+    "kg_sparql_net2"      -> ("BGP components bridged only by the substituted root " +
+      "constant — each component is constant-seeded, product of bounded lookups"),
+    "kg_sparql_net3"      -> ("BGP components bridged only by the substituted root " +
+      "constant — each component is constant-seeded, product of bounded lookups"),
+    "kg_sparql_cmp1"      -> ("1-row root + 1-row dictionary-constant components " +
+      "(constant-seeded broadcast products)"),
+    "kg_sparql_cmp"       -> ("the dictionary-constant corr-code lookup is a 1-row " +
+      "constant-seeded component broadcast into every item row"),
+    "kg_sparql_hirschfeld" -> ("per-row OPTIONAL-SERVICE left join over the 1-row " +
+      "seed-bound root"),
+    "kg_sparql_family"    -> ("UNION-branch products over the 1-row seed-bound root " +
+      "(each branch multiplies one row)"))
 
   test("no query plans a cartesian product; nested-loop joins only where bounded by design") {
     val offenders = scala.collection.mutable.ListBuffer[String]()

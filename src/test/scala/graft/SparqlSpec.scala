@@ -770,6 +770,32 @@ class SparqlSpec extends SparkSpec {
     assert(rows.forall(r => r.getAs[String]("fg_itemLabel") != null))
   }
 
+  test("network-02/03 run VERBATIM: statement-node class walk + double IRI round trip") {
+    val n3 = Sparql.kgSparqlNet3(spark, sf)
+    assert(n3.columns.toSeq == Seq("fg_item", "fg_itemLabel", "property1",
+      "property1Label", "item1", "item1Label"))
+    val r3 = n3.collect()
+    assert(r3.nonEmpty)
+    // the hop property resolves through the directClaim dictionary
+    assert(r3.forall(_.getAs[Long]("property1") >= 8L * 1000000000000L))
+    val n2 = Sparql.kgSparqlNet2(spark, sf)
+    assert(n2.columns.toSeq == Seq("fg_item", "fg_itemLabel", "property",
+      "propertyLabel", "fg_value", "fg_valueLabel", "wd_item", "wd_value"))
+    val r2 = n2.collect()
+    assert(r2.nonEmpty)
+    // the remote SERVICE join survived the double qid→IRI round trip:
+    // both endpoints carry wikidata IRIs and the value qid sits in the
+    // offset digit space
+    assert(r2.forall(_.getAs[String]("wd_item")
+      .startsWith("http://www.wikidata.org/entity/Q")))
+    assert(r2.forall(_.getAs[String]("wd_value")
+      .startsWith("http://www.wikidata.org/entity/Q1")))
+    // an UNSEEDED disconnected component must stay a loud reject
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      "SELECT ?a ?b WHERE { ?a in_nation ?n . ?x in_region ?b . }"))
+    assert(e.getMessage.contains("not constant-seeded"))
+  }
+
   test("verbatim network files + the typing rules that make them runnable") {
     // network-00/01 run byte-for-byte through their dialect maps
     val n0 = Sparql.kgSparqlNet0(spark, sf)
