@@ -903,6 +903,11 @@ object Sparql {
             s"VALUES over predicate variable ?$v must list predicate names, got $other")
         }
     }.toMap
+    // subjects across all groups — the graph typing markers ("*"/"~")
+    // only fill in for vars with no subject site (a blank statement
+    // NODE object is a subject downstream and stays an entity)
+    val subjectVars: Set[String] =
+      allGroups.flatten.collect { case p0 => p0.s }.collect { case V(n) => n }.toSet
     val varKinds = allGroups.flatten.flatMap { p0 =>
       val pKind = if (isVarPred(p0.p)) Seq(p0.p.drop(1) -> "predicate") else Nil
       val oKind = p0.o match {
@@ -922,8 +927,8 @@ object Sparql {
             // entities instead of rejecting. "~" is the literal twin
             // (the compare files' wikidata stand-in carries IRI TEXT
             // values so the is_same comparison is string-vs-string).
-            case None if entityPreds("*") => Seq(n -> "entity")
-            case None if entityPreds("~") => Seq(n -> "literal")
+            case None if entityPreds("*") && !subjectVars(n) => Seq(n -> "entity")
+            case None if entityPreds("~") && !subjectVars(n) => Seq(n -> "literal")
             case None => Nil
           }
         case V(_) if p0.p.startsWith("!") => Nil // negated set: typing from other sites
@@ -1174,8 +1179,13 @@ object Sparql {
             "nothing — use an entity alias")
         case Lit(v) => df = df.filter(col("o_val") === v)
       }
-      require(cols.nonEmpty, s"pattern binds no variables: $p0")
-      df.select(cols.toSeq: _*)
+      // an ALL-CONSTANT pattern (a BIND-seeded root meeting a constant
+      // class edge — time-items.rq's `?fg_item fgt:P131 fg:Q400012`
+      // after substitution) is an existence check: a 1-row marker
+      // frame that product-joins in (and empties the result when the
+      // triple is absent)
+      if (cols.isEmpty) df.limit(1).select(lit(true).as(s"_ex_${math.abs(p0.hashCode)}"))
+      else df.select(cols.toSeq: _*)
     }
 
     def joinKeys(a: DataFrame, b: DataFrame): Seq[String] =
@@ -2943,6 +2953,227 @@ object Sparql {
           entityValued = Set("wd_family"),
           iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS)))))
 
+  // ---- time-items.rq VERBATIM ---------------------------------------
+
+  private val birthProp  = 8L * Triples.NS + 20
+  private val bestRankCls = 10L * Triples.NS + 40
+
+  /** The smallest sitelinked remove-na member — time-items.rq's
+    * `fg:Q376282` root, derived from the data (query-sized driver
+    * lookup, the companionAnchors contract). */
+  private def timeRootKey(spark: SparkSession, dir: String): Long = {
+    import graft.sources.Tables
+    Tables.customer(spark, dir)
+      .filter(col("c_nationkey") === 3 && col("c_custkey") % 3 === 0)
+      .agg(min(col("c_custkey")).cast("long")).head().getLong(0)
+  }
+
+  /** The time-items outer store: sitelinks + the birth-date statement
+    * layer — truthy literal (`fgt:P38`), statement node with BestRank
+    * typing (`fgp:P38` / `a wikibase:BestRank`), value node with its
+    * timePrecision qualifier (`fgpsv:P38` / `wikibase:timePrecision`,
+    * day for even keys, year for odd) — plus the P38 property
+    * entity's type and corresponding-wikidata code. */
+  def timeStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val sess = spark; import sess.implicits._
+    def nul(t: String) = lit(null).cast(t)
+    val c = Tables.customer(spark, dir)
+    val cid = Triples.id(Triples.CUSTOMER, col("c_custkey"))
+    val stmt = lit(20L * Triples.NS) + col("c_custkey").cast("long")
+    val vnode = lit(21L * Triples.NS) + col("c_custkey").cast("long")
+    val birth = c.select(cid.as("s"), lit("birth").as("p"), nul("long").as("o_id"),
+      concat(lit("D"), col("c_custkey").cast("string")).as("o_val"), nul("string").as("lang"))
+    val stmtE = c.select(cid.as("s"), lit("stmt_birth").as("p"), stmt.as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val rank = c.select(stmt.as("s"), lit("type_of").as("p"), lit(bestRankCls).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val psv = c.select(stmt.as("s"), lit("psv_birth").as("p"), vnode.as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val prec = c.select(vnode.as("s"), lit("time_prec").as("p"), nul("long").as("o_id"),
+      when(col("c_custkey") % 2 === 0, "11").otherwise("9").as("o_val"),
+      nul("string").as("lang"))
+    val meta = Seq((birthProp, "prop_type", "Time"), (birthProp, "corr_wd", "P569"))
+      .toDF("s0", "p0", "v0")
+      .select(col("s0").as("s"), col("p0").as("p"), lit(null).cast("long").as("o_id"),
+        col("v0").as("o_val"), lit(null).cast("string").as("lang"))
+    sitelinkStatements(spark, dir).unionAll(birth).unionAll(stmtE)
+      .unionAll(rank).unionAll(psv).unionAll(prec).unionAll(meta)
+  }
+
+  /** The time-items wikidata graph: per-twin P569 claims under FULL
+    * IRI predicate strings (direct / statement / statement-value —
+    * matching the outer wdt:/wdp:/wdpsv: BIND renders), BestRank
+    * statement typing, and day-precision value nodes. Every second
+    * twin carries the claim; every fourth matches the FactGrid value
+    * exactly, so is_same exercises true / false / null. */
+  def wdTimeStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    val c = Tables.customer(spark, dir).filter(col("c_custkey") % 2 === 0)
+    val wid = lit(3L * Triples.NS) + col("c_custkey").cast("long")
+    val stmt = lit(22L * Triples.NS) + col("c_custkey").cast("long")
+    val vnode = lit(23L * Triples.NS) + col("c_custkey").cast("long")
+    val raw = when(col("c_custkey") % 4 === 0, concat(lit("D"), col("c_custkey").cast("string")))
+      .otherwise(concat(lit("WD"), col("c_custkey").cast("string")))
+    val direct = c.select(wid.as("s"),
+      lit("http://www.wikidata.org/prop/direct/P569").as("p"),
+      nul("long").as("o_id"), raw.as("o_val"), nul("string").as("lang"))
+    val stmtE = c.select(wid.as("s"),
+      lit("http://www.wikidata.org/prop/P569").as("p"),
+      stmt.as("o_id"), nul("string").as("o_val"), nul("string").as("lang"))
+    val rank = c.select(stmt.as("s"), lit("type_of").as("p"), lit(bestRankCls).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val psv = c.select(stmt.as("s"),
+      lit("http://www.wikidata.org/prop/statement/value/P569").as("p"),
+      vnode.as("o_id"), nul("string").as("o_val"), nul("string").as("lang"))
+    val prec = c.select(vnode.as("s"), lit("time_prec").as("p"), nul("long").as("o_id"),
+      lit("11").as("o_val"), nul("string").as("lang"))
+    direct.unionAll(stmtE).unionAll(rank).unionAll(psv).unionAll(prec)
+  }
+
+  /** kg_sparql_time — time-items.rq BYTE-FOR-BYTE: the deepest
+    * Wikibase access path in the corpus — FIVE BIND'd property-role
+    * constants (direct / entity / statement / statement-value), the
+    * blank-node BestRank + timePrecision walk on BOTH graphs (remote
+    * via outer-rendered IRI predicate strings), value/precision
+    * string synthesis, and the three-valued is_same verdict. */
+  def kgSparqlTime(spark: SparkSession, dir: String): DataFrame = {
+    val root = timeRootKey(spark, dir)
+    compileOn(spark, timeStatements(spark, dir),
+      parse(referenceText("time-items.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name", "fgt:P131" -> "in_nation",
+        "fgt:P38" -> "birth", "fgp:P38" -> "stmt_birth", "fgpsv:P38" -> "psv_birth",
+        "fgt:P343" -> "corr_wd", "wikibase:propertyType" -> "prop_type",
+        "a" -> "type_of", "wikibase:timePrecision" -> "time_prec"),
+      entityAliases = Map(
+        "fg:Q376282" -> (3L * Triples.NS + root),
+        "fg:Q400012" -> (2L * Triples.NS + 3),
+        "fg:P38" -> birthProp,
+        "wikibase:BestRank" -> bestRankCls),
+      autoLang = "en",
+      entityValued = defaultEntityPreds ++
+        Set("schema_about", "stmt_birth", "psv_birth", "type_of"),
+      graphs = Map(wikidataEndpoint -> ServiceGraph(wdTimeStatements(spark, dir),
+        predAliases = Map("a" -> "type_of", "wikibase:timePrecision" -> "time_prec"),
+        entityAliases = Map("wikibase:BestRank" -> bestRankCls),
+        entityValued = Set("type_of", "~"),
+        iriScheme = Some(("http://www.wikidata.org/entity/", 3L * Triples.NS)))))
+  }
+
+  // ---- companions_and_relations_no_constants.rq VERBATIM ------------
+
+  /** Wikidata-IRI NODES inside the DBpedia stand-in (the no_constants
+    * variant's branch 6 walks `?wd_item ?relation ?value` with the
+    * wd IRI as a dbpedia-graph SUBJECT, so sameAs must be an ENTITY
+    * edge there, not IRI text): mirrors link to a wd node per
+    * customer, and wd nodes carry the same wiki-link claims as their
+    * mirrors. The IRI scheme joins the outer round-tripped string
+    * onto the wd-node namespace. */
+  private val wdNodeNs = 11L * Triples.NS
+  def dbpediaNodeStatements(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    def nul(t: String) = lit(null).cast(t)
+    val c = Tables.customer(spark, dir)
+    val DB = 9L * Triples.NS
+    val sameasE = c.select((lit(DB) + col("c_custkey")).as("s"),
+      lit("owl_sameas").as("p"), (lit(wdNodeNs) + col("c_custkey")).as("o_id"),
+      nul("string").as("o_val"), nul("string").as("lang"))
+    val linked = c.filter(col("c_custkey") % 3 === 0)
+    val tgt = c.select(col("c_custkey").as("t_key"))
+    val wdLinks = linked.select(col("c_custkey"))
+      .crossJoin(spark.range(1, 3).select(col("id").as("off")))
+      .join(tgt, col("t_key") === col("c_custkey") + col("off"))
+      .select((lit(wdNodeNs) + col("c_custkey")).as("s"), lit("db_wikilink").as("p"),
+        (lit(DB) + col("t_key")).as("o_id"), nul("string").as("o_val"),
+        nul("string").as("lang"))
+    dbpediaStatements(spark, dir).filter(col("p") =!= "owl_sameas")
+      .unionAll(sameasE).unionAll(wdLinks)
+  }
+
+  /** kg_sparql_noconst — companions_and_relations_no_constants.rq
+    * BYTE-FOR-BYTE: the companions union widened to SIX branches —
+    * the extra dbpedia branch walks relations off the wd-IRI node
+    * itself — projected down to the image-grid columns (?sortname is
+    * never bound: a projected-unbound null, per spec). The dbpedia
+    * graph here uses the ENTITY form of sameAs with an IRI scheme on
+    * the wd-node namespace. */
+  def kgSparqlNoConst(spark: SparkSession, dir: String): DataFrame = {
+    val (ra, rb) = companionAnchors(spark, dir)
+    val dbp = dbpediaGraph(spark, dir).copy(
+      statements = dbpediaNodeStatements(spark, dir),
+      entityValued = Set("db_wikilink", "db_type", "owl_sameas"),
+      iriScheme = Some(("http://www.wikidata.org/entity/", wdNodeNs)))
+    compileOn(spark, companionsStatements(spark, dir),
+      parse(referenceText("companions_and_relations_no_constants.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about",
+        "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name",
+        "fgt:P2" -> "in_region", "fgt:P3" -> "in_region",
+        "fgt:P189" -> "label",
+        "wikibase:directClaim" -> "directClaim"),
+      entityAliases = Map(
+        "fg:Q223420" -> (3L * Triples.NS + companionsRootKey),
+        "fg:Q7" -> ra, "fg:Q12" -> ra),
+      autoLang = "en",
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = companionsGraphs(spark, dir, ra, rb) + (dbpediaEndpoint -> dbp))
+  }
+
+  // ---- lokale-from-factgrid.rq VERBATIM -----------------------------
+
+  /** kg_sparql_lokale — lokale-from-factgrid.rq BYTE-FOR-BYTE (the
+    * round-4 verbatim milestone, promoted from spec-only to the
+    * oracle gate): "de"-only label chain with id-string fallback, the
+    * five-branch UNION with ';' continuations, seven OPTIONALs incl.
+    * the sitelink block, and three projected-but-unbound null
+    * columns. Bag semantics: no DISTINCT, so the five identical
+    * branches and the label fan-out multiply — the oracle replays the
+    * multiplicity exactly. */
+  def kgSparqlLokale(spark: SparkSession, dir: String): DataFrame = {
+    val n5 = 2L * Triples.NS + 5
+    runOn(spark, sitelinkStatements(spark, dir),
+      referenceText("lokale-from-factgrid.rq"),
+      predAliases = Map(
+        "wdt:P2" -> "in_nation", "wdt:P726" -> "in_nation",
+        "wdt:P208" -> "in_nation", "wdt:P48" -> "label",
+        "wdt:P49" -> "label", "wdt:P50" -> "mktsegment",
+        "wdt:P106" -> "label", "wdt:P573" -> "mktsegment",
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name"),
+      entityAliases = Map(
+        "wd:Q40454" -> n5, "wd:Q399989" -> n5, "wd:Q399990" -> n5,
+        "wd:Q399988" -> n5, "wd:Q400014" -> n5, "wd:Q137530" -> n5),
+      entityValued = defaultEntityPreds + "schema_about")
+  }
+
+  // ---- test.rq VERBATIM ---------------------------------------------
+
+  /** kg_sparql_test — test.rq BYTE-FOR-BYTE: the companions prototype
+    * — a two-branch UNION of per-graph OPTIONALs (factgrid class-path
+    * + directClaim helper, remote wikidata class-path with an
+    * explicit rdfs:label + LANG filter), LIMIT 10 (a no-op above the
+    * result size, so the page is deterministic). */
+  def kgSparqlTest(spark: SparkSession, dir: String): DataFrame = {
+    val (ra, _) = companionAnchors(spark, dir)
+    compileOn(spark, companionsStatements(spark, dir),
+      parse(referenceText("test.rq")),
+      predAliases = Map(
+        "schema:about" -> "schema_about", "schema:isPartOf" -> "schema_ispartof",
+        "schema:name" -> "schema_name",
+        "fgt:P2" -> "in_region", "fgt:P3" -> "in_region",
+        "wikibase:directClaim" -> "directClaim"),
+      entityAliases = Map(
+        "fg:Q225307" -> (3L * Triples.NS + companionsRootKey),
+        "fg:Q12" -> ra),
+      autoLang = "en",
+      entityValued = defaultEntityPreds + "schema_about",
+      graphs = companionsGraphs(spark, dir, ra, ra))
+  }
+
   // ---- get_all_properties files VERBATIM ----------------------------
 
   private val propGroupA = 10L * Triples.NS + 30
@@ -3190,6 +3421,10 @@ object Sparql {
     "kg_sparql_props_person" -> (kgSparqlPropsPerson _),
     "kg_sparql_hirschfeld"  -> (kgSparqlHirschfeld _),
     "kg_sparql_family"      -> (kgSparqlFamily _),
+    "kg_sparql_time"        -> (kgSparqlTime _),
+    "kg_sparql_test"        -> (kgSparqlTest _),
+    "kg_sparql_noconst"     -> (kgSparqlNoConst _),
+    "kg_sparql_lokale"      -> (kgSparqlLokale _),
     "kg_sparql_net0"        -> (kgSparqlNet0 _),
     "kg_sparql_net1"        -> (kgSparqlNet1 _),
     "kg_sparql_pred_free"   -> (kgSparqlPredFree _),
@@ -3454,6 +3689,100 @@ object Sparql {
          |  CAST(NULL AS VARCHAR) AS "fg_propertyDescription",
          |  'http://www.wikidata.org/prop/direct/P' || (100 + idx) AS wd_property
          |FROM props WHERE idx % 2 = 0""".stripMargin,
+    "kg_sparql_lokale" ->
+      s"""$T,
+         |mem AS (
+         |  SELECT c_custkey AS ck, c_name, c_mktsegment,
+         |    CAST(${3L * Triples.NS} + c_custkey AS BIGINT) AS id, TRUE AS isc
+         |  FROM customer WHERE c_nationkey = 5
+         |  UNION ALL
+         |  SELECT s_suppkey, s_name, CAST(NULL AS VARCHAR),
+         |    CAST(${4L * Triples.NS} + s_suppkey AS BIGINT), FALSE
+         |  FROM supplier WHERE s_nationkey = 5),
+         |lab AS (SELECT s, o_val FROM triples WHERE p = 'label'),
+         |branch AS (SELECT 1 AS b UNION ALL SELECT 2 UNION ALL SELECT 3
+         |  UNION ALL SELECT 4 UNION ALL SELECT 5),
+         |n5 AS (SELECT n_name FROM nation WHERE n_nationkey = 5)
+         |SELECT m.id AS fg_item,
+         |  CASE WHEN m.isc AND m.ck % 3 = 0 THEN 'DE ' || m.c_name
+         |       ELSE CAST(m.id AS VARCHAR) END AS "fg_itemLabel",
+         |  CAST(NULL AS VARCHAR) AS "fg_itemDescription",
+         |  CAST(NULL AS VARCHAR) AS "fg_itemAltLabel",
+         |  CAST(${2L * Triples.NS + 5} AS BIGINT) AS "Address",
+         |  CAST(${2L * Triples.NS + 5} AS VARCHAR) AS "AddressLabel",
+         |  (SELECT n_name FROM n5) AS "Geo",
+         |  CAST(NULL AS VARCHAR) AS "Notiz",
+         |  la.o_val AS "Anfangszeitpunkt",
+         |  m.c_mktsegment AS "Endzeitpunkt",
+         |  ld.o_val AS "Datum",
+         |  CASE WHEN m.isc AND m.ck % 3 = 0
+         |    THEN 'https://database.factgrid.de/entity/Q' || m.ck END AS wd_item,
+         |  CAST(${2L * Triples.NS + 5} AS BIGINT) AS "Treffpunkt",
+         |  CAST(${2L * Triples.NS + 5} AS VARCHAR) AS "TreffpunktLabel",
+         |  m.c_mktsegment AS "Zielgruppe"
+         |FROM mem m
+         |JOIN lab la ON la.s = m.id
+         |JOIN lab ld ON ld.s = m.id
+         |CROSS JOIN branch""".stripMargin,
+    "kg_sparql_noconst" ->
+      s"""WITH root AS (SELECT c.c_custkey AS rk, c.c_nationkey AS nk FROM customer c
+         |  WHERE c.c_custkey = $companionsRootKey AND c.c_custkey % 3 = 0),
+         |nn AS (SELECT n.n_name FROM nation n JOIN root r ON n.n_nationkey = r.nk),
+         |tgt AS (SELECT t.c_custkey AS t, t.c_name FROM customer t
+         |  JOIN root r ON t.c_custkey IN (r.rk + 1, r.rk + 2)
+         |  WHERE t.c_custkey % 2 = 0)
+         |SELECT DISTINCT u.fg_item, u.vl AS "valueLabel", u.image,
+         |  CAST(NULL AS VARCHAR) AS sortname
+         |FROM (
+         |  SELECT CAST(${3L * Triples.NS} + r.rk AS BIGINT) AS fg_item,
+         |    (SELECT n_name FROM nn) AS vl, (SELECT n_name FROM nn) AS image FROM root r
+         |  UNION ALL
+         |  SELECT CAST(${3L * Triples.NS} + r.rk AS BIGINT),
+         |    (SELECT n_name FROM nn), NULL FROM root r
+         |  UNION ALL
+         |  SELECT CAST(${3L * Triples.NS} + r.rk AS BIGINT), NULL, NULL FROM root r
+         |  UNION ALL
+         |  SELECT CAST(${3L * Triples.NS} + r.rk AS BIGINT), 'DBP ' || t.c_name,
+         |    CASE WHEN t.t % 5 = 0 THEN 'thumb_' || t.t || '.jpg' END
+         |  FROM tgt t JOIN root r ON TRUE) u""".stripMargin,
+    "kg_sparql_test" -> {
+      val helperId = directClaimProps.find(_._2 == "in_nation").get._1
+      s"""$T,
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('en')) WHERE rk = 1),
+         |base AS (SELECT CAST(${3L * Triples.NS} + c.c_custkey AS BIGINT) AS fg_item,
+         |    b.o_val AS fl,
+         |    'http://www.wikidata.org/entity/Q' || c.c_custkey AS wd_item,
+         |    CAST(${2L * Triples.NS} + c.c_nationkey AS BIGINT) AS value,
+         |    nn.n_name AS vl
+         |  FROM customer c
+         |  JOIN nation nn ON nn.n_nationkey = c.c_nationkey
+         |  LEFT JOIN best b ON b.s = ${3L * Triples.NS} + c.c_custkey
+         |  WHERE c.c_custkey = $companionsRootKey AND c.c_custkey % 3 = 0)
+         |SELECT DISTINCT fg_item, fl AS "fg_itemLabel", wd_item,
+         |  CAST($helperId AS VARCHAR) AS "fg_relation_helperLabel",
+         |  value, vl AS "valueLabel", 'factgrid' AS source FROM base
+         |UNION ALL
+         |SELECT DISTINCT fg_item, fl, wd_item, CAST(NULL AS VARCHAR),
+         |  value, vl, CAST(NULL AS VARCHAR) FROM base""".stripMargin
+    },
+    "kg_sparql_time" ->
+      s"""WITH root AS (SELECT MIN(c_custkey) AS rk FROM customer
+         |  WHERE c_nationkey = 3 AND c_custkey % 3 = 0),
+         |vals AS (SELECT r.rk, c.c_name,
+         |    'D' || r.rk || '/' || CASE WHEN r.rk % 2 = 0 THEN '11' ELSE '9' END AS fgv,
+         |    CASE WHEN r.rk % 2 = 0 THEN
+         |      (CASE WHEN r.rk % 4 = 0 THEN 'D' ELSE 'WD' END) || r.rk || '/11' END AS wdv
+         |  FROM root r JOIN customer c ON c.c_custkey = r.rk)
+         |SELECT DISTINCT CAST(${3L * Triples.NS} + rk AS BIGINT) AS fg_item,
+         |  c_name AS "fg_itemLabel",
+         |  'http://www.wikidata.org/entity/Q' || rk AS wd_item,
+         |  fgv AS fg_value, wdv AS wd_value,
+         |  CASE WHEN wdv IS NULL THEN NULL
+         |       WHEN fgv = wdv THEN 'true' ELSE 'false' END AS is_same
+         |FROM vals""".stripMargin,
     "kg_sparql_hirschfeld" ->
       s"""WITH root AS (SELECT c_custkey AS rk FROM customer
          |  WHERE c_custkey = $hirschfeldRootKey AND c_custkey % 3 = 0),

@@ -34,6 +34,12 @@ class PlanHygieneSpec extends SparkSpec {
     "kg_sparql_hirschfeld" -> ("per-row OPTIONAL-SERVICE left join over the 1-row " +
       "seed-bound root"),
     "kg_sparql_family"    -> ("UNION-branch products over the 1-row seed-bound root " +
+      "(each branch multiplies one row)"),
+    "kg_sparql_time"      -> ("1-row root + existence-check marker + dictionary-constant " +
+      "components (constant-seeded broadcast products)"),
+    "kg_sparql_test"      -> ("UNION-branch products over the 1-row seed-bound root " +
+      "(each branch multiplies one row)"),
+    "kg_sparql_noconst"   -> ("UNION-branch products over the 1-row seed-bound root " +
       "(each branch multiplies one row)"))
 
   test("no query plans a cartesian product; nested-loop joins only where bounded by design") {

@@ -796,6 +796,45 @@ class SparqlSpec extends SparkSpec {
     assert(e.getMessage.contains("not constant-seeded"))
   }
 
+  test("EVERY reference .rq file has a byte-for-byte oracle-gated runner") {
+    // file → SparkEntry key; the runner reads the file's bytes via
+    // referenceText (nothing edited, only dialect maps supplied)
+    val runners = Map(
+      "lokale-from-factgrid.rq" -> "kg_sparql_lokale",
+      "network-00-starting-point.rq" -> "kg_sparql_net0",
+      "network-01-remove-na.rq" -> "kg_sparql_net1",
+      "network-02-starting-point.rq" -> "kg_sparql_net2",
+      "network-03-federated.rq" -> "kg_sparql_net3",
+      "companions_and_relations.rq" -> "kg_sparql_companions",
+      "companions_and_relations_no_constants.rq" -> "kg_sparql_noconst",
+      "companions_hirschfeld.rq" -> "kg_sparql_hirschfeld",
+      "db_all_person_relations.rq" -> "kg_sparql_family",
+      "get_wiki_sitelinks.rq" -> "kg_sparql_wikilinks",
+      "get_wiki_sitelinks_removena.rq" -> "kg_sparql_wikilinks_rna",
+      "get_factgrid_ids_from_wikidata.rq" -> "kg_sparql_fgids",
+      "get_factgrid_ids_from_wikidata-removena.rq" -> "kg_sparql_fgids_rna",
+      "get_gnd_from_fg_and_wd.rq" -> "kg_sparql_gnd",
+      "compare-factgrid-wikidata_one_item.rq" -> "kg_sparql_cmp1",
+      "compare-factgrid-wikidata_many_items.rq" -> "kg_sparql_cmp",
+      "persons_factgrid_wikidata.rq" -> "kg_sparql_persons",
+      "orgs_factgrid_wikidata.rq" -> "kg_sparql_orgs",
+      "get_all_properties_with_corresponding_prop.rq" -> "kg_sparql_props",
+      "get_all_properties_person_with_corresponding_prop.rq" -> "kg_sparql_props_person",
+      "time-items.rq" -> "kg_sparql_time",
+      "test.rq" -> "kg_sparql_test")
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get("/root/reference/data-publishing/factgrid/queries")
+    val files = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rq")).toSet
+    assert(files == runners.keySet,
+      s"corpus drift: missing=${files -- runners.keySet} extra=${runners.keySet -- files}")
+    runners.values.foreach { key =>
+      assert(Sparql.queries.contains(key), s"$key not registered")
+      assert(Sparql.oracles.contains(key), s"$key has no oracle")
+    }
+  }
+
   test("verbatim network files + the typing rules that make them runnable") {
     // network-00/01 run byte-for-byte through their dialect maps
     val n0 = Sparql.kgSparqlNet0(spark, sf)
