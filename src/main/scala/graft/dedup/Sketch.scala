@@ -185,14 +185,58 @@ object Sketch {
         col("n_build"), col("m_bits"))
   }
 
+  /** sketch_histo — mergeable equi-width HISTOGRAM quantiles (the
+    * fourth workhorse sketch: what approx_percentile keeps per
+    * partition, in exact-integer form): per return-flag, l_quantity
+    * bucketed into width-5 bins, each row the bin's count, running
+    * cumulative, and whether the bin CONTAINS the p50 / p90 order
+    * statistic (rank r_q = ceil(q·n) — pure integer arithmetic, the
+    * sketch's quantile readout). The bin relation IS the mergeable
+    * state: bins add associatively, so at 100 TB this is one
+    * map-side-partial groupBy whose reduce state is |flags|×10 longs;
+    * the window runs over the bins-sized frame, never the fact
+    * table. */
+  def sketchHisto(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("flag"),
+      ((col("l_quantity").cast("long") - 1) / lit(5L)).cast("int").as("bin"))
+    val h = li.groupBy(col("flag"), col("bin")).agg(count(lit(1)).as("n"))
+    val cum = Window.partitionBy(col("flag")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("flag"))
+    h.withColumn("cum_n", sum(col("n")).over(cum))
+      .withColumn("total", sum(col("n")).over(tot))
+      .withColumn("r50", expr("(total + 1) div 2"))
+      .withColumn("r90", expr("(total * 9 + 9) div 10"))
+      .select(col("flag"), col("bin"), col("n"), col("cum_n"),
+        (col("cum_n") - col("n") < col("r50") && col("r50") <= col("cum_n")).as("is_p50_bin"),
+        (col("cum_n") - col("n") < col("r90") && col("r90") <= col("cum_n")).as("is_p90_bin"))
+  }
+
   // ---- registry ------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_hll"   -> (sketchHll _),
     "sketch_cms"   -> (sketchCms _),
+    "sketch_histo" -> (sketchHisto _),
     "sketch_bloom" -> (sketchBloom _))
 
   val oracles: Map[String, String] = Map(
+    "sketch_histo" ->
+      """WITH h AS (SELECT l_returnflag AS flag,
+        |    CAST((CAST(l_quantity AS BIGINT) - 1) // 5 AS INTEGER) AS bin,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT flag, bin, n,
+        |    CAST(sum(n) OVER (PARTITION BY flag ORDER BY bin) AS BIGINT) AS cum_n,
+        |    CAST(sum(n) OVER (PARTITION BY flag) AS BIGINT) AS total
+        |  FROM h)
+        |SELECT flag, bin, n, cum_n,
+        |  (cum_n - n < (total + 1) // 2 AND (total + 1) // 2 <= cum_n) AS is_p50_bin,
+        |  (cum_n - n < (total * 9 + 9) // 10 AND (total * 9 + 9) // 10 <= cum_n)
+        |    AS is_p90_bin
+        |FROM w""".stripMargin,
     "sketch_hll" ->
       s"""WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents),
          |h AS (SELECT lang, term, ${p60Sql("term")} AS h FROM toks),

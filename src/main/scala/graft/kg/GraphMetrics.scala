@@ -250,7 +250,62 @@ object GraphMetrics {
     out
   }
 
+  /** Peeling constant for [[kgKcore]] (and the unroll bound of its
+    * oracle replay — the gate fails loudly, never silently, if a
+    * future data scale needs deeper peeling). */
+  private val KcoreK = 3
+  private val KcoreRounds = 12
+
+  /** kg_kcore — k-core decomposition of the co-occurrence network
+    * (k = 3): ITERATIVE PEELING — drop nodes of in-set degree < k,
+    * recompute, repeat to the FIXPOINT; emits every original node
+    * with its in-core verdict. The k-core is the canonical
+    * dense-substructure reduction the companions network analysis
+    * motivates (prune hangers-on before community inspection).
+    *
+    * Scale: each round is one groupBy-count + two semi-joins on the
+    * (shrinking) edge set — the standard distributed peeling loop
+    * (rounds ≈ peeling depth, small on heavy-tailed graphs); each
+    * round's edge set localCheckpoints so the plan never grows with
+    * the iteration count, and the previous round's blocks free
+    * eagerly. No collect touches data-sized state — convergence is
+    * decided on two scalar counts. */
+  def kgKcore(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = edges(spark, dir)
+    val allNodes = e0.select(col("p1").as("node"))
+      .union(e0.select(col("p2").as("node"))).distinct()
+      .localCheckpoint(eager = true)
+    var adj = e0.select(col("p1").as("a"), col("p2").as("b"))
+      .union(e0.select(col("p2").as("a"), col("p1").as("b")))
+      .localCheckpoint(eager = true)
+    graft.util.Checkpoints.free(e0)
+    var before = adj.count()
+    var changed = before > 0
+    while (changed) {
+      val keep = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KcoreK).select(col("a").as("k"))
+      val next = adj
+        .join(keep.withColumnRenamed("k", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("k", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint(eager = true)
+      val after = next.count()
+      graft.util.Checkpoints.free(adj)
+      adj = next
+      changed = after != before
+      before = after
+    }
+    val core = adj.select(col("a").as("node")).distinct().withColumn("inc", lit(true))
+    val out = allNodes.join(core, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("inc"), lit(false)).as("in_core"))
+      .localCheckpoint(eager = true)
+    graft.util.Checkpoints.free(adj)
+    graft.util.Checkpoints.free(allNodes)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_kcore"            -> (kgKcore _),
     "kg_path_alt"         -> (kgPathAlt _),
     "kg_clustering_coeff" -> (kgClusteringCoeff _),
     "kg_node_sim"         -> (kgNodeSim _),
@@ -304,7 +359,35 @@ object GraphMetrics {
        |FROM l$LpaRounds l JOIN sizes ON sizes.lbl = l.lbl""".stripMargin
   }
 
+  /** kg_kcore oracle: the peeling loop UNROLLED to [[KcoreRounds]]
+    * survivor CTEs, with a non-convergence POISON row (count drift
+    * between the last two rounds emits an impossible node, failing
+    * the hash gate loudly rather than validating a half-peeled
+    * core). */
+  private val kcoreSql: String = {
+    // every sN is referenced twice by round N+1 and DuckDB inlines
+    // CTEs by default — without MATERIALIZED the plan doubles per
+    // round (2^rounds scans of the base parquet)
+    val rounds = (1 to KcoreRounds).map { i =>
+      s"""s$i AS MATERIALIZED (SELECT e2.a AS node FROM adj e2
+         |  JOIN s${i - 1} x ON x.node = e2.b
+         |  JOIN s${i - 1} y ON y.node = e2.a
+         |  GROUP BY e2.a HAVING count(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""$T, $E,
+       |adj AS MATERIALIZED (SELECT p1 AS a, p2 AS b FROM e UNION ALL SELECT p2, p1 FROM e),
+       |s0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM adj),
+       |$rounds
+       |SELECT n.node, (c.node IS NOT NULL) AS in_core
+       |FROM s0 n LEFT JOIN s$KcoreRounds c ON c.node = n.node
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(NULL AS BOOLEAN)
+       |WHERE (SELECT count(*) FROM s${KcoreRounds - 1}) <>
+       |      (SELECT count(*) FROM s$KcoreRounds)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kg_kcore" -> kcoreSql,
     "kg_communities" -> s"$T, $E,\n$lpaSql",
     "kg_void_stats" ->
       s"""$T

@@ -107,4 +107,35 @@ class GraphMetricsSpec extends SparkSpec {
     // communities actually merge: fewer labels than nodes
     assert(sizes.size < adj.size, "no label propagated — graph or tie-break suspect")
   }
+
+  test("kcore: every core node has >= k core neighbors; removed nodes justify removal") {
+    val k = 3
+    val got = graft.kg.GraphMetrics.kgKcore(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val edges = graft.kg.KGQueries.kgCooccur(spark, sf)
+      .select("p1", "p2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    assert(got.keySet == adj.keySet, "one verdict per co-occurrence node")
+    val core = got.collect { case (n, true) => n }.toSet
+    // soundness: the k-core property holds inside the core
+    core.foreach { n =>
+      val inCore = adj(n).count(core)
+      assert(inCore >= k, s"core node $n has only $inCore core neighbors")
+    }
+    // maximality: re-running one peel round over core + removed set
+    // readmits nobody (an in-memory replay of the fixpoint condition)
+    var s2 = adj.keySet
+    var stable = false
+    while (!stable) {
+      val next = s2.filter(n => adj(n).count(s2) >= k)
+      stable = next == s2; s2 = next
+    }
+    assert(s2 == core, s"fixpoint drift: ${(s2 diff core).take(3)} / ${(core diff s2).take(3)}")
+    // sf0.001's co-occurrence graph is dense (min degree 5), so the
+    // 3-core keeps every node — the all-true verdict IS the correct
+    // answer here; the sf0.01 oracle gate exercises the split (min
+    // degree 1 there)
+    assert(core.nonEmpty, "3-core unexpectedly empty on the dense test graph")
+  }
 }

@@ -98,4 +98,29 @@ class SketchSpec extends SparkSpec {
     // membership split is non-trivial in both directions
     assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
   }
+
+  test("histo: bins partition the data; quantile bins bracket the exact order statistic") {
+    val rows = graft.dedup.Sketch.sketchHisto(spark, sf).collect()
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong))
+    val byFlag = li.groupBy(_._1)
+    // counts add up exactly per flag and per bin
+    val gotByFlag = rows.groupBy(_.getString(0))
+    assert(gotByFlag.keySet == byFlag.keySet)
+    gotByFlag.foreach { case (f, bins) =>
+      val vals = byFlag(f).map(_._2).sorted
+      assert(bins.map(_.getLong(2)).sum == vals.length)
+      bins.foreach { b =>
+        val bin = b.getInt(1)
+        val n = vals.count(v => (v - 1) / 5 == bin)
+        assert(b.getLong(2) == n, s"flag $f bin $bin: ${b.getLong(2)} vs $n")
+      }
+      // the flagged p50/p90 bins contain the exact order statistics
+      val p50 = vals((vals.length + 1) / 2 - 1)
+      val p90 = vals((vals.length * 9 + 9) / 10 - 1)
+      assert(bins.filter(_.getBoolean(4)).map(_.getInt(1)).toSeq == Seq(((p50 - 1) / 5).toInt))
+      assert(bins.filter(_.getBoolean(5)).map(_.getInt(1)).toSeq == Seq(((p90 - 1) / 5).toInt))
+    }
+  }
 }
