@@ -592,7 +592,65 @@ object Streaming {
         (col("cms_est") - col("n_exact")).as("overcount"))
   }
 
+  final case class GapState(lastUs: Long, lastId: Long)
+  final case class GapOut(user_id: Long, gap_start_us: Long, gap_end_us: Long, gap_s: Long)
+
+  /** Inactivity threshold for [[streamGapDetect]] (24 h — ~p90 of the
+    * synthetic per-user event spacing, so the detector fires without
+    * flagging everything). */
+  private val gapThresholdUs = 86400000000L
+
+  private def gapEmit(userId: Long, events: Iterator[Ev],
+      state: org.apache.spark.sql.streaming.GroupState[GapState]): Iterator[GapOut] = {
+    if (!events.hasNext) {
+      // event-time timeout: the trailing gap has no closing event —
+      // per the lag semantics there is nothing to emit, only state to
+      // drop (heartbeat-style open-ended alerting would emit here)
+      state.remove()
+      return Iterator.empty
+    }
+    val sorted = events.toSeq.sortBy(e => (evMicros(e.ts), e.event_id))
+    var out = List.empty[GapOut]
+    var cur = state.getOption
+    for (e <- sorted) {
+      val t = evMicros(e.ts)
+      cur match {
+        case Some(s) =>
+          if (t - s.lastUs > gapThresholdUs)
+            out ::= GapOut(userId, s.lastUs, t, (t - s.lastUs) / 1000000L)
+          if (t > s.lastUs || (t == s.lastUs && e.event_id > s.lastId))
+            cur = Some(GapState(t, e.event_id))
+        case None => cur = Some(GapState(t, e.event_id))
+      }
+    }
+    state.update(cur.get)
+    state.setTimeoutTimestamp(Math.floorDiv(cur.get.lastUs + gapThresholdUs + 999L, 1000L))
+    out.reverse.iterator
+  }
+
+  /** stream_gap_detect — inactivity-gap detection (the
+    * missing-heartbeat monitor): per user, emit one row per
+    * consecutive-event gap exceeding 24 h, sealed by arrival of the
+    * closing event. State per user = the LAST event only (one tuple —
+    * bounded regardless of stream length, unlike sessionize's open
+    * aggregate), evicted by the event-time timeout once the watermark
+    * passes the threshold. The oracle is the batch lag-window over the
+    * same events, so the stateful path is hash-checked against exact
+    * batch semantics. */
+  def streamGapDetect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    fileReplay(spark, dir, "stream_gap_detect") { source =>
+      source
+        .withWatermark("ts", "1 hour")
+        .groupByKey(_.user_id)(Encoders.scalaLong)
+        .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(gapEmit _)(
+          Encoders.product[GapState], Encoders.product[GapOut])
+        .toDF()
+    }.filter(col("user_id") >= 0)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_gap_detect"  -> (streamGapDetect _),
     "stream_cdc"         -> (streamCdc _),
     "stream_topk"        -> (streamTopk _),
     "stream_cardinality" -> (streamCardinality _),
@@ -604,6 +662,14 @@ object Streaming {
     "stream_stream_join" -> (streamStreamJoin _))
 
   val oracles: Map[String, String] = Map(
+    "stream_gap_detect" ->
+      s"""WITH g AS (SELECT user_id,
+         |    epoch_us(ts) AS t,
+         |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events WHERE user_id >= 0)
+         |SELECT user_id, prev AS gap_start_us, t AS gap_end_us,
+         |  (t - prev) // 1000000 AS gap_s
+         |FROM g WHERE t - prev > $gapThresholdUs""".stripMargin,
     // registers AND fold replayed from the raw events — if the stream
     // dropped, duplicated, or mis-sealed a window, a register (and so
     // the integer sketch state) would differ
