@@ -402,7 +402,42 @@ object ER {
         (col("w_num") > lit(FsThreshold) * col("w_den")).as("is_match"))
   }
 
+  /** er_fingerprint — OpenRefine's key-collision FINGERPRINT
+    * clustering, the exact method the reference replicates in R
+    * (data-gathering/analysis/open-refine-fingerprint.R: trim →
+    * lowercase → strip punctuation/digits → whitespace-tokenize →
+    * sort → dedup → rejoin): a cluster is a fingerprint-key collision
+    * group. The pool is the reference's books-vs-posters author
+    * scenario (find-duplicates-authors-book-posters.R): the same
+    * entity written "forename surname" in one source and
+    * "surname, forename" in the other — exact-dedup on the normalized
+    * string MISSES those (norms differ), the sorted-token fingerprint
+    * catches them.
+    *
+    * Scale: fingerprinting is a narrow map (codegen'd array ops — no
+    * UDF); clustering is ONE map-side-partial groupBy on the
+    * fingerprint key. Key skew mirrors duplicate mass itself, the
+    * same boundedness argument as er_exact_dups. */
+  def erFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val books = p.select(lit("books").as("src"),
+      col("p_partkey").cast("long").as("id"), col("p_name").as("label"))
+    val posters = p.select(lit("posters").as("src"),
+      (col("p_partkey") + lit(1000000L)).as("id"),
+      concat_ws(", ", reverse(split(col("p_name"), " "))).as("label"))
+    val pool = books.unionAll(posters)
+    pool
+      .withColumn("fingerprint", array_join(array_sort(array_distinct(
+        filter(split(norm(col("label")), " "), x => x =!= lit("")))), " "))
+      .groupBy(col("fingerprint"))
+      .agg(count(lit(1)).as("n_members"),
+        count_distinct(col("src")).as("n_sources"),
+        min(col("id")).as("canonical_id"))
+      .filter(col("n_members") >= 2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_fingerprint"          -> (erFingerprint _),
     "er_survivorship"         -> (erSurvivorship _),
     "er_fs_score"             -> (erFsScore _),
     "er_incremental"          -> (erIncremental _),
@@ -447,6 +482,20 @@ object ER {
   }
 
   val oracles: Map[String, String] = Map(
+    "er_fingerprint" ->
+      s"""WITH pool AS (
+         |  SELECT 'books' AS src, CAST(p_partkey AS BIGINT) AS id, p_name AS label FROM part
+         |  UNION ALL
+         |  SELECT 'posters', CAST(p_partkey + 1000000 AS BIGINT),
+         |    array_to_string(list_reverse(string_split(p_name, ' ')), ', ') FROM part),
+         |fp AS (SELECT src, id,
+         |    array_to_string(list_sort(list_distinct(
+         |      list_filter(string_split(${normSql("label")}, ' '), x -> x <> ''))), ' ')
+         |    AS fingerprint
+         |  FROM pool)
+         |SELECT fingerprint, count(*) AS n_members,
+         |  count(DISTINCT src) AS n_sources, min(id) AS canonical_id
+         |FROM fp GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
     "er_survivorship" ->
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm, p_name, p_brand FROM part),
          |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),

@@ -132,4 +132,25 @@ class ERSpec extends SparkSpec {
       assert(r.getString(4) == bBrand && r.getLong(5) == bs, "brand rule")
     }
   }
+
+  test("fingerprint: sorted-token key unites reversed-order twins exact-dedup misses") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.er.ER.erFingerprint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every cluster spans both sources: the books name and its
+    // "surname, forename"-style posters twin share a fingerprint even
+    // though their normalized strings differ
+    assert(rows.forall(_.getLong(2) == 2L), "every fingerprint must span both sources")
+    // the key really is the sorted token set: rebuilding it from the
+    // fingerprint text is a no-op
+    rows.foreach { r =>
+      val f = r.getString(0)
+      val toks = f.split(" ")
+      assert(toks.sorted.sameElements(toks) && toks.distinct.length == toks.length, f)
+    }
+    // cluster mass accounts for the whole pool (every id lands somewhere)
+    val nParts = graft.sources.Tables.part(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == 2 * nParts,
+      "books + posters ids must all fall into some collision cluster")
+  }
 }
