@@ -436,7 +436,45 @@ object ER {
       .filter(col("n_members") >= 2)
   }
 
+  /** er_isbn — ISBN-10 checksum validation + ISBN-13 normalization:
+    * the deterministic cleanup the reference's book-linking runs
+    * before querying external authorities
+    * (data-linking/check-isbn-in-lobid.R,
+    * data-linking/lobid/01-search-via-isbn.R — bad ISBNs burn API
+    * calls and mislink). A synthesized raw-ISBN column (every 7th
+    * carries a corrupted check digit, some checks land on 'X') is
+    * validated with the mod-11 weighted sum RECOMPUTED from the raw
+    * text, and valid rows normalize to ISBN-13 (978 prefix + EAN
+    * mod-10 check).
+    *
+    * Scale: pure unrolled column arithmetic over substrings — whole
+    * row narrow map, whole-stage codegen, zero UDFs, zero shuffle. */
+  def erIsbn(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val body = lpad((col("p_partkey") % 1000000000L).cast("string"), 9, "0")
+    def d(s: Column, i: Int): Column = substring(s, i, 1).cast("int")
+    def check10(b: Column): Column =
+      (1 to 9).map(i => d(b, i) * lit(i)).reduce(_ + _) % 11
+    val goodCheck = check10(body)
+    val emitted = when(col("p_partkey") % 7 === 0, (goodCheck + 1) % 11).otherwise(goodCheck)
+    val checkChar = when(emitted === 10, lit("X")).otherwise(emitted.cast("string"))
+    val raw = concat(body, checkChar)
+    // the validator proper: parse the raw text back (never trust the
+    // synthesis), X = 10
+    val rawBody = substring(col("isbn10"), 1, 9)
+    val rawCheck = when(upper(substring(col("isbn10"), 10, 1)) === "X", lit(10))
+      .otherwise(substring(col("isbn10"), 10, 1).cast("int"))
+    val valid = check10(rawBody) === rawCheck
+    val e13 = concat(lit("978"), rawBody)
+    val sum13 = (1 to 12).map(i => d(e13, i) * lit(if (i % 2 == 0) 3 else 1)).reduce(_ + _)
+    val check13 = (lit(10) - (sum13 % 10)) % 10
+    p.select(col("p_partkey").cast("long").as("id"), raw.as("isbn10"))
+      .withColumn("valid", valid)
+      .withColumn("isbn13", when(valid, concat(e13, check13.cast("string"))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_isbn"                 -> (erIsbn _),
     "er_fingerprint"          -> (erFingerprint _),
     "er_survivorship"         -> (erSurvivorship _),
     "er_fs_score"             -> (erFsScore _),
@@ -481,7 +519,37 @@ object ER {
         col("name"), col("brand"), col("brand_support"))
   }
 
+  private def isbnSumSql(b: String): String =
+    (1 to 9).map(i => s"$i * CAST(substring($b, $i, 1) AS INTEGER)").mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "er_isbn" -> {
+      val sum13 = (1 to 12)
+        .map(i => s"${if (i % 2 == 0) 3 else 1} * CAST(substring(e13, $i, 1) AS INTEGER)")
+        .mkString(" + ")
+      s"""WITH src AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+         |    lpad(CAST(p_partkey % 1000000000 AS VARCHAR), 9, '0') AS body,
+         |    p_partkey % 7 = 0 AS corrupt FROM part),
+         |mk AS (SELECT id, body,
+         |    CASE WHEN corrupt THEN ((${isbnSumSql("body")}) % 11 + 1) % 11
+         |         ELSE (${isbnSumSql("body")}) % 11 END AS emitted
+         |  FROM src),
+         |raw AS (SELECT id,
+         |    body || CASE WHEN emitted = 10 THEN 'X' ELSE CAST(emitted AS VARCHAR) END
+         |      AS isbn10
+         |  FROM mk),
+         |chk AS (SELECT id, isbn10,
+         |    substring(isbn10, 1, 9) AS rb,
+         |    CASE WHEN upper(substring(isbn10, 10, 1)) = 'X' THEN 10
+         |         ELSE CAST(substring(isbn10, 10, 1) AS INTEGER) END AS rc
+         |  FROM raw),
+         |v AS (SELECT id, isbn10, rb, (${isbnSumSql("rb")}) % 11 = rc AS valid FROM chk),
+         |n AS (SELECT id, isbn10, valid, '978' || rb AS e13 FROM v)
+         |SELECT id, isbn10, valid,
+         |  CASE WHEN valid THEN e13 ||
+         |    CAST((10 - ($sum13) % 10) % 10 AS VARCHAR) END AS isbn13
+         |FROM n""".stripMargin
+    },
     "er_fingerprint" ->
       s"""WITH pool AS (
          |  SELECT 'books' AS src, CAST(p_partkey AS BIGINT) AS id, p_name AS label FROM part

@@ -153,4 +153,27 @@ class ERSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == 2 * nParts,
       "books + posters ids must all fall into some collision cluster")
   }
+
+  test("isbn: mod-11 verdicts match ground truth; normalized ISBN-13s re-validate") {
+    val rows = graft.er.ER.erIsbn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0); val raw = r.getString(1); val valid = r.getBoolean(2)
+      // ground truth: the synthesizer corrupts every 7th check digit,
+      // and +1 mod 11 can never equal the true check
+      assert(valid == (id % 7 != 0), s"id $id raw $raw")
+      // independent re-validation of both checksums
+      val ds = raw.take(9).map(_.asDigit)
+      val c = ds.zipWithIndex.map { case (d, i) => (i + 1) * d }.sum % 11
+      val rawC = if (raw.last == 'X') 10 else raw.last.asDigit
+      assert((c == rawC) == valid)
+      if (valid) {
+        val i13 = r.getString(3)
+        assert(i13.length == 13 && i13.startsWith("978" + raw.take(9)))
+        val e = i13.map(_.asDigit)
+        assert(e.zipWithIndex.map { case (d, i) => d * (if (i % 2 == 1) 3 else 1) }.sum % 10 == 0,
+          s"EAN checksum fails for $i13")
+      } else assert(r.isNullAt(3))
+    }
+  }
 }
