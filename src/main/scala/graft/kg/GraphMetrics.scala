@@ -304,7 +304,142 @@ object GraphMetrics {
     out
   }
 
+  /** kg_within_relations — the reference network analysis's
+    * `relations_within` frame (analysis/network/02-look-into-data.R:
+    * 11–17): the ROOT-SET-INDUCED subgraph — relations whose subject
+    * AND object both belong to the root class — DISTINCT, with the
+    * two censuses the script derives from it (edges per root, edges
+    * per property) as window counts. Roots = the remove-na members;
+    * the relation layer = the family edge families (the store where
+    * members actually link each other).
+    *
+    * Scale: root membership is a semi-join pushed to BOTH endpoint
+    * sides before anything widens; the censuses are windows over the
+    * (already-reduced) induced edge set, never the full statement
+    * store. */
+  def kgWithinRelations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val st = Sparql.familyStatements(spark, dir)
+    // root class = members located in region 1 (a class wide enough
+    // that members actually interlink — the nation-level set induces
+    // an almost-empty subgraph)
+    val nat = st.filter(col("p") === "in_region" && col("o_id") === 1L * NS + 1)
+      .select(col("s").as("n"))
+    val roots = st.filter(col("p") === "in_nation")
+      .join(nat, col("o_id") === col("n")).select(col("s").as("member"))
+    val fam = st.filter(col("p").startsWith("family_") && col("o_id").isNotNull)
+      .select(col("s").as("root"), col("p").as("property1"), col("o_id").as("item1"))
+      .join(roots.withColumnRenamed("member", "root"), Seq("root"), "left_semi")
+      .join(roots.withColumnRenamed("member", "item1"), Seq("item1"), "left_semi")
+      .select(col("root"), col("property1"), col("item1")).distinct()
+    fam
+      .withColumn("n_root_edges", count(lit(1)).over(Window.partitionBy(col("root"))))
+      .withColumn("n_property_edges",
+        count(lit(1)).over(Window.partitionBy(col("property1"))))
+  }
+
+  /** kg_edge_betweenness — EXACT edge betweenness centrality of the
+    * roots-induced network, the
+    * `centrality_edge_betweenness()` the reference's network analysis
+    * ranks edges by (analysis/network/02-look-into-data.R:47): Brandes
+    * over every source simultaneously — a forward all-sources BFS
+    * building (src, node, dist, σ) with σ path counts summed over
+    * parents, then the backward dependency sweep level by level
+    * (δ(v) = Σ_w σv/σw·(1+δ(w)) over the shortest-path DAG), edge
+    * score = Σ over sources of its DAG contributions, halved
+    * (undirected pairs counted from both ends).
+    *
+    * Determinism/verification: σ and dist are exact integers; δ and
+    * the final score are IEEE sums, so this is a rows-only gate entry
+    * with the semantic spec comparing against an in-memory exact
+    * Brandes at 1e-9 (the kg_pagerank convention).
+    *
+    * Scale: betweenness is inherently all-sources (O(V·E) work) — the
+    * reference runs it on an ANALYSIS-CLASS-sized induced subgraph,
+    * and this operator keeps that contract (its input is the
+    * kg_within_relations frame, bounded by the root class). The
+    * sweeps are frontier joins keyed (src, node): work per round =
+    * |frontier|·avg-degree rows, every round localCheckpointed so the
+    * plan never grows with the diameter; no driver collect touches
+    * per-pair state (only scalar counts + the max level). */
+  def kgEdgeBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val wRel = kgWithinRelations(spark, dir)
+    val und = wRel.select(least(col("root"), col("item1")).as("a"),
+        greatest(col("root"), col("item1")).as("b")).distinct()
+      .localCheckpoint(eager = true)
+    val adj = und.select(col("a"), col("b"))
+      .union(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(eager = true)
+    val nodes = adj.select(col("a").as("node")).distinct()
+    // ---- forward: all-sources BFS with path counts -------------------
+    var settled = nodes.select(col("node").as("src"), col("node"),
+      lit(0).as("dist"), lit(1.0).as("sigma")).localCheckpoint(eager = true)
+    var frontier = settled
+    var d = 0
+    var go = true
+    while (go) {
+      val cand = frontier.join(adj, frontier("node") === adj("a"))
+        .select(frontier("src"), adj("b").as("node"), col("sigma"))
+      val nxt = cand
+        .join(settled.select(col("src"), col("node")), Seq("src", "node"), "left_anti")
+        .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
+        .withColumn("dist", lit(d + 1))
+        .select(col("src"), col("node"), col("dist"), col("sigma"))
+        .localCheckpoint(eager = true)
+      if (nxt.isEmpty) go = false
+      else {
+        val prev = settled
+        settled = settled.unionByName(nxt).localCheckpoint(eager = true)
+        graft.util.Checkpoints.free(prev)
+        graft.util.Checkpoints.free(frontier)
+        frontier = nxt
+        d += 1
+      }
+    }
+    // ---- shortest-path DAG edges ------------------------------------
+    val sv = settled.select(col("src").as("s1"), col("node").as("v"),
+      col("dist").as("dv"), col("sigma").as("sgv"))
+    val sw = settled.select(col("src").as("s2"), col("node").as("w"),
+      col("dist").as("dw"), col("sigma").as("sgw"))
+    val dag = sv.join(adj, col("v") === col("a"))
+      .join(sw, col("s1") === col("s2") && col("b") === col("w") &&
+        col("dw") === col("dv") + 1)
+      .select(col("s1").as("src"), col("v"), col("w"),
+        col("dv"), col("dw"), col("sgv"), col("sgw"))
+      .localCheckpoint(eager = true)
+    // ---- backward: level-by-level dependency sweep -------------------
+    var delta = settled.filter(col("dist") === d)
+      .select(col("src"), col("node"), lit(0.0).as("delta"))
+      .localCheckpoint(eager = true)
+    var contribs = List.empty[DataFrame]
+    for (dd <- d to 1 by -1) {
+      val level = dag.filter(col("dw") === dd)
+        .join(delta.select(col("src"), col("node").as("w"), col("delta")),
+          Seq("src", "w"), "left_outer")
+        .withColumn("contrib",
+          col("sgv") / col("sgw") * (lit(1.0) + coalesce(col("delta"), lit(0.0))))
+        .localCheckpoint(eager = true)
+      contribs ::= level.select(col("v"), col("w"), col("contrib"))
+      val prevDelta = delta
+      delta = level.groupBy(col("src"), col("v")).agg(sum(col("contrib")).as("delta"))
+        .select(col("src"), col("v").as("node"), col("delta"))
+        .localCheckpoint(eager = true)
+      graft.util.Checkpoints.free(prevDelta)
+    }
+    val all = contribs match {
+      case Nil => return und.select(col("a"), col("b"), lit(0.0).as("betweenness"))
+      case xs  => xs.reduce(_ unionByName _)
+    }
+    all
+      .select(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"),
+        col("contrib"))
+      .groupBy(col("a"), col("b"))
+      .agg((sum(col("contrib")) / 2.0).as("betweenness"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kg_edge_betweenness" -> (kgEdgeBetweenness _),
+    "kg_within_relations" -> (kgWithinRelations _),
     "kg_kcore"            -> (kgKcore _),
     "kg_path_alt"         -> (kgPathAlt _),
     "kg_clustering_coeff" -> (kgClusteringCoeff _),
@@ -386,7 +521,32 @@ object GraphMetrics {
        |      (SELECT count(*) FROM s$KcoreRounds)""".stripMargin
   }
 
+  /** kg_within_relations oracle — family edges regenerated from the
+    * SAME kind list ([[Sparql.familyKinds]]), root-filtered on both
+    * endpoints, censuses as window counts. */
+  private val withinSql: String = {
+    val branches = Sparql.familyKinds.map { case (p, res, mod, off) =>
+      s"""SELECT CAST(${3L * NS} + k.c_custkey AS BIGINT) AS root,
+         |    '$p' AS property1, CAST(${3L * NS} + t.c_custkey AS BIGINT) AS item1
+         |  FROM customer k JOIN customer t ON t.c_custkey = k.c_custkey + $off
+         |  WHERE k.c_custkey % $mod = $res""".stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""WITH roots AS (SELECT CAST(${3L * NS} + c.c_custkey AS BIGINT) AS member
+       |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+       |  WHERE n.n_regionkey = 1),
+       |fam AS (
+       |  $branches),
+       |w AS (SELECT DISTINCT f.root, f.property1, f.item1 FROM fam f
+       |  JOIN roots r1 ON r1.member = f.root
+       |  JOIN roots r2 ON r2.member = f.item1)
+       |SELECT root, property1, item1,
+       |  count(*) OVER (PARTITION BY root) AS n_root_edges,
+       |  count(*) OVER (PARTITION BY property1) AS n_property_edges
+       |FROM w""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kg_within_relations" -> withinSql,
     "kg_kcore" -> kcoreSql,
     "kg_communities" -> s"$T, $E,\n$lpaSql",
     "kg_void_stats" ->

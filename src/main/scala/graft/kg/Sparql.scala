@@ -2870,7 +2870,7 @@ object Sparql {
     * modulus, target offset): deterministic so the DuckDB twin
     * regenerates them; the spread of moduli gives the root a
     * multi-kind household. */
-  private val familyKinds: Seq[(String, Long, Long, Long)] = Seq(
+  private[kg] val familyKinds: Seq[(String, Long, Long, Long)] = Seq(
     ("family_spouse",     0L,  3L, 1L),
     ("family_partner",    0L,  9L, 2L),
     ("family_sibling",    0L,  3L, 5L),

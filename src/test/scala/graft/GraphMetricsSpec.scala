@@ -7,10 +7,14 @@ import graft.kg.GraphMetrics
 class GraphMetricsSpec extends SparkSpec {
 
   test("every graph-metric query runs, has rows, and a matching oracle") {
+    // declared rows-only entries (float results DuckDB cannot replay
+    // bit-for-bit) — each carries its own exact semantic spec below
+    val rowsOnly = Set("kg_edge_betweenness")
     GraphMetrics.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
-      assert(GraphMetrics.oracles.contains(name), s"$name missing oracle SQL")
+      assert(GraphMetrics.oracles.contains(name) || rowsOnly(name),
+        s"$name missing oracle SQL")
     }
   }
 
@@ -137,5 +141,47 @@ class GraphMetricsSpec extends SparkSpec {
     // answer here; the sf0.01 oracle gate exercises the split (min
     // degree 1 there)
     assert(core.nonEmpty, "3-core unexpectedly empty on the dense test graph")
+  }
+
+  test("edge betweenness matches in-memory exact Brandes at 1e-6") {
+    val got = graft.kg.GraphMetrics.kgEdgeBetweenness(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val w = graft.kg.GraphMetrics.kgWithinRelations(spark, sf)
+      .select("root", "item1").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = w.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.distinct
+    assert(und.nonEmpty, "induced analysis graph must be non-trivial")
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      .withDefaultValue(Seq.empty)
+    val nodes = adj.keys.toSeq
+    val eb = collection.mutable.Map[(Long, Long), Double]().withDefaultValue(0.0)
+    for (s <- nodes) {
+      val dist = collection.mutable.Map[Long, Int](s -> 0)
+      val sigma = collection.mutable.Map[Long, Double](s -> 1.0).withDefaultValue(0.0)
+      val order = collection.mutable.ArrayBuffer[Long](s)
+      val queue = collection.mutable.Queue[Long](s)
+      val preds = collection.mutable.Map[Long, List[Long]]().withDefaultValue(Nil)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        for (wn <- adj(v)) {
+          if (!dist.contains(wn)) { dist(wn) = dist(v) + 1; queue += wn; order += wn }
+          if (dist(wn) == dist(v) + 1) { sigma(wn) += sigma(v); preds(wn) ::= v }
+        }
+      }
+      val delta = collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for (wn <- order.reverse; v <- preds(wn)) {
+        val c = sigma(v) / sigma(wn) * (1.0 + delta(wn))
+        eb((math.min(v, wn), math.max(v, wn))) += c / 2.0
+        delta(v) += c
+      }
+    }
+    assert(got.keySet == eb.keySet,
+      s"edge sets differ: ${(got.keySet diff eb.keySet).take(3)} / ${(eb.keySet diff got.keySet).take(3)}")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - eb(k)) < 1e-6, s"$k: distributed $v vs exact ${eb(k)}") }
+    // sanity: scores are positive and not all equal (the ranking the
+    // reference's arrange(desc(centrality)) depends on)
+    assert(got.values.forall(_ > 0))
+    assert(got.values.toSet.size > 1, "all-equal scores cannot rank edges")
   }
 }
