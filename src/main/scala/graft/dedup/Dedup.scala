@@ -647,7 +647,70 @@ object Dedup {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
 
+  /** NN-Descent parameters: graph degree K and refinement rounds. */
+  private val KnnK = 10
+  private val KnnRounds = 2
+
+  /** sim_knn_graph — k-NN GRAPH construction by NN-Descent (Dong et
+    * al., WWW'11 — the standard large-scale algorithm: "a neighbor of
+    * a neighbor is likely a neighbor"): a deterministic md5-seeded
+    * K-neighbor graph refined for [[KnnRounds]] rounds, each round
+    * scoring forward ∪ reverse ∪ neighbor-of-neighbor candidates and
+    * keeping the top-K per node by (cosine DESC, id) — every step a
+    * pure function of the data, so the whole trajectory (including
+    * the float cosines) replays bit-for-bit in DuckDB under the hash
+    * gate, unlike sampled NN-Descent.
+    *
+    * The kNN graph is the backbone artifact behind graph ANN (HNSW /
+    * NSW layers), SemDeDup-style semantic clustering, and label
+    * propagation over embeddings.
+    *
+    * Scale: per-round candidate volume is n·(K² + 2K) pairs —
+    * INDEPENDENT of n² (the whole point of NN-Descent); scoring is
+    * two id-equi-joins against the checkpointed vector table + the
+    * native one-pass cosine, top-K one window partitioned by node id.
+    * Convergence rounds are logarithmic in practice; each round
+    * localCheckpoints so the plan stays round-independent. */
+  def simKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint(eager = true)
+    val nVec = e.count()
+    def topK(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(e.select(col("id"), col("v").as("va")), Seq("id"))
+        .join(e.select(col("id").as("nbr"), col("v").as("vb")), Seq("nbr"))
+        .select(col("id"), col("nbr"), cos("va", "vb").as("cosine"))
+      val w = Window.partitionBy(col("id")).orderBy(col("cosine").desc, col("nbr"))
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= KnnK)
+    }
+    val init = e.select(col("id"))
+      .withColumn("j", explode(array((0 until KnnK).map(lit(_)): _*)))
+      .withColumn("h", Md5Bits.p60(
+        concat(col("id").cast("string"), lit("|init|"), col("j").cast("string"))) % nVec)
+      .select(col("id"),
+        when(col("h") === col("id"), (col("h") + 1) % nVec).otherwise(col("h")).as("nbr"))
+      .distinct()
+    var cur = topK(init).localCheckpoint(eager = true)
+    for (_ <- 1 to KnnRounds) {
+      val fwd = cur.select(col("id"), col("nbr"))
+      val rev = cur.select(col("nbr").as("id"), col("id").as("nbr"))
+      val nn = fwd.as("x").join(fwd.as("y"), col("x.nbr") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.nbr").as("nbr"))
+      val cand = fwd.unionByName(rev).unionByName(nn)
+        .filter(col("id") =!= col("nbr")).distinct()
+      val prev = cur
+      cur = topK(cand).localCheckpoint(eager = true)
+      graft.util.Checkpoints.free(prev)
+    }
+    graft.util.Checkpoints.free(e)
+    cur.select(col("id"), col("nbr"), col("cosine"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_graph"       -> (simKnnGraph _),
     "dedup_exact"         -> (dedupExact _),
     "dedup_substring"     -> (dedupSubstring _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
@@ -683,6 +746,45 @@ object Dedup {
     * hyperplanes); only sim_ann_ivf stays [R] (iterative KMeans fit),
     * covered by its measured-recall spec instead. */
   val oracles: Map[String, String] = Map(
+    // the full NN-Descent trajectory replayed: same md5 seeding, same
+    // candidate expansion, same (cosine DESC, id) top-K per round —
+    // MATERIALIZED per round (each s_i is referenced three times by
+    // the next candidate set)
+    "sim_knn_graph" -> {
+      def score(cand: String, out: String): String =
+        s"""$out AS MATERIALIZED (
+           |  SELECT id, nbr, cosine, rk FROM (
+           |    SELECT id, nbr, cosine,
+           |      row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nbr) AS rk
+           |    FROM (SELECT c.id, c.nbr,
+           |        list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+           |      FROM $cand c JOIN n a ON a.id = c.id JOIN n b ON b.id = c.nbr))
+           |  WHERE rk <= $KnnK)""".stripMargin
+      val rounds = (1 to KnnRounds).map { r =>
+        s"""c$r AS (SELECT DISTINCT id, nbr FROM (
+           |    SELECT id, nbr FROM s${r - 1}
+           |    UNION ALL SELECT nbr, id FROM s${r - 1}
+           |    UNION ALL SELECT x.id, y.nbr FROM s${r - 1} x
+           |      JOIN s${r - 1} y ON x.nbr = y.id)
+           |  WHERE id <> nbr),
+           |${score(s"c$r", s"s$r")}""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT CAST(vec_id AS BIGINT) AS id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS MATERIALIZED (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |nv AS (SELECT count(*) AS cnt FROM e),
+         |ij AS (SELECT e.id, j FROM e
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${KnnK - 1})) AS j)),
+         |h0 AS (SELECT id,
+         |    ('0x'||substr(md5(id||'|init|'||j),1,15))::BIGINT % (SELECT cnt FROM nv) AS h
+         |  FROM ij),
+         |c0 AS (SELECT DISTINCT id,
+         |    CASE WHEN h = id THEN (h + 1) % (SELECT cnt FROM nv) ELSE h END AS nbr
+         |  FROM h0),
+         |${score("c0", "s0")},
+         |$rounds
+         |SELECT id, nbr, cosine, CAST(rk AS INTEGER) AS rk FROM s$KnnRounds""".stripMargin
+    },
     "sim_ann_lsh" -> {
       val planes = lshPlanes.map(_.mkString("[", ", ", "]"))
       val bucket = planes.zipWithIndex

@@ -718,4 +718,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("knn graph: NN-Descent lifts recall@10 well above the seed graph") {
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .selectExpr("cast(vec_id as long) id", "cast(embedding as array<double>) v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toArray
+    val truth = ids.map { q =>
+      q -> ids.filter(_ != q).map(t => (cos(vecs(q), vecs(t)), t))
+        .sortBy { case (c, t) => (-c, t) }.take(10).map(_._2).toSet
+    }.toMap
+    val got = graft.dedup.Dedup.simKnnGraph(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // seed-graph recall baseline: md5 neighbors are essentially random
+    val n = ids.length
+    def md5mod(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(8)
+      val hex = h.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % n
+    }
+    val seed = ids.map { q =>
+      q -> (0 until 10).map(j => md5mod(s"$q|init|$j"))
+        .map(h => if (h == q) (h + 1) % n else h).toSet
+    }.toMap
+    def recall(g: Map[Long, Set[Long]]): Double =
+      ids.map(q => (g.getOrElse(q, Set.empty) intersect truth(q)).size / 10.0).sum / n
+    val rG = recall(got); val rS = recall(seed)
+    assert(rG > rS + 0.2, s"NN-Descent recall $rG barely improves seed $rS")
+    assert(rG >= 0.5, s"final kNN-graph recall@10 $rG below floor")
+  }
 }
