@@ -402,9 +402,9 @@ object Text {
           |census AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1)
           |SELECT t.doc_id,
           |  count(*) AS n_tokens,
-          |  sum(c.freq) AS sum_freq,
+          |  CAST(sum(c.freq) AS BIGINT) AS sum_freq,
           |  min(c.freq) AS min_freq,
-          |  sum(CASE WHEN c.freq = 1 THEN 1 ELSE 0 END) AS n_hapax,
+          |  CAST(sum(CASE WHEN c.freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
           |  CAST(sum(c.freq) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_freq
           |FROM toks t JOIN census c ON c.term = t.term
           |GROUP BY 1""".stripMargin,

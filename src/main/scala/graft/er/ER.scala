@@ -473,7 +473,128 @@ object ER {
       .withColumn("isbn13", when(valid, concat(e13, check13.cast("string"))))
   }
 
+  /** Ordered-strategy link cascade (library surface): strategy k sees
+    * ONLY the entities strategies < k left unmatched — the reference's
+    * lobid carry-forward (data-linking/lobid/02-search-via-author-title
+    * .R:30–45 anti-joins `el_matches` before trying the next strategy;
+    * 03/04 continue author-only and publisher).
+    *
+    * `entities` must carry an `id` column; each strategy maps the
+    * REMAINING-entities frame to candidate rows `(id, auth_id, score)`
+    * (score ascending = better). Per stage, the best candidate per
+    * entity wins (min score, then min auth_id), and the stage's match
+    * frame is localCheckpointed: it fans out twice (final output union
+    * + every later stage's anti-join), and Catalyst does not CSE across
+    * branches — without the checkpoint stage k's plan would re-run
+    * stages 1..k−1 exponentially (the kg_describe lesson). Anti-joins
+    * carry only the `id` key, so the growing matched set shuffles one
+    * long column regardless of entity width. Returns one row per
+    * MATCHED entity: `(id, strategy, priority, auth_id, score)`. */
+  def linkCascade(entities: DataFrame,
+                  strategies: Seq[(String, DataFrame => DataFrame)]): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("score"), col("auth_id"))
+    var matchedIds: Option[DataFrame] = None
+    val stages = strategies.zipWithIndex.map { case ((name, strat), k) =>
+      val remaining = matchedIds.fold(entities)(m => entities.join(m, Seq("id"), "left_anti"))
+      val top = strat(remaining)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("id"), lit(name).as("strategy"), lit(k + 1).as("priority"),
+          col("auth_id"), col("score"))
+        .localCheckpoint()
+      val ids = top.select(col("id"))
+      matchedIds = Some(matchedIds.fold(ids)(_.unionAll(ids)))
+      top
+    }
+    stages.reduce(_ unionAll _)
+  }
+
+  /** Clean ISBN-13 for the synthetic authority registry (the registry
+    * is authoritative — always carries the correct check digit). */
+  private def isbn13Clean: Column = {
+    val body = lpad((col("p_partkey") % 1000000000L).cast("string"), 9, "0")
+    def d(s: Column, i: Int): Column = substring(s, i, 1).cast("int")
+    val e13 = concat(lit("978"), body)
+    val sum13 = (1 to 12).map(i => d(e13, i) * lit(if (i % 2 == 0) 3 else 1)).reduce(_ + _)
+    concat(e13, ((lit(10) - (sum13 % 10)) % 10).cast("string"))
+  }
+
+  /** er_link_cascade — multi-strategy cascading authority linking: the
+    * reference's lobid flow (01-search-via-isbn.R → 02-search-via-
+    * author-title.R → 03-search-via-author.R → 04-search-via-
+    * publisher.R) as ONE composed operator over [[linkCascade]].
+    * Books (parts + their er_isbn ISBNs) link against a synthesized
+    * authority registry with four catalog sections; the four
+    * strategies, in priority order:
+    *   1. `isbn`         — exact identifier equi-join (score 0);
+    *   2. `author_title` — (tok1, tok2) key join + full-name
+    *                       levenshtein score;
+    *   3. `author`       — tok1-only join (registry section covers
+    *                       only tok1 < 'm', so later strategies keep
+    *                       work) + levenshtein score;
+    *   4. `publisher`    — brand equality (score 0).
+    * An entity matched by strategy k NEVER reappears under k' > k even
+    * when k' would score better — priority beats score (spec-asserted).
+    * Output also carries the never-matched entities (strategy
+    * `unmatched`, priority 0, null auth/score) so the operator is a
+    * complete linking report.
+    *
+    * Scale: every strategy is a bounded equi-join on its block key +
+    * one per-entity top-1 window; the low-cardinality keys (author
+    * ~92 first tokens, publisher ~25 brands) ride [[Scale.saltedJoin]]
+    * so no block serializes onto one task (the round-1 ER lesson);
+    * carry-forward anti-joins move only ids. */
+  def erLinkCascade(spark: SparkSession, dir: String): DataFrame = {
+    val books = Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long").as("id"),
+        norm(col("p_name")).as("norm"), col("p_brand").as("brand"))
+      .withColumn("tok1", split(col("norm"), " ").getItem(0))
+      .withColumn("tok2", split(col("norm"), " ").getItem(1))
+      .join(erIsbn(spark, dir).select(col("id"), col("isbn13")), Seq("id"), "left_outer")
+    val auth = Tables.part(spark, dir)
+      .select((col("p_partkey") + lit(AuthBase)).cast("long").as("auth_id"),
+        (col("p_partkey") % 4).cast("int").as("section"),
+        isbn13Clean.as("a_isbn13"),
+        norm(col("p_name")).as("a_norm"), col("p_brand").as("a_brand"))
+      .withColumn("a_tok1", split(col("a_norm"), " ").getItem(0))
+      .withColumn("a_tok2", split(col("a_norm"), " ").getItem(1))
+    val lev = (a: Column, b: Column) => levenshtein(a, b).cast("int")
+    val matched = linkCascade(books, Seq(
+      "isbn" -> { rem: DataFrame =>
+        rem.filter(col("isbn13").isNotNull)
+          .join(auth.filter(col("section") === 0), col("isbn13") === col("a_isbn13"))
+          .select(col("id"), col("auth_id"), lit(0).as("score"))
+      },
+      "author_title" -> { rem: DataFrame =>
+        rem.join(auth.filter(col("section") === 1),
+            col("tok1") === col("a_tok1") && col("tok2") === col("a_tok2"))
+          .select(col("id"), col("auth_id"), lev(col("norm"), col("a_norm")).as("score"))
+      },
+      "author" -> { rem: DataFrame =>
+        val r = rem.select(col("id"), col("norm"), col("tok1").as("blk"))
+        val a = auth.filter(col("section") === 2 && col("a_tok1") < "m")
+          .select(col("a_tok1").as("blk"), col("auth_id"), col("a_norm"))
+        Scale.saltedJoin(r, a, "blk", pairSalts, saltOn = col("id"))
+          .select(col("id"), col("auth_id"), lev(col("norm"), col("a_norm")).as("score"))
+      },
+      "publisher" -> { rem: DataFrame =>
+        val r = rem.select(col("id"), col("brand").as("blk"))
+        val a = auth.filter(col("section") === 3)
+          .select(col("a_brand").as("blk"), col("auth_id"))
+        Scale.saltedJoin(r, a, "blk", pairSalts, saltOn = col("id"))
+          .select(col("id"), col("auth_id"), lit(0).as("score"))
+      }))
+    val unmatched = books.join(matched.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit("unmatched").as("strategy"), lit(0).as("priority"),
+        lit(null).cast("long").as("auth_id"), lit(null).cast("int").as("score"))
+    matched.unionAll(unmatched)
+  }
+
+  /** Authority-registry id namespace offset for [[erLinkCascade]]. */
+  private val AuthBase = 10000000L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_link_cascade"         -> (erLinkCascade _),
     "er_isbn"                 -> (erIsbn _),
     "er_fingerprint"          -> (erFingerprint _),
     "er_survivorship"         -> (erSurvivorship _),
@@ -523,6 +644,70 @@ object ER {
     (1 to 9).map(i => s"$i * CAST(substring($b, $i, 1) AS INTEGER)").mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "er_link_cascade" -> {
+      val sum13 = (1 to 12)
+        .map(i => s"${if (i % 2 == 0) 3 else 1} * CAST(substring(e13, $i, 1) AS INTEGER)")
+        .mkString(" + ")
+      // m1..m4 and books fan out (result union + anti-join chains):
+      // AS MATERIALIZED, or DuckDB re-inlines each reference and the
+      // plan doubles per stage (the kg_kcore lesson).
+      s"""WITH src AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+         |    lpad(CAST(p_partkey % 1000000000 AS VARCHAR), 9, '0') AS body,
+         |    p_partkey % 7 = 0 AS corrupt,
+         |    $N AS norm, p_brand AS brand FROM part),
+         |mk AS (SELECT id, body, norm, brand,
+         |    CASE WHEN corrupt THEN ((${isbnSumSql("body")}) % 11 + 1) % 11
+         |         ELSE (${isbnSumSql("body")}) % 11 END AS emitted FROM src),
+         |raw AS (SELECT id, norm, brand,
+         |    body || CASE WHEN emitted = 10 THEN 'X' ELSE CAST(emitted AS VARCHAR) END
+         |      AS isbn10 FROM mk),
+         |v AS (SELECT id, norm, brand, substring(isbn10, 1, 9) AS rb,
+         |    (${isbnSumSql("substring(isbn10, 1, 9)")}) % 11 =
+         |      CASE WHEN upper(substring(isbn10, 10, 1)) = 'X' THEN 10
+         |           ELSE CAST(substring(isbn10, 10, 1) AS INTEGER) END AS valid FROM raw),
+         |bk0 AS (SELECT id, norm, brand, valid, '978' || rb AS e13 FROM v),
+         |books AS MATERIALIZED (SELECT id, norm,
+         |    string_split(norm, ' ')[1] AS tok1, string_split(norm, ' ')[2] AS tok2, brand,
+         |    CASE WHEN valid THEN e13 || CAST((10 - ($sum13) % 10) % 10 AS VARCHAR) END
+         |      AS isbn13
+         |  FROM bk0),
+         |a0 AS (SELECT CAST(p_partkey + $AuthBase AS BIGINT) AS auth_id,
+         |    CAST(p_partkey % 4 AS INTEGER) AS section,
+         |    '978' || lpad(CAST(p_partkey % 1000000000 AS VARCHAR), 9, '0') AS e13,
+         |    ${normSql("p_name")} AS a_norm, p_brand AS a_brand FROM part),
+         |auth AS MATERIALIZED (SELECT auth_id, section,
+         |    e13 || CAST((10 - ($sum13) % 10) % 10 AS VARCHAR) AS a_isbn13,
+         |    a_norm, string_split(a_norm, ' ')[1] AS a_tok1,
+         |    string_split(a_norm, ' ')[2] AS a_tok2, a_brand FROM a0),
+         |m1 AS MATERIALIZED (
+         |  SELECT b.id, a.auth_id, 0 AS score FROM books b
+         |  JOIN auth a ON a.section = 0 AND b.isbn13 = a.a_isbn13
+         |  QUALIFY row_number() OVER (PARTITION BY b.id ORDER BY a.auth_id) = 1),
+         |r2 AS (SELECT * FROM books WHERE id NOT IN (SELECT id FROM m1)),
+         |m2 AS MATERIALIZED (
+         |  SELECT b.id, a.auth_id, CAST(levenshtein(b.norm, a.a_norm) AS INTEGER) AS score
+         |  FROM r2 b JOIN auth a ON a.section = 1 AND b.tok1 = a.a_tok1 AND b.tok2 = a.a_tok2
+         |  QUALIFY row_number() OVER (PARTITION BY b.id
+         |    ORDER BY levenshtein(b.norm, a.a_norm), a.auth_id) = 1),
+         |r3 AS (SELECT * FROM r2 WHERE id NOT IN (SELECT id FROM m2)),
+         |m3 AS MATERIALIZED (
+         |  SELECT b.id, a.auth_id, CAST(levenshtein(b.norm, a.a_norm) AS INTEGER) AS score
+         |  FROM r3 b JOIN auth a ON a.section = 2 AND a.a_tok1 < 'm' AND b.tok1 = a.a_tok1
+         |  QUALIFY row_number() OVER (PARTITION BY b.id
+         |    ORDER BY levenshtein(b.norm, a.a_norm), a.auth_id) = 1),
+         |r4 AS (SELECT * FROM r3 WHERE id NOT IN (SELECT id FROM m3)),
+         |m4 AS MATERIALIZED (
+         |  SELECT b.id, a.auth_id, 0 AS score FROM r4 b
+         |  JOIN auth a ON a.section = 3 AND b.brand = a.a_brand
+         |  QUALIFY row_number() OVER (PARTITION BY b.id ORDER BY a.auth_id) = 1)
+         |SELECT id, 'isbn' AS strategy, 1 AS priority, auth_id, score FROM m1
+         |UNION ALL SELECT id, 'author_title', 2, auth_id, score FROM m2
+         |UNION ALL SELECT id, 'author', 3, auth_id, score FROM m3
+         |UNION ALL SELECT id, 'publisher', 4, auth_id, score FROM m4
+         |UNION ALL SELECT id, 'unmatched', 0, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
+         |FROM books WHERE id NOT IN (SELECT id FROM m1 UNION ALL SELECT id FROM m2
+         |  UNION ALL SELECT id FROM m3 UNION ALL SELECT id FROM m4)""".stripMargin
+    },
     "er_isbn" -> {
       val sum13 = (1 to 12)
         .map(i => s"${if (i % 2 == 0) 3 else 1} * CAST(substring(e13, $i, 1) AS INTEGER)")

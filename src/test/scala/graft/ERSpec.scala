@@ -176,4 +176,46 @@ class ERSpec extends SparkSpec {
       } else assert(r.isNullAt(3))
     }
   }
+
+  test("linkCascade: strategy priority beats score — an entity matched early never reappears") {
+    import spark.implicits._
+    val entities = Seq(1L, 2L, 3L).toDF("id")
+    // strategy A matches entity 1 at score 5; strategy B would match
+    // entity 1 at the BETTER score 0, plus entity 2 at score 3
+    val out = ER.linkCascade(entities, Seq(
+      "a" -> { rem => rem.join(Seq((1L, 100L, 5)).toDF("id", "auth_id", "score"), Seq("id")) },
+      "b" -> { rem => rem.join(
+        Seq((1L, 200L, 0), (2L, 300L, 3)).toDF("id", "auth_id", "score"), Seq("id")) }
+    )).collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(out.toSet == Set((1L, "a", 1, 100L, 5), (2L, "b", 2, 300L, 3)),
+      s"cascade must keep entity 1 under strategy a despite b's better score; got ${out.toSet}")
+  }
+
+  test("linkCascade: within a strategy the best (score, auth_id) candidate wins") {
+    import spark.implicits._
+    val entities = Seq(1L).toDF("id")
+    val out = ER.linkCascade(entities, Seq(
+      "a" -> { rem => rem.join(
+        Seq((1L, 100L, 2), (1L, 50L, 1), (1L, 60L, 1)).toDF("id", "auth_id", "score"), Seq("id")) }
+    )).collect()
+    assert(out.length == 1 && out(0).getLong(3) == 50L && out(0).getInt(4) == 1)
+  }
+
+  test("er_link_cascade: one row per book, disjoint strategies, isbn wins for its section") {
+    val out = ER.erLinkCascade(spark, sf)
+    val n = spark.read.parquet(s"$sf/part.parquet").count()
+    assert(out.count() == n, "exactly one row per book")
+    assert(out.groupBy("id").count().filter(col("count") =!= 1).count() == 0)
+    // a valid-ISBN book in authority section 0 must be matched by the
+    // isbn strategy and nothing else
+    val isbnIds = out.filter(col("strategy") === "isbn").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = spark.read.parquet(s"$sf/part.parquet").select("p_partkey")
+      .collect().map(_.getLong(0)).filter(i => i % 4 == 0 && i % 7 != 0).toSet
+    assert(isbnIds == expected,
+      s"isbn strategy should capture exactly the valid section-0 books")
+    // the cascade exercises more than one strategy on real data
+    val strategies = out.select("strategy").distinct().collect().map(_.getString(0)).toSet
+    assert(strategies.size >= 3, s"expected >=3 strategies to fire, got $strategies")
+  }
 }

@@ -7,9 +7,82 @@ Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`:
 Compares each <name>/ parquet dump against DuckDB running oracle_sql.json,
 sorting columns by name and rows by all columns before hashing values.
 """
-import sys, json, glob, os
+import sys, json, glob, os, re
 import duckdb
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# --- dtype gate -----------------------------------------------------------
+# The driver hashes canonical string renderings, so a dtype difference that
+# changes the rendering (DuckDB HUGEINT -> pandas float64 -> "5.0" vs Spark
+# BIGINT -> "5") fails the driver even when check_dtype=False passes here.
+# Map both sides' declared types into "render classes" and require equality;
+# HUGEINT deliberately maps to its own class so an un-CAST DuckDB integer
+# SUM is a loud local failure (the text_rarity round-7 escape).
+
+def duck_class(t) -> str:
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if s == "HUGEINT":
+        return "hugeint(un-CAST DuckDB integer SUM?)"
+    if s in ("FLOAT", "DOUBLE"):
+        return "float"
+    m = re.match(r"DECIMAL\((\d+),(\d+)\)", s)
+    if m:
+        return f"decimal(s={m.group(2)})"
+    if s == "VARCHAR":
+        return "str"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "ts"
+    if s == "BLOB":
+        return "bytes"
+    if s in ('"NULL"', "NULL", "SQLNULL"):
+        return "*"  # projected-null columns match anything
+    if s.endswith("[]") or s.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+        return "nested"
+    return s
+
+def arrow_class(t) -> str:
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal(s={t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "ts"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_null(t):
+        return "*"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_struct(t) or pa.types.is_map(t)):
+        return "nested"
+    return str(t)
+
+def dtype_mismatches(spark_schema: pa.Schema, duck_cols, duck_types):
+    spark = {f.name: arrow_class(f.type) for f in spark_schema}
+    out = []
+    for col, dt in zip(duck_cols, duck_types):
+        dc = duck_class(dt)
+        sc = spark.get(col)
+        if sc is None or dc == "*" or sc == "*" or dc == sc:
+            continue
+        out.append(f"{col}: spark={sc} duckdb={dc}")
+    return out
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -45,11 +118,18 @@ def main(sf_dir, out_dir):
             print(f"{'ROWS-OK' if ok else 'ROWS-EMPTY':9s} {name}: {len(got)} rows (no oracle)")
             continue
         try:
-            exp = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            exp = rel.df()
         except Exception as e:
             print(f"ORACLE-ERR {name}: {e}")
             n_fail += 1
             continue
+        if files:
+            bad = dtype_mismatches(pq.read_schema(files[0]), rel.columns, rel.types)
+            if bad:
+                print(f"FAIL      {name}: dtype {'; '.join(bad)}")
+                n_fail += 1
+                continue
         g, e = canon(got), canon(exp)
         if list(g.columns) != list(e.columns):
             print(f"FAIL      {name}: columns {list(g.columns)} vs {list(e.columns)}")
