@@ -218,4 +218,27 @@ class ERSpec extends SparkSpec {
     val strategies = out.select("strategy").distinct().collect().map(_.getString(0)).toSet
     assert(strategies.size >= 3, s"expected >=3 strategies to fire, got $strategies")
   }
+
+  test("capBlocks: small kept, oversized refined by 2nd token, pathological dropped + audited") {
+    import spark.implicits._
+    val blocked = Seq(
+      // block "a" (size 2 <= cap): kept untouched
+      (1L, "a x", "a"), (2L, "a y", "a"),
+      // block "b" (size 4 > cap): refined by the second norm token into
+      // four singleton blocks b|p1..b|p4 — all kept
+      (10L, "b p1 t", "b"), (11L, "b p2 t", "b"), (12L, "b p3 t", "b"), (13L, "b p4 t", "b"),
+      // block "c" (size 4 > cap): every row shares the second token, so
+      // refinement can't split it — c|z stays oversized and is DROPPED
+      (20L, "c z t1", "c"), (21L, "c z t2", "c"), (22L, "c z t3", "c"), (23L, "c z t4", "c")
+    ).toDF("id", "norm", "blk")
+    val cap = 3L
+    val out = ER.capBlocks(blocked, cap).collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("blk"))).toSet
+    assert(out == Set((1L, "a"), (2L, "a"),
+      (10L, "b|p1"), (11L, "b|p2"), (12L, "b|p3"), (13L, "b|p4")),
+      s"got $out")
+    val audit = ER.oversizedBlocks(blocked, cap).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(audit == Set(("c|z", 4L)), s"dropped blocks must be surfaced; got $audit")
+  }
 }

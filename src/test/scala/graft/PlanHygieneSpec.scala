@@ -54,4 +54,38 @@ class PlanHygieneSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"plan hygiene violations:\n  ${offenders.mkString("\n  ")}")
   }
+
+  // Whole-stage codegen fallback is SILENT in green runs: janino's
+  // "Code grows beyond 64 KB" (or a method over hugeMethodLimit) just
+  // logs and drops the stage to interpreted execution — round 8's
+  // er_link_cascade shipped that way. This test does what the executor
+  // does at runtime — generate and COMPILE every stage's code — and
+  // fails loudly where the runtime would silently fall back.
+  test("every whole-stage codegen stage compiles under the JVM method limit") {
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val limit = spark.sessionState.conf.hugeMethodLimit
+    def stages(p: SparkPlan): Seq[WholeStageCodegenExec] = p.collect {
+      case w: WholeStageCodegenExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => stages(a.executedPlan)
+    }.flatten
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      stages(fn(spark, sf).queryExecution.executedPlan).foreach { w =>
+        try {
+          val (_, source) = w.doCodeGen()
+          val (_, byteStats) = CodeGenerator.compile(source)
+          if (byteStats.maxMethodCodeSize > limit)
+            offenders += s"$name: stage ${w.codegenStageId} max method " +
+              s"${byteStats.maxMethodCodeSize} B > hugeMethodLimit $limit"
+        } catch { case e: Exception =>
+          offenders += s"$name: stage ${w.codegenStageId} would fall back: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString.take(160)
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      s"silent codegen fallback would fire for:\n  ${offenders.mkString("\n  ")}")
+  }
 }
