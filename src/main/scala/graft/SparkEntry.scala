@@ -21,6 +21,7 @@ object SparkEntry {
       graft.kg.Wikibase.queries ++
       graft.kg.GraphMetrics.queries ++
       graft.kg.Sparql.queries ++
+      graft.kg.Rdf.queries ++
       graft.er.ER.queries ++
       graft.dedup.Dedup.queries ++
       graft.dedup.Embed.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       graft.kg.Wikibase.oracles ++
       graft.kg.GraphMetrics.oracles ++
       graft.kg.Sparql.oracles ++
+      graft.kg.Rdf.oracles ++
       graft.er.ER.oracles ++
       graft.dedup.Dedup.oracles ++
       graft.dedup.Embed.oracles ++

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.kg.{Rdf, Triples}
+import graft.sources.Tables
+
+class RdfSpec extends SparkSpec {
+
+  test("esc: N-Triples escaping handles backslash first, then quote and controls") {
+    import spark.implicits._
+    val out = Seq("a\\b\"c\nd\re\tf", "plain").toDF("v")
+      .select(Rdf.esc(col("v")).as("e")).collect().map(_.getString(0))
+    assert(out(0) == "a\\\\b\\\"c\\nd\\re\\tf", s"got ${out(0)}")
+    assert(out(1) == "plain")
+  }
+
+  test("kg_export_nt: every line is a well-formed triple; arm counts add up") {
+    val nt = Rdf.kgExportNt(spark, sf)
+    val rows = nt.collect().map(_.getString(0))
+    assert(rows.forall(_.endsWith(" .")), "every N-Triples line ends with ' .'")
+    assert(rows.forall(_.startsWith("<http://example.com/")), "subjects are templated IRIs")
+    // one row per statement + one rdf:type row per entity + one typed
+    // date literal per order
+    val expected = Triples.statements(spark, sf).count() +
+      Triples.entityIds(spark, sf).count() +
+      Tables.orders(spark, sf).count()
+    assert(rows.length.toLong == expected)
+    // the three object forms all occur: IRI, lang-tagged, typed
+    assert(rows.exists(_.contains("\"@en ")), "lang-tagged literal arm")
+    assert(rows.exists(_.contains("^^<http://www.w3.org/2001/XMLSchema#date>")), "typed-literal arm")
+    assert(rows.exists(_.matches(""".* <http://example\.com/prop/in_region> <http://example\.com/region/\d+> \.""")),
+      "entity-object arm")
+    assert(rows.exists(_.contains("22-rdf-syntax-ns#type")), "rdf:type arm")
+  }
+
+  test("kg_export_ttl: prefix header covers every prefix the body uses") {
+    val rows = Rdf.kgExportTtl(spark, sf).collect().map(_.getString(0))
+    val headers = rows.filter(_.startsWith("@prefix "))
+    val declared = headers.map(_.split(" ")(1).stripSuffix(":")).toSet
+    assert(declared == Set("region", "nation", "customer", "supplier", "part", "order",
+      "prop", "class", "xsd"), s"got $declared")
+    val body = rows.filterNot(_.startsWith("@prefix "))
+    val usedPrefixes = body.flatMap(_.split("[ (]").filter(_.contains(":"))
+      .map(_.takeWhile(_ != ':')).filter(_.nonEmpty).filterNot(_.startsWith("\"")))
+    assert(usedPrefixes.toSet.subsetOf(declared), s"undeclared prefixes: ${usedPrefixes.toSet -- declared}")
+    assert(body.forall(_.endsWith(" .")))
+  }
+
+  test("kg_export_jsonld: every line parses as a JSON object with @id or @value") {
+    val sess = spark; import sess.implicits._
+    val ds = Rdf.kgExportJsonld(spark, sf).as[String]
+    val parsed = spark.read.json(ds)
+    assert(!parsed.columns.contains("_corrupt_record"), "all lines must be valid JSON")
+    val n = ds.count()
+    assert(parsed.filter(col("`@id`").isNotNull).count() == n, "every node carries @id")
+  }
+
+  test("rdf exports are projection-only: no exchange in any arm") {
+    Seq(Rdf.kgExportNt(spark, sf), Rdf.kgExportTtl(spark, sf),
+      Rdf.kgExportJsonld(spark, sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      // the only shuffles allowed are the DISTINCT branches the
+      // statement store itself declares (lineitem edge maps)
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      val distinctBranches = Triples.rules.count(_.distinct)
+      assert(exchanges <= distinctBranches * 2,
+        s"export should add no shuffle beyond the store's DISTINCT branches:\n$plan")
+    }
+  }
+}
