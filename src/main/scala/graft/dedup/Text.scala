@@ -322,7 +322,69 @@ object Text {
         (col("sum_freq").cast("double") / col("n_tokens").cast("double")).as("mean_freq"))
   }
 
+  /** One extracted mention: where (1-based char offset), what, type. */
+  final case class NerMention(doc_id: Long, start_off: Long, mention: String, ner_type: String)
+
+  /** text_ner_batch — the batched model-inference shape for NER over
+    * free text: the reference's spaCy/flair/HF stage
+    * (`data-gathering/named-entity-recognition/spacy_ner.py` — load a
+    * pipeline once, stream documents through it, emit typed mention
+    * records) expressed as `mapPartitions` with ONCE-PER-PARTITION
+    * model init. The "model" here is a deterministic stub so the
+    * operator gates on the DuckDB oracle: a gazetteer matcher compiled
+    * from the broadcast part-noun dictionary (spacy_ner.py's
+    * `districts_of_munich` list), a suffix-regex rule (its
+    * `street_labels` = ".*(platz|straße|str|anger)$" shape), and a
+    * context-window rule (mention = token after a determiner — the
+    * `date_marker_start` previous-token idiom). First matching rule
+    * wins; emits `(doc_id, start_off, mention, ner_type)` with exact
+    * 1-based character offsets.
+    *
+    * WHERE A REAL MODEL PLUGS IN: replace the three rules inside the
+    * partition closure with `pipeline(batch)` — the broadcast
+    * dictionary becomes the model weights path, the init line loads
+    * the pipeline (spaCy `nlp = spacy.load(...)`, once per partition,
+    * NEVER per row), and the per-token loop becomes a batched call.
+    * Everything else — broadcast distribution of the artifact,
+    * constant-memory iterator, typed output rows — is unchanged.
+    *
+    * Scale: documents stream through each partition once (no collect,
+    * no per-row model setup); the dictionary is vocabulary-bounded and
+    * broadcast (the text_mentions contract); output is ∝ mention
+    * count. The driver-side collect is the model ARTIFACT, not data. */
+  def textNerBatch(spark: SparkSession, dir: String): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val gazetteer = Tables.part(spark, dir)
+      .select(explode(split(lower(col("p_name")), " ")).as("term"))
+      .distinct().as[String].collect().sorted
+    val gazB = spark.sparkContext.broadcast(gazetteer)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        // once-per-partition MODEL INIT (a real NER pipeline loads here)
+        val gaz = gazB.value.toSet
+        val suffixRe = java.util.regex.Pattern.compile(".*(er|or)")
+        it.flatMap { case (docId, text) =>
+          val out = scala.collection.mutable.ListBuffer[NerMention]()
+          var off = 1L
+          var prev: String = null
+          text.split(" ", -1).foreach { tok =>
+            val t =
+              if (gaz.contains(tok)) "PRODUCT"
+              else if (suffixRe.matcher(tok).matches()) "ROLE"
+              else if (prev == "the") "TOPIC"
+              else null
+            if (t != null) out += NerMention(docId, off, tok, t)
+            off += tok.length + 1
+            prev = tok
+          }
+          out
+        }
+      }.toDF()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ner_batch"   -> (textNerBatch _),
     "text_rarity"      -> (textRarity _),
     "text_langid"      -> (textLangid _),
     "text_quality"     -> (textQuality _),
@@ -479,6 +541,28 @@ object Text {
           |    i -> CASE WHEN mi.mids IS NOT NULL AND list_contains(mi.mids, i)
           |              THEN NULL ELSE t.w[i] END), x -> x IS NOT NULL), ' '), '') AS masked_text
           |FROM t LEFT JOIN mi ON mi.doc_id = t.doc_id""".stripMargin,
+      "text_ner_batch" ->
+        """WITH gaz AS MATERIALIZED (
+          |  SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS term FROM part),
+          |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |tok AS (SELECT doc_id,
+          |    unnest(list_transform(range(1, len(w) + 1),
+          |      i -> struct_pack(i := i, tok := w[i]))) AS u
+          |  FROM t),
+          |tk AS (SELECT doc_id, u.i AS i, u.tok AS tok FROM tok),
+          |ann AS (SELECT doc_id, i, tok,
+          |    CAST(i + coalesce(sum(length(tok)) OVER (PARTITION BY doc_id ORDER BY i
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off,
+          |    lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+          |  FROM tk)
+          |SELECT doc_id, start_off, tok AS mention,
+          |  CASE WHEN tok IN (SELECT term FROM gaz) THEN 'PRODUCT'
+          |       WHEN regexp_full_match(tok, '.*(er|or)') THEN 'ROLE'
+          |       WHEN prev = 'the' THEN 'TOPIC' END AS ner_type
+          |FROM ann
+          |WHERE tok IN (SELECT term FROM gaz)
+          |   OR regexp_full_match(tok, '.*(er|or)')
+          |   OR prev = 'the'""".stripMargin,
       "text_mentions" ->
         """WITH dict AS (
           |  SELECT term, count(*) AS n_entities FROM (

@@ -754,4 +754,23 @@ class DedupSpec extends SparkSpec {
     assert(rG > rS + 0.2, s"NN-Descent recall $rG barely improves seed $rS")
     assert(rG >= 0.5, s"final kNN-graph recall@10 $rG below floor")
   }
+
+  test("text_ner_batch: offsets index back into the text; all three rule arms fire") {
+    import org.apache.spark.sql.functions._
+    val out = graft.dedup.Text.textNerBatch(spark, sf)
+    // every (start_off, mention) must round-trip: the substring of the
+    // source text at the reported offset IS the mention
+    val bad = out.join(graft.sources.Tables.documents(spark, sf), "doc_id")
+      .filter(expr("substring(text, CAST(start_off AS INT), length(mention)) <> mention"))
+      .count()
+    assert(bad == 0, s"$bad mentions whose offset does not point at the mention")
+    val arms = out.select("ner_type").distinct().collect().map(_.getString(0)).toSet
+    assert(arms == Set("PRODUCT", "ROLE", "TOPIC"),
+      s"gazetteer, suffix-regex and context arms must all fire; got $arms")
+    // rule priority: a gazetteer token is never emitted under a weaker arm
+    val gaz = graft.sources.Tables.part(spark, sf)
+      .select(explode(split(lower(col("p_name")), " ")).as("m")).distinct()
+    assert(out.filter(col("ner_type") =!= "PRODUCT")
+      .join(gaz, out("mention") === gaz("m")).count() == 0)
+  }
 }
