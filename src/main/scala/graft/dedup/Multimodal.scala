@@ -248,10 +248,12 @@ object Multimodal {
          |n AS (SELECT doc_id, hx,
          |        (length(hx) + ${2 * 64 - 1}) // ${2 * 64} AS n_chunks FROM r
          |      WHERE length(hx) > 0),
-         |c AS (
-         |  SELECT doc_id, n_chunks, i AS idx, md5(substring(hx, i*${2 * 64}+1, ${2 * 64})) AS ch
-         |  FROM n, generate_series(0, 100000) AS g(i)
-         |  WHERE i < n_chunks)
+         |c0 AS (
+         |  SELECT doc_id, n_chunks,
+         |    unnest(list_transform(range(0, n_chunks), i -> struct_pack(
+         |      idx := i, ch := md5(substring(hx, i*${2 * 64}+1, ${2 * 64}))))) AS u
+         |  FROM n),
+         |c AS (SELECT doc_id, n_chunks, u.idx AS idx, u.ch AS ch FROM c0)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  count(*) AS shared_chunks,
          |  min(a.n_chunks) AS n_chunks_a, min(b.n_chunks) AS n_chunks_b

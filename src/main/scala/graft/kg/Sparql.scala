@@ -812,6 +812,11 @@ object Sparql {
       graphs: Map[String, ServiceGraph] = Map.empty): DataFrame = {
     val st = statements
     val entityPreds = entityValued
+    // Per-compile monotonic id for existence-marker columns: two
+    // all-constant patterns must get DISTINCT marker names (a hash of
+    // the pattern could collide — and math.abs(Int.MinValue) is
+    // negative), or the product join hits an ambiguous column.
+    val existenceMarker = new java.util.concurrent.atomic.AtomicInteger(0)
 
     def pred(p: String): String = {
       // a variable predicate or the rdf:type shorthand would compile
@@ -1184,7 +1189,8 @@ object Sparql {
       // after substitution) is an existence check: a 1-row marker
       // frame that product-joins in (and empties the result when the
       // triple is absent)
-      if (cols.isEmpty) df.limit(1).select(lit(true).as(s"_ex_${math.abs(p0.hashCode)}"))
+      if (cols.isEmpty)
+        df.limit(1).select(lit(true).as(s"_ex_${existenceMarker.getAndIncrement()}"))
       else df.select(cols.toSeq: _*)
     }
 
@@ -2400,12 +2406,27 @@ object Sparql {
   def kgSparqlBlank(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, blankText)
 
+  /** Directory holding the reference corpus's `.rq` files, overridable
+    * via `-Dgraft.reference.queries.dir=…` for checkouts living
+    * elsewhere (the 22 verbatim entries read these bytes at runtime —
+    * they are test INPUTS, not vendored sources). */
+  def referenceQueriesDir: String = System.getProperty(
+    "graft.reference.queries.dir",
+    "/root/reference/data-publishing/factgrid/queries")
+
   /** Read a reference query file VERBATIM (the lokale milestone's
     * contract, now as oracle-gated entries: the bytes on disk are the
-    * query — nothing is edited, only dialect maps are supplied). */
-  def referenceText(name: String): String =
-    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
-      s"/root/reference/data-publishing/factgrid/queries/$name")), "UTF-8")
+    * query — nothing is edited, only dialect maps are supplied).
+    * Fails with a pointer at the override property when the checkout
+    * is absent instead of a bare NoSuchFileException. */
+  def referenceText(name: String): String = {
+    val p = java.nio.file.Paths.get(referenceQueriesDir, name)
+    require(java.nio.file.Files.isReadable(p),
+      s"reference query corpus not found at '$p' — point " +
+        "-Dgraft.reference.queries.dir at a checkout of the reference's " +
+        "data-publishing/factgrid/queries directory")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
 
   /** Dialect maps for the network-* files: the class/root anchors and
     * the two predicates the files name; everything else is variable

@@ -592,7 +592,13 @@ object Streaming {
         (col("cms_est") - col("n_exact")).as("overcount"))
   }
 
-  final case class GapState(lastUs: Long, lastId: Long)
+  /** Per-user gap-detector state: the last WATERMARK-SEALED event
+    * (`sealedUs`/`sealedId`, valid iff `hasSealed`) plus the unsealed
+    * tail `buf` — events newer than the watermark, which a later
+    * micro-batch may still interleave. `buf` is bounded by the
+    * watermark delay (1 h of events), never by stream length. */
+  final case class GapState(sealedUs: Long, sealedId: Long, hasSealed: Boolean,
+      buf: List[(Long, Long)])
   final case class GapOut(user_id: Long, gap_start_us: Long, gap_end_us: Long, gap_s: Long)
 
   /** Inactivity threshold for [[streamGapDetect]] (24 h — ~p90 of the
@@ -600,43 +606,63 @@ object Streaming {
     * flagging everything). */
   private val gapThresholdUs = 86400000000L
 
-  private def gapEmit(userId: Long, events: Iterator[Ev],
+  /** Buffer-until-sealed gap emission: gaps are emitted only between
+    * consecutive events the WATERMARK has made final. An event with
+    * ts < watermark can never arrive anymore (the stateful operator
+    * drops late rows), so the sorted prefix of the buffer below the
+    * watermark is in its FINAL order — pairs there are safe to emit
+    * even when a later micro-batch delivered an earlier (but
+    * within-watermark) timestamp, the cross-batch interleaving the
+    * round-8 newest-event-only state got wrong. The unsealed tail
+    * waits in state; the event-time timeout re-invokes the group as
+    * the watermark advances until everything seals, then drops the
+    * state (per lag semantics the trailing open gap never emits). */
+  private[graft] def gapEmit(userId: Long, events: Iterator[Ev],
       state: org.apache.spark.sql.streaming.GroupState[GapState]): Iterator[GapOut] = {
-    if (!events.hasNext) {
-      // event-time timeout: the trailing gap has no closing event —
-      // per the lag semantics there is nothing to emit, only state to
-      // drop (heartbeat-style open-ended alerting would emit here)
-      state.remove()
-      return Iterator.empty
-    }
-    val sorted = events.toSeq.sortBy(e => (evMicros(e.ts), e.event_id))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val prev = state.getOption.getOrElse(GapState(0L, 0L, hasSealed = false, Nil))
+    val buf = (prev.buf ++ events.map(e => (evMicros(e.ts), e.event_id))).sorted
+    val (ripe, open) = buf.partition(_._1 < wmUs)
     var out = List.empty[GapOut]
-    var cur = state.getOption
-    for (e <- sorted) {
-      val t = evMicros(e.ts)
-      cur match {
-        case Some(s) =>
-          if (t - s.lastUs > gapThresholdUs)
-            out ::= GapOut(userId, s.lastUs, t, (t - s.lastUs) / 1000000L)
-          if (t > s.lastUs || (t == s.lastUs && e.event_id > s.lastId))
-            cur = Some(GapState(t, e.event_id))
-        case None => cur = Some(GapState(t, e.event_id))
+    var last = if (prev.hasSealed) Some((prev.sealedUs, prev.sealedId)) else None
+    for ((t, id) <- ripe) {
+      last match {
+        case Some((lt, lid)) =>
+          if (t - lt > gapThresholdUs)
+            out ::= GapOut(userId, lt, t, (t - lt) / 1000000L)
+          if (t > lt || (t == lt && id > lid)) last = Some((t, id))
+        case None => last = Some((t, id))
       }
     }
-    state.update(cur.get)
-    state.setTimeoutTimestamp(Math.floorDiv(cur.get.lastUs + gapThresholdUs + 999L, 1000L))
+    if (open.isEmpty && state.hasTimedOut) {
+      // nothing left to seal and no new data brought us here: drop the
+      // one-tuple state (heartbeat-style alerting would emit the open
+      // trailing gap here instead)
+      state.remove()
+    } else {
+      state.update(GapState(last.map(_._1).getOrElse(0L), last.map(_._2).getOrElse(0L),
+        last.isDefined, open))
+      // wake again once the watermark can seal more: just past the
+      // earliest unsealed event, or past the inactivity threshold when
+      // fully sealed (timeout timestamps must sit above the watermark)
+      val target = open.headOption.map(_._1 + 1000L)
+        .getOrElse(last.map(_._1).getOrElse(0L) + gapThresholdUs)
+      state.setTimeoutTimestamp(Math.floorDiv(Math.max(target, wmUs + 2000L) + 999L, 1000L))
+    }
     out.reverse.iterator
   }
 
   /** stream_gap_detect — inactivity-gap detection (the
     * missing-heartbeat monitor): per user, emit one row per
-    * consecutive-event gap exceeding 24 h, sealed by arrival of the
-    * closing event. State per user = the LAST event only (one tuple —
-    * bounded regardless of stream length, unlike sessionize's open
-    * aggregate), evicted by the event-time timeout once the watermark
-    * passes the threshold. The oracle is the batch lag-window over the
-    * same events, so the stateful path is hash-checked against exact
-    * batch semantics. */
+    * consecutive-event gap exceeding 24 h, sealed by the WATERMARK
+    * (see [[gapEmit]] — pairs emit only once no earlier event can
+    * interleave, so delivery across micro-batches in any
+    * within-watermark order converges to the same output). State per
+    * user = the last sealed event plus at most the watermark delay's
+    * worth of unsealed tail — bounded by the 1 h delay, not stream
+    * length — evicted by the event-time timeout once fully sealed.
+    * The oracle is the batch lag-window over the same events, so the
+    * stateful path is hash-checked against exact batch semantics. */
   def streamGapDetect(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     fileReplay(spark, dir, "stream_gap_detect") { source =>

@@ -858,4 +858,22 @@ class SparqlSpec extends SparkSpec {
       assert(e.getMessage.contains("type-ambiguous"), s"'$q' must stay a loud reject")
     }
   }
+
+  test("referenceText: corpus dir is overridable via system property; absent dir fails with pointer") {
+    val prop = "graft.reference.queries.dir"
+    val saved = System.getProperty(prop)
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rq")
+      java.nio.file.Files.write(tmp.resolve("probe.rq"),
+        "SELECT ?s WHERE { ?s ?p ?o }".getBytes("UTF-8"))
+      System.setProperty(prop, tmp.toString)
+      assert(Sparql.referenceText("probe.rq") == "SELECT ?s WHERE { ?s ?p ?o }")
+      System.setProperty(prop, tmp.resolve("nope").toString)
+      val e = intercept[IllegalArgumentException](Sparql.referenceText("probe.rq"))
+      assert(e.getMessage.contains(prop),
+        s"missing-corpus error must point at the override property; got ${e.getMessage}")
+    } finally {
+      if (saved == null) System.clearProperty(prop) else System.setProperty(prop, saved)
+    }
+  }
 }

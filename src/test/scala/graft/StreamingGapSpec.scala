@@ -1,0 +1,67 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Ev, GapOut, GapState}
+
+/** Multi-batch delivery contract of the gap detector: gaps must emit
+  * between TRUE consecutive events even when a later micro-batch
+  * delivers an earlier (within-watermark) timestamp — the round-8
+  * newest-event-only state compared against the newest event and got
+  * this wrong (it was saved only by the replay harness's single-batch
+  * delivery). TestGroupState drives [[Streaming.gapEmit]] through the
+  * exact cross-batch interleaving the file replay cannot produce. */
+class StreamingGapSpec extends SparkSpec {
+
+  private val H = 3600L * 1000L // one hour in ms
+  private def ev(id: Long, hours: Long): Ev =
+    Ev(id, new Timestamp(hours * H), 7L, "click", 0.0)
+
+  private def mkState(prev: scala.Option[GapState], wmMs: Long, timedOut: Boolean) =
+    TestGroupState.create[GapState](
+      prev.map(Optional.of[GapState]).getOrElse(Optional.empty[GapState]()),
+      GroupStateTimeout.EventTimeTimeout, 1L,
+      Optional.of(wmMs), timedOut)
+
+  test("gapEmit: out-of-order cross-batch event pairs with its true predecessor") {
+    // batch 1: t=0h and t=50h arrive together, watermark still 0 —
+    // nothing is sealed, nothing may emit yet (the old code emitted a
+    // wrong 0→50h gap here)
+    val s1 = mkState(None, wmMs = 0L, timedOut = false)
+    val out1 = Streaming.gapEmit(7L, Iterator(ev(1, 0), ev(2, 50)), s1).toList
+    assert(out1.isEmpty, s"nothing is watermark-sealed yet; got $out1")
+    assert(s1.get.buf.length == 2 && !s1.get.hasSealed)
+
+    // batch 2: t=30h arrives LATER but is earlier than 50h and above
+    // the watermark (legal). Watermark moved to 10h → only t=0 seals.
+    val s2 = mkState(Some(s1.get), wmMs = 10 * H, timedOut = false)
+    val out2 = Streaming.gapEmit(7L, Iterator(ev(3, 30)), s2).toList
+    assert(out2.isEmpty, s"single sealed event has no pair; got $out2")
+    assert(s2.get.hasSealed && s2.get.sealedUs == 0L && s2.get.buf.map(_._1) ==
+      List(30 * H * 1000L, 50 * H * 1000L), s"state ${s2.get}")
+
+    // batch 3: timeout with the watermark far ahead → the rest seals in
+    // true order: 0→30h (30h > 24h, emits), 30h→50h (20h, silent).
+    val s3 = mkState(Some(s2.get), wmMs = 100 * H, timedOut = true)
+    val out3 = Streaming.gapEmit(7L, Iterator.empty, s3).toList
+    assert(out3 == List(GapOut(7L, 0L, 30 * H * 1000L, 30 * 3600L)),
+      s"expected exactly the true 0→30h gap; got $out3")
+    assert(s3.isRemoved, "fully sealed state must be dropped")
+  }
+
+  test("gapEmit: single-batch delivery still matches lag semantics") {
+    val s1 = mkState(None, wmMs = 0L, timedOut = false)
+    assert(Streaming.gapEmit(7L, Iterator(ev(1, 0), ev(2, 30), ev(3, 50), ev(4, 100)), s1)
+      .toList.isEmpty)
+    val s2 = mkState(Some(s1.get), wmMs = 500 * H, timedOut = true)
+    val out = Streaming.gapEmit(7L, Iterator.empty, s2).toList
+    assert(out == List(
+      GapOut(7L, 0L, 30 * H * 1000L, 30 * 3600L),
+      GapOut(7L, 50 * H * 1000L, 100 * H * 1000L, 50 * 3600L)), s"got $out")
+    assert(s2.isRemoved)
+  }
+}

@@ -125,7 +125,14 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         if files:
-            bad = dtype_mismatches(pq.read_schema(files[0]), rel.columns, rel.types)
+            # gate EVERY part file's schema, not just the first: Spark
+            # writes are uniform, but a stale/mixed dump dir must not
+            # slip a drifting dtype past the gate on file order
+            schemas = {pq.read_schema(f).to_string(): f for f in files}
+            bad = sorted({m for s in schemas.values()
+                          for m in dtype_mismatches(pq.read_schema(s), rel.columns, rel.types)})
+            if len(schemas) > 1:
+                bad.append(f"{len(schemas)} distinct part-file schemas in dump dir")
             if bad:
                 print(f"FAIL      {name}: dtype {'; '.join(bad)}")
                 n_fail += 1
