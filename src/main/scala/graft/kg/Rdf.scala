@@ -172,28 +172,151 @@ object Rdf {
     stmts.unionAll(types)
   }
 
+  /** Regex-safe rendering of [[Base]]. */
+  private val BaseRe = "http://example\\.com/"
+
+  /** Reverse of [[nsName]]: entity-type segment → namespace number. */
+  private def nsNum(nameC: Column): Column =
+    nsNames.tail.foldLeft(when(nameC === nsNames.head._2, nsNames.head._1)) {
+      case (acc, (n, s)) => acc.when(nameC === s, n)
+    }.cast("long")
+  private def nsNumSql(e: String): String =
+    s"CASE ($e) " + nsNames.map { case (n, s) => s"WHEN '$s' THEN $n" }.mkString(" ") +
+      " END"
+
+  /** Reverse of [[esc]]. A sequential replace chain cannot unescape
+    * directly (`\\n` must become backslash+n, not backslash+newline),
+    * so `\\` is parked on a sentinel first (U+0001 — absent from any
+    * text this store can hold; a full parser would scan left-to-right
+    * instead). Chain: park double-backslash, decode the char escapes,
+    * restore the parked backslashes. */
+  private val UnescSentinel = "\u0001"
+  private def unesc(c: Column): Column =
+    (Seq("\\\\" -> UnescSentinel, "\\n" -> "\n", "\\r" -> "\r", "\\t" -> "\t",
+      "\\\"" -> "\"") :+ (UnescSentinel -> "\\"))
+      .foldLeft(c) { case (acc, (s, r)) => call_function("replace", acc, lit(s), lit(r)) }
+  private def unescSql(e: String): String = {
+    val steps = Seq(
+      ("chr(92)||chr(92)", "chr(1)"), ("chr(92)||'n'", "chr(10)"),
+      ("chr(92)||'r'", "chr(13)"), ("chr(92)||'t'", "chr(9)"),
+      ("chr(92)||chr(34)", "chr(34)"), ("chr(1)", "chr(92)"))
+    steps.foldLeft(e) { case (acc, (s, r)) => s"replace($acc, $s, $r)" }
+  }
+
+  /** Parse N-Triples lines (one `nt` string column) back into the
+    * statement shape `(s, p, o_id, o_val, lang)`: subject/entity IRIs
+    * → namespaced ids, `prop/x` predicates → `x`, rdf:type → `a` with
+    * the class segment as o_val, typed literals → their lexical form,
+    * quoted literals unescaped, language tags split off. All
+    * single-pass regexp_extract + replace chains — scan-speed, no
+    * shuffle. */
+  def parseNt(lines: DataFrame): DataFrame = {
+    val nt = col("nt")
+    val subjRe = s"^<$BaseRe([a-z]+)/([0-9]+)> "
+    val objStr = regexp_extract(nt, "^<[^>]*> <[^>]*> (.*) \\.$", 1)
+    val predIri = regexp_extract(nt, "^<[^>]*> <([^>]*)> ", 1)
+    val entRe = s"^<$BaseRe([a-z]+)/([0-9]+)>$$"
+    val classRe = s"^<${BaseRe}class/([a-z]+)>$$"
+    val langRe = "^\"(.*)\"@([a-z]+)$"
+    val typedRe = "^\"(.*)\"\\^\\^<[^>]*>$"
+    val plainRe = "^\"(.*)\"$"
+    lines
+      .withColumn("_obj", objStr)
+      .select(
+        (nsNum(regexp_extract(nt, subjRe, 1)) * NS +
+          regexp_extract(nt, subjRe, 2).cast("long")).as("s"),
+        when(predIri === RdfType, lit("a"))
+          .otherwise(call_function("replace", predIri, lit(s"${Base}prop/"), lit("")))
+          .as("p"),
+        when(regexp_extract(col("_obj"), classRe, 1) === "" &&
+            regexp_extract(col("_obj"), entRe, 1) =!= "",
+          nsNum(regexp_extract(col("_obj"), entRe, 1)) * NS +
+            regexp_extract(col("_obj"), entRe, 2).cast("long")).as("o_id"),
+        when(regexp_extract(col("_obj"), classRe, 1) =!= "",
+          regexp_extract(col("_obj"), classRe, 1))
+          .when(regexp_extract(col("_obj"), langRe, 2) =!= "",
+            unesc(regexp_extract(col("_obj"), langRe, 1)))
+          .when(col("_obj").rlike(typedRe), unesc(regexp_extract(col("_obj"), typedRe, 1)))
+          .when(col("_obj").rlike(plainRe), unesc(regexp_extract(col("_obj"), plainRe, 1)))
+          .as("o_val"),
+        when(regexp_extract(col("_obj"), langRe, 2) =!= "",
+          regexp_extract(col("_obj"), langRe, 2)).as("lang"))
+  }
+
+  /** kg_import_nt — the INVERSE serialization: [[kgExportNt]]'s lines
+    * parsed back into statements, closing the full modeling round trip
+    * (RdfSpec asserts `parse(render(store))` reproduces the statement
+    * store EXACTLY, row-multiset equal). In production the input is
+    * `spark.read.text(path)` over shipped `.nt` files; here the lines
+    * come from the export so the operator is self-contained and the
+    * oracle replays render+parse end-to-end. rdf:type rows surface as
+    * `p = 'a'` with the class segment in o_val; the typed date arm as
+    * `p = 'order_date'` lexical forms. */
+  def kgImportNt(spark: SparkSession, dir: String): DataFrame =
+    parseNt(kgExportNt(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_export_nt"     -> (kgExportNt _),
     "kg_export_ttl"    -> (kgExportTtl _),
-    "kg_export_jsonld" -> (kgExportJsonld _))
+    "kg_export_jsonld" -> (kgExportJsonld _),
+    "kg_import_nt"     -> (kgImportNt _))
 
   private val T = Triples.sqlCte
 
+  /** The N-Triples render as SQL (shared by the export oracle and the
+    * import oracle's render-then-parse round trip). */
+  private def ntBodySql: String =
+    s"""SELECT ${iriSql("s")} || ' <${Base}prop/' || p || '> ' ||
+       |  ($ntObjectSql) || ' .' AS nt
+       |FROM triples
+       |UNION ALL
+       |SELECT ${iriSql("id")} || ' <$RdfType> <${Base}class/' ||
+       |  ${nsNameSql("id")} || '> .'
+       |FROM ${Triples.entityIdsSql} ids
+       |UNION ALL
+       |SELECT '<${Base}order/' || CAST(o_orderkey AS VARCHAR) ||
+       |  '> <${Base}prop/order_date> ' || chr(34) ||
+       |  strftime(o_orderdate, '%Y-%m-%d') || chr(34) || '^^<${Xsd}date> .'
+       |FROM orders""".stripMargin
+
+  private def importNtSql: String = {
+    val D = "$" // literal regex end-anchor (kept out of the interpolator)
+    s"""$T,
+       |nt AS ($ntBodySql),
+       |px AS (SELECT nt,
+       |  regexp_extract(nt, '^<$BaseRe([a-z]+)/([0-9]+)> ', 1) AS sns,
+       |  regexp_extract(nt, '^<$BaseRe([a-z]+)/([0-9]+)> ', 2) AS skey,
+       |  regexp_extract(nt, '^<[^>]*> <([^>]*)> ', 1) AS pred,
+       |  regexp_extract(nt, '^<[^>]*> <[^>]*> (.*) \\.$D', 1) AS obj
+       |  FROM nt),
+       |ox AS (SELECT *,
+       |  regexp_extract(obj, '^<${BaseRe}class/([a-z]+)>$D', 1) AS cls,
+       |  regexp_extract(obj, '^<$BaseRe([a-z]+)/([0-9]+)>$D', 1) AS ons,
+       |  regexp_extract(obj, '^<$BaseRe([a-z]+)/([0-9]+)>$D', 2) AS okey,
+       |  regexp_extract(obj, '^"(.*)"@([a-z]+)$D', 1) AS lval,
+       |  regexp_extract(obj, '^"(.*)"@([a-z]+)$D', 2) AS ltag,
+       |  CASE WHEN regexp_matches(obj, '^"(.*)"\\^\\^<[^>]*>$D')
+       |       THEN regexp_extract(obj, '^"(.*)"\\^\\^<[^>]*>$D', 1) END AS tval,
+       |  CASE WHEN regexp_matches(obj, '^"(.*)"$D')
+       |       THEN regexp_extract(obj, '^"(.*)"$D', 1) END AS pval
+       |  FROM px)
+       |SELECT
+       |  CAST(${nsNumSql("sns")} * $NS + CAST(skey AS BIGINT) AS BIGINT) AS s,
+       |  CASE WHEN pred = '$RdfType' THEN 'a'
+       |       ELSE replace(pred, '${Base}prop/', '') END AS p,
+       |  CASE WHEN cls = '' AND ons <> ''
+       |       THEN CAST(${nsNumSql("ons")} * $NS + CAST(okey AS BIGINT) AS BIGINT) END AS o_id,
+       |  CASE WHEN cls <> '' THEN cls
+       |       WHEN ltag <> '' THEN ${unescSql("lval")}
+       |       WHEN tval IS NOT NULL THEN ${unescSql("tval")}
+       |       WHEN pval IS NOT NULL THEN ${unescSql("pval")} END AS o_val,
+       |  CASE WHEN ltag <> '' THEN ltag END AS lang
+       |FROM ox""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "kg_export_nt" ->
-      s"""$T
-         |SELECT ${iriSql("s")} || ' <${Base}prop/' || p || '> ' ||
-         |  ($ntObjectSql) || ' .' AS nt
-         |FROM triples
-         |UNION ALL
-         |SELECT ${iriSql("id")} || ' <$RdfType> <${Base}class/' ||
-         |  ${nsNameSql("id")} || '> .'
-         |FROM ${Triples.entityIdsSql} ids
-         |UNION ALL
-         |SELECT '<${Base}order/' || CAST(o_orderkey AS VARCHAR) ||
-         |  '> <${Base}prop/order_date> ' || chr(34) ||
-         |  strftime(o_orderdate, '%Y-%m-%d') || chr(34) || '^^<${Xsd}date> .'
-         |FROM orders""".stripMargin,
+    "kg_export_nt" -> s"$T\n$ntBodySql",
+    "kg_import_nt" -> importNtSql,
     "kg_export_ttl" -> {
       val header = prefixes
         .map { case (p, iriv) => s"SELECT '@prefix $p: <$iriv> .' AS ttl" }

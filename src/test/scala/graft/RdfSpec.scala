@@ -56,6 +56,36 @@ class RdfSpec extends SparkSpec {
     assert(parsed.filter(col("`@id`").isNotNull).count() == n, "every node carries @id")
   }
 
+  test("kg_import_nt: parse(render(store)) reproduces the statement store exactly") {
+    val imported = Rdf.kgImportNt(spark, sf)
+    val stmts = Triples.statements(spark, sf)
+    val impStmts = imported.filter(col("p") =!= "a" && col("p") =!= "order_date")
+    assert(impStmts.exceptAll(stmts).count() == 0 &&
+      stmts.exceptAll(impStmts).count() == 0,
+      "round-tripped statements must be multiset-equal to the store")
+    assert(imported.filter(col("p") === "a").count() ==
+      Triples.entityIds(spark, sf).count(), "one rdf:type row per entity survives the trip")
+    assert(imported.filter(col("p") === "order_date").count() ==
+      Tables.orders(spark, sf).count(), "one typed date literal per order survives the trip")
+  }
+
+  test("parseNt: unescape round-trips gnarly literals (incl. literal backslash-n)") {
+    import spark.implicits._
+    // raw backslash+n, real newline, quote, tab, trailing backslash —
+    // the cases a naive reverse-replace chain gets wrong
+    val gnarly = "a\\nb\nc\"d\te\\"
+    val line = Seq(gnarly).toDF("v").select(concat(
+      lit("<http://example.com/part/1> <http://example.com/prop/label> \""),
+      Rdf.esc(col("v")), lit("\"@en .")).as("nt"))
+    val r = Rdf.parseNt(line).collect()(0)
+    assert(r.getAs[Long]("s") == 5L * Triples.NS + 1)
+    assert(r.getAs[String]("p") == "label")
+    assert(r.getAs[String]("o_val") == gnarly,
+      s"unescape must invert escape; got ${r.getAs[String]("o_val")}")
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.isNullAt(r.fieldIndex("o_id")))
+  }
+
   test("rdf exports are projection-only: no exchange in any arm") {
     Seq(Rdf.kgExportNt(spark, sf), Rdf.kgExportTtl(spark, sf),
       Rdf.kgExportJsonld(spark, sf)).foreach { df =>
