@@ -364,7 +364,10 @@ object Text {
         // once-per-partition MODEL INIT (a real NER pipeline loads here)
         val gaz = gazB.value.toSet
         val suffixRe = java.util.regex.Pattern.compile(".*(er|or)")
-        it.flatMap { case (docId, text) =>
+        // documents flow through in fixed-size batches — the unit a
+        // real pipeline scores in one forward pass (spaCy nlp.pipe's
+        // batch_size); the stub scores each batch member independently
+        it.grouped(64).flatMap(_.iterator).flatMap { case (docId, text) =>
           val out = scala.collection.mutable.ListBuffer[NerMention]()
           var off = 1L
           var prev: String = null
