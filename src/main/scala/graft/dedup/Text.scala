@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -322,6 +322,67 @@ object Text {
         (col("sum_freq").cast("double") / col("n_tokens").cast("double")).as("mean_freq"))
   }
 
+  /** Deterministic HTML wrapper around each document (the er_isbn
+    * synthesis pattern — the container has no crawl corpus, so the
+    * markup the extractor must handle is synthesized EXACTLY like the
+    * reference's source page): a `.timeline-item` div with an icon
+    * class, an entity-escaped `<h3>` title, a `.timeline-date` span
+    * and the text split over two `<p>` blocks, plus a conditional
+    * location marker attribute. In production the html column is
+    * `spark.read.text` over crawl/WARC extracts. */
+  private def htmlDocs(spark: SparkSession, dir: String): DataFrame = {
+    val icon = element_at(array(lit("star"), lit("round"), lit("square")),
+      (col("doc_id") % 3 + 1).cast("int"))
+    Tables.documents(spark, dir).select(col("doc_id"), concat(
+      lit("<div class=\"timeline-item\""),
+      when(col("doc_id") % 5 === 0, lit(" data-loc=\"muc\"")).otherwise(lit("")),
+      lit("><span class=\"timeline-icon "), icon,
+      lit("\"></span><h3>Doc "), col("doc_id").cast("string"),
+      lit(" &amp; friends</h3><span class=\"timeline-date\">"),
+      (col("doc_id") % 28 + 1).cast("string"), lit(". Mai "),
+      (col("doc_id") % 120 + 1900).cast("string"),
+      lit("</span><p>"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 10)),
+      lit("</p><p>"),
+      expr("concat_ws(' ', slice(split(text, ' '), 11, greatest(size(split(text, ' ')) - 10, 0)))"),
+      lit("</p></div>")).as("html"))
+  }
+
+  /** text_html_extract — HTML → structured rows: the reference's
+    * scrape step (data-gathering/from-website/scrape-chronik.R —
+    * rvest `html_nodes(".timeline-item")`, per-node `extract_text`
+    * of h3/.timeline-date/p, icon-class → group mapping, "muc" marker
+    * → location, `str_extract(date, "[0-9]{4}")` year) re-expressed as
+    * codegen'd regexp extraction — which is also the LLM-pipeline
+    * HTML-boilerplate-extraction stage (trafilatura's job) over a
+    * crawl column. Per doc: entity-decoded title, date text + numeric
+    * year, icon-class group, location flag, and the `<p>` blocks
+    * collapsed with single spaces (glue_collapse(text, " ")).
+    * Spec-asserted invariant: the collapsed paragraph text round-trips
+    * to the original document text exactly.
+    *
+    * Scale: single scan, all regexp_extract/replace — no UDF, no
+    * shuffle, whole-stage codegen end to end. */
+  def textHtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    def decode(c: Column): Column =
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&amp;" -> "&")
+        .foldLeft(c) { case (acc, (s, r)) =>
+          call_function("replace", acc, lit(s), lit(r))
+        }
+    val dateText = regexp_extract(col("html"),
+      "<span class=\"timeline-date\">(.*?)</span>", 1)
+    htmlDocs(spark, dir).select(
+      col("doc_id"),
+      decode(regexp_extract(col("html"), "<h3>(.*?)</h3>", 1)).as("title"),
+      dateText.as("date_text"),
+      regexp_extract(dateText, "[0-9]{4}", 0).cast("int").as("year"),
+      when(col("html").contains("timeline-icon star"), "misc")
+        .when(col("html").contains("timeline-icon round"), "lesbian")
+        .when(col("html").contains("timeline-icon square"), "gay").as("grp"),
+      when(col("html").contains("muc"), "München").as("location"),
+      trim(array_join(expr("regexp_extract_all(html, '<p>(.*?)</p>', 1)"), " ")).as("text"))
+  }
+
   /** One extracted mention: where (1-based char offset), what, type. */
   final case class NerMention(doc_id: Long, start_off: Long, mention: String, ner_type: String)
 
@@ -387,6 +448,7 @@ object Text {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_html_extract" -> (textHtmlExtract _),
     "text_ner_batch"   -> (textNerBatch _),
     "text_rarity"      -> (textRarity _),
     "text_langid"      -> (textLangid _),
@@ -544,6 +606,34 @@ object Text {
           |    i -> CASE WHEN mi.mids IS NOT NULL AND list_contains(mi.mids, i)
           |              THEN NULL ELSE t.w[i] END), x -> x IS NOT NULL), ' '), '') AS masked_text
           |FROM t LEFT JOIN mi ON mi.doc_id = t.doc_id""".stripMargin,
+      "text_html_extract" ->
+        """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          |h AS (SELECT doc_id,
+          |  '<div class="timeline-item"' ||
+          |  CASE WHEN doc_id % 5 = 0 THEN ' data-loc="muc"' ELSE '' END ||
+          |  '><span class="timeline-icon ' ||
+          |  CASE CAST(doc_id % 3 AS INTEGER)
+          |    WHEN 0 THEN 'star' WHEN 1 THEN 'round' ELSE 'square' END ||
+          |  '"></span><h3>Doc ' || CAST(doc_id AS VARCHAR) ||
+          |  ' &amp; friends</h3><span class="timeline-date">' ||
+          |  CAST(doc_id % 28 + 1 AS VARCHAR) || '. Mai ' ||
+          |  CAST(doc_id % 120 + 1900 AS VARCHAR) ||
+          |  '</span><p>' || coalesce(array_to_string(w[1:10], ' '), '') ||
+          |  '</p><p>' || coalesce(array_to_string(w[11:], ' '), '') || '</p></div>' AS html
+          |  FROM t)
+          |SELECT doc_id,
+          |  replace(replace(replace(replace(
+          |    regexp_extract(html, '<h3>(.*?)</h3>', 1),
+          |    '&lt;', '<'), '&gt;', '>'), '&quot;', chr(34)), '&amp;', '&') AS title,
+          |  regexp_extract(html, '<span class="timeline-date">(.*?)</span>', 1) AS date_text,
+          |  CAST(regexp_extract(regexp_extract(html,
+          |    '<span class="timeline-date">(.*?)</span>', 1), '[0-9]{4}') AS INTEGER) AS year,
+          |  CASE WHEN contains(html, 'timeline-icon star') THEN 'misc'
+          |       WHEN contains(html, 'timeline-icon round') THEN 'lesbian'
+          |       WHEN contains(html, 'timeline-icon square') THEN 'gay' END AS grp,
+          |  CASE WHEN contains(html, 'muc') THEN 'München' END AS location,
+          |  trim(array_to_string(regexp_extract_all(html, '<p>(.*?)</p>', 1), ' ')) AS text
+          |FROM h""".stripMargin,
       "text_ner_batch" ->
         """WITH gaz AS MATERIALIZED (
           |  SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS term FROM part),

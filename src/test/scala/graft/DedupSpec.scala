@@ -755,6 +755,25 @@ class DedupSpec extends SparkSpec {
     assert(rG >= 0.5, s"final kNN-graph recall@10 $rG below floor")
   }
 
+  test("text_html_extract: entities decode, groups map by icon, paragraph text round-trips") {
+    import org.apache.spark.sql.functions._
+    val out = graft.dedup.Text.textHtmlExtract(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    // the collapsed <p> blocks must reproduce the original text exactly
+    assert(out.join(docs, "doc_id")
+      .filter(out("text") =!= trim(docs("text"))).count() == 0,
+      "extracted paragraph text must round-trip to the source text")
+    val r = out.filter(col("doc_id") === 7).collect()(0)
+    assert(r.getAs[String]("title") == "Doc 7 & friends", "entity &amp; must decode")
+    assert(r.getAs[String]("grp") == "lesbian", "7 % 3 = 1 -> round icon -> lesbian")
+    assert(r.getAs[Int]("year") == 1907 && r.getAs[String]("date_text") == "8. Mai 1907")
+    // location fires iff the marker attribute is present (doc_id % 5)
+    assert(out.filter(col("location").isNotNull).count() ==
+      docs.filter(col("doc_id") % 5 === 0).count())
+    // every group arm fires
+    assert(out.select("grp").distinct().count() == 3)
+  }
+
   test("text_ner_batch: offsets index back into the text; all three rule arms fire") {
     import org.apache.spark.sql.functions._
     val out = graft.dedup.Text.textNerBatch(spark, sf)
