@@ -383,6 +383,73 @@ object Text {
       trim(array_join(expr("regexp_extract_all(html, '<p>(.*?)</p>', 1)"), " ")).as("text"))
   }
 
+  /** text_pdf_segments — semi-structured PDF text reassembly: the
+    * reference's from-pdf flow (data-gathering/from-pdf/
+    * themengeschichtspfad.R — `pdf_data(font_info = TRUE)` word rows →
+    * font-rule `format` classification (page-number regex first, then
+    * (font_size, font_name) cases) → per-(page, format) ordered
+    * collapse (`glue_collapse(sep = " ")`) → dehyphenation
+    * (`str_replace_all("\\s-\\s|-\\s", "")`) → location from headers
+    * (`location_header` text verbatim, `heading` text before the
+    * colon) → `fill(location, .direction = "down")`). The word rows
+    * and their font metadata are synthesized deterministically from
+    * `documents` (the er_isbn pattern: the container has no pdftools,
+    * so the METADATA the classifier needs is synthesized; every rule
+    * arm fires, and odd doc headings carry no colon so the fill-down
+    * genuinely inherits across rows).
+    *
+    * Scale: the word stream collapses with ONE map-side-partial
+    * groupBy on (page, fmt) — ordered via array_sort inside the
+    * aggregate, never a sort exchange; the fill-down window runs over
+    * the COLLAPSED frame (≤ formats × pages rows — book-TOC-sized, 400×
+    * smaller than the word stream), which is where a sequential
+    * carry-forward is inherently serial; per-page fills would
+    * partitionBy(page) instead. */
+  def textPdfSegments(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 160).cast("int").as("page"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+    val p1 = col("pos") + 1
+    val words = d.select(col("doc_id"), col("page"),
+      (col("doc_id") * 1000000L + p1).as("ord"),
+      when(p1 === 2 && col("doc_id") % 2 === 0, concat(col("w0"), lit(":")))
+        .otherwise(col("w0")).as("tok"),
+      when(p1 <= 2, 12.0).when(p1 % 17 === 4, 8.8)
+        .when(p1 % 17 === 11, 7.0).otherwise(8.8).as("font_size"),
+      when(p1 <= 2, "Univers").when(p1 % 17 === 4, "Univers-Bold")
+        .when(p1 % 17 === 11, "Univers").otherwise("Univers-Light").as("font_name"))
+    val pageNo = Tables.documents(spark, dir).select(col("doc_id"),
+      (col("doc_id") % 160).cast("int").as("page"),
+      (col("doc_id") * 1000000L).as("ord"),
+      (col("doc_id") % 160).cast("string").as("tok"),
+      lit(7.0).as("font_size"), lit("Univers-Light").as("font_name"))
+    val classified = words.unionByName(pageNo.select(words.columns.map(col).toSeq: _*))
+      .filter(col("page") >= 14 && col("page") < 149)
+      .withColumn("fmt",
+        when(col("tok").rlike("^[0-9]{1,3}$"), "page")
+          .when(col("font_size") === 12.0, "heading")
+          .when(col("font_size") === 8.8 && col("font_name") === "Univers-Bold", "location_header")
+          .when(col("font_size") === 8.8 && col("font_name") === "Univers-Light", "p")
+          .when(col("font_size") === 7.0 && col("font_name") === "Univers", "image_caption")
+          .otherwise("none"))
+    val collapsed = classified.groupBy(col("page"), col("fmt"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(ord, tok))), x -> x.tok), ' ')")
+        .as("text0"))
+      .filter(col("fmt") =!= "page")
+      .withColumn("text", regexp_replace(col("text0"), "\\s-\\s|-\\s", ""))
+    val loc0 =
+      when(col("fmt") === "location_header", col("text"))
+        .when(col("fmt") === "heading",
+          when(regexp_extract(col("text"), "(.+):", 1) =!= "",
+            regexp_extract(col("text"), "(.+):", 1)))
+        .otherwise(lit("München"))
+    val w = Window.orderBy(col("page"), col("fmt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    collapsed.select(col("page"), col("fmt"), col("text"), loc0.as("loc0"))
+      .withColumn("location", last(col("loc0"), ignoreNulls = true).over(w))
+      .select(col("page"), col("fmt"), col("text"), col("location"))
+  }
+
   /** One extracted mention: where (1-based char offset), what, type. */
   final case class NerMention(doc_id: Long, start_off: Long, mention: String, ner_type: String)
 
@@ -449,6 +516,7 @@ object Text {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_html_extract" -> (textHtmlExtract _),
+    "text_pdf_segments" -> (textPdfSegments _),
     "text_ner_batch"   -> (textNerBatch _),
     "text_rarity"      -> (textRarity _),
     "text_langid"      -> (textLangid _),
@@ -634,6 +702,43 @@ object Text {
           |  CASE WHEN contains(html, 'muc') THEN 'München' END AS location,
           |  trim(array_to_string(regexp_extract_all(html, '<p>(.*?)</p>', 1), ' ')) AS text
           |FROM h""".stripMargin,
+      "text_pdf_segments" ->
+        """WITH d AS (SELECT doc_id, CAST(doc_id % 160 AS INTEGER) AS page,
+          |    string_split(text, ' ') AS w FROM documents),
+          |tok0 AS (SELECT doc_id, page,
+          |    unnest(list_transform(range(1, len(w) + 1),
+          |      i -> struct_pack(i := i, tok := w[i]))) AS u
+          |  FROM d),
+          |words AS (SELECT doc_id, page, doc_id * 1000000 + u.i AS ord,
+          |    CASE WHEN u.i = 2 AND doc_id % 2 = 0 THEN u.tok || ':' ELSE u.tok END AS tok,
+          |    CASE WHEN u.i <= 2 THEN 12.0 WHEN u.i % 17 = 4 THEN 8.8
+          |         WHEN u.i % 17 = 11 THEN 7.0 ELSE 8.8 END AS font_size,
+          |    CASE WHEN u.i <= 2 THEN 'Univers' WHEN u.i % 17 = 4 THEN 'Univers-Bold'
+          |         WHEN u.i % 17 = 11 THEN 'Univers' ELSE 'Univers-Light' END AS font_name
+          |  FROM tok0
+          |  UNION ALL
+          |  SELECT doc_id, page, doc_id * 1000000, CAST(page AS VARCHAR),
+          |    7.0, 'Univers-Light' FROM d),
+          |cls AS (SELECT page, ord, tok,
+          |    CASE WHEN regexp_full_match(tok, '[0-9]{1,3}') THEN 'page'
+          |         WHEN font_size = 12.0 THEN 'heading'
+          |         WHEN font_size = 8.8 AND font_name = 'Univers-Bold' THEN 'location_header'
+          |         WHEN font_size = 8.8 AND font_name = 'Univers-Light' THEN 'p'
+          |         WHEN font_size = 7.0 AND font_name = 'Univers' THEN 'image_caption'
+          |         ELSE 'none' END AS fmt
+          |  FROM words WHERE page >= 14 AND page < 149),
+          |coll AS (SELECT page, fmt,
+          |    regexp_replace(string_agg(tok, ' ' ORDER BY ord), '\s-\s|-\s', '', 'g') AS text
+          |  FROM cls GROUP BY page, fmt),
+          |loc AS (SELECT page, fmt, text,
+          |    CASE WHEN fmt = 'location_header' THEN text
+          |         WHEN fmt = 'heading' THEN nullif(regexp_extract(text, '(.+):', 1), '')
+          |         ELSE 'München' END AS loc0
+          |  FROM coll WHERE fmt <> 'page')
+          |SELECT page, fmt, text,
+          |  last_value(loc0 IGNORE NULLS) OVER (ORDER BY page, fmt
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS location
+          |FROM loc""".stripMargin,
       "text_ner_batch" ->
         """WITH gaz AS MATERIALIZED (
           |  SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS term FROM part),

@@ -774,6 +774,32 @@ class DedupSpec extends SparkSpec {
     assert(out.select("grp").distinct().count() == 3)
   }
 
+  test("text_pdf_segments: every font-rule arm fires; fill-down matches an in-memory replay") {
+    val out = graft.dedup.Text.textPdfSegments(spark, sf)
+    val fmts = out.select("fmt").distinct().collect().map(_.getString(0)).toSet
+    assert(fmts == Set("heading", "location_header", "p", "image_caption"),
+      s"page rows dropped, none-arm never fires, all real arms do; got $fmts")
+    // replay the sequential fill-down exactly
+    val rows = out.orderBy("page", "fmt").collect()
+    var lastLoc: String = null
+    val colonRe = java.util.regex.Pattern.compile("(.+):")
+    var inherited = 0
+    rows.foreach { r =>
+      val (fmt, text) = (r.getAs[String]("fmt"), r.getAs[String]("text"))
+      val l0 = fmt match {
+        case "location_header" => text
+        case "heading" =>
+          val m = colonRe.matcher(text)
+          if (m.find()) m.group(1) else { inherited += 1; null }
+        case _ => "München"
+      }
+      if (l0 != null) lastLoc = l0
+      assert(r.getAs[String]("location") == lastLoc,
+        s"page ${r.getAs[Int]("page")} $fmt: fill-down diverges")
+    }
+    assert(inherited > 0, "no colon-less heading — the fill-down inheritance went untested")
+  }
+
   test("text_ner_batch: offsets index back into the text; all three rule arms fire") {
     import org.apache.spark.sql.functions._
     val out = graft.dedup.Text.textNerBatch(spark, sf)
