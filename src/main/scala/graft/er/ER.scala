@@ -640,7 +640,27 @@ object ER {
     * specs. */
   private val CascadeBlockCap = 32L
 
+  /** er_link_report — match-coverage accounting over the cascade (the
+    * reference's data-linking/lobid/analysis.R: after the 01→04 flow
+    * it counts which entities carry an external authority id and from
+    * which source — `count(has_gnd_id)` / `count(has_any_gnd_id)`).
+    * One partial-agg groupBy over [[erLinkCascade]]'s complete linking
+    * report: per (strategy, priority) the match count, distinct
+    * authorities hit, and the exact integer score stats (sum/min/max —
+    * the mean is the consumer's one division). The `unmatched` row IS
+    * the coverage complement, so matched/total falls out of this one
+    * frame. */
+  def erLinkReport(spark: SparkSession, dir: String): DataFrame =
+    erLinkCascade(spark, dir)
+      .groupBy(col("strategy"), col("priority"))
+      .agg(count(lit(1)).as("n_entities"),
+        count_distinct(col("auth_id")).as("n_auth"),
+        sum(col("score")).as("sum_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_link_report"          -> (erLinkReport _),
     "er_link_cascade"         -> (erLinkCascade _),
     "er_isbn"                 -> (erIsbn _),
     "er_fingerprint"          -> (erFingerprint _),
@@ -690,8 +710,7 @@ object ER {
   private def isbnSumSql(b: String): String =
     (1 to 9).map(i => s"$i * CAST(substring($b, $i, 1) AS INTEGER)").mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
-    "er_link_cascade" -> {
+  private lazy val cascadeSql: String = {
       val sum13 = (1 to 12)
         .map(i => s"${if (i % 2 == 0) 3 else 1} * CAST(substring(e13, $i, 1) AS INTEGER)")
         .mkString(" + ")
@@ -778,7 +797,17 @@ object ER {
          |UNION ALL SELECT id, 'unmatched', 0, CAST(NULL AS BIGINT), CAST(NULL AS INTEGER)
          |FROM books WHERE id NOT IN (SELECT id FROM m1 UNION ALL SELECT id FROM m2
          |  UNION ALL SELECT id FROM m3 UNION ALL SELECT id FROM m4)""".stripMargin
-    },
+  }
+
+  val oracles: Map[String, String] = Map(
+    "er_link_cascade" -> cascadeSql,
+    "er_link_report" ->
+      s"""SELECT strategy, priority, count(*) AS n_entities,
+         |  count(DISTINCT auth_id) AS n_auth,
+         |  CAST(sum(score) AS BIGINT) AS sum_score,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM ($cascadeSql) c
+         |GROUP BY 1, 2""".stripMargin,
     "er_isbn" -> {
       val sum13 = (1 to 12)
         .map(i => s"${if (i % 2 == 0) 3 else 1} * CAST(substring(e13, $i, 1) AS INTEGER)")

@@ -219,6 +219,21 @@ class ERSpec extends SparkSpec {
     assert(strategies.size >= 3, s"expected >=3 strategies to fire, got $strategies")
   }
 
+  test("er_link_report: per-strategy accounting sums to the book universe") {
+    val rep = ER.erLinkReport(spark, sf).collect()
+    val n = spark.read.parquet(s"$sf/part.parquet").count()
+    assert(rep.map(_.getAs[Long]("n_entities")).sum == n,
+      "every book lands in exactly one strategy row (incl. unmatched)")
+    val names = rep.map(_.getAs[String]("strategy")).toSet
+    assert(names.subsetOf(Set("isbn", "author_title", "author", "publisher", "unmatched")))
+    rep.filter(r => r.getAs[String]("strategy") == "isbn").foreach { r =>
+      val expected = spark.read.parquet(s"$sf/part.parquet").select("p_partkey")
+        .collect().map(_.getLong(0)).count(i => i % 4 == 0 && i % 7 != 0)
+      assert(r.getAs[Long]("n_entities") == expected)
+      assert(r.getAs[Long]("sum_score") == 0L, "isbn is an exact-id strategy")
+    }
+  }
+
   test("capBlocks: small kept, oversized refined by 2nd token, pathological dropped + audited") {
     import spark.implicits._
     val blocked = Seq(
