@@ -400,11 +400,11 @@ object Text {
     *
     * Scale: the word stream collapses with ONE map-side-partial
     * groupBy on (page, fmt) — ordered via array_sort inside the
-    * aggregate, never a sort exchange; the fill-down window runs over
-    * the COLLAPSED frame (≤ formats × pages rows — book-TOC-sized, 400×
-    * smaller than the word stream), which is where a sequential
-    * carry-forward is inherently serial; per-page fills would
-    * partitionBy(page) instead. */
+    * aggregate, never a sort exchange; the fill-down runs over the
+    * COLLAPSED frame (≤ formats × pages rows) through
+    * [[graft.util.Scale.fillDown]] — the distributed two-pass
+    * carry-forward, NOT a single-partition window, so the same code
+    * holds when the collapsed frame is itself huge. */
   def textPdfSegments(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), (col("doc_id") % 160).cast("int").as("page"),
@@ -443,11 +443,11 @@ object Text {
           when(regexp_extract(col("text"), "(.+):", 1) =!= "",
             regexp_extract(col("text"), "(.+):", 1)))
         .otherwise(lit("München"))
-    val w = Window.orderBy(col("page"), col("fmt"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    collapsed.select(col("page"), col("fmt"), col("text"), loc0.as("loc0"))
-      .withColumn("location", last(col("loc0"), ignoreNulls = true).over(w))
-      .select(col("page"), col("fmt"), col("text"), col("location"))
+    // distributed LOCF — (page, fmt) is unique per row, so it is the
+    // total order fillDown requires; no single-partition window
+    graft.util.Scale.fillDown(
+      collapsed.select(col("page"), col("fmt"), col("text"), loc0.as("location")),
+      Seq(col("page"), col("fmt")), "location")
   }
 
   /** One extracted mention: where (1-based char offset), what, type. */

@@ -53,6 +53,65 @@ object Scale {
     spark.table(leftTable).hint("merge")
       .join(spark.table(rightTable).hint("merge"), key)
 
+  /** Distributed fill-down (`tidyr::fill(.direction = "down")` /
+    * last-observation-carried-forward): replace NULLs in `valueCol`
+    * with the latest non-NULL value in the total order given by
+    * `order` — WITHOUT the single-partition window a naive
+    * `last(ignoreNulls) over (ORDER BY …)` plans (Spark warns
+    * "Moving all data to a single partition").
+    *
+    * Two-pass carry shape (the distributed-prefix-sum pattern
+    * corpus_pack uses for offsets, applied to carry values):
+    *   1. range-partition + sort by `order` — partitions now tile the
+    *      total order;
+    *   2. per partition, take the LAST non-NULL value (one tiny row
+    *      per partition to the driver — partition-count-sized, never
+    *      data-sized);
+    *   3. prefix-scan those carries on the driver and broadcast the
+    *      per-partition "inherited" value;
+    *   4. per partition, fill: rows before the first local non-NULL
+    *      take the inherited carry, the rest standard LOCF.
+    * Correctness does not depend on where the range boundaries fall;
+    * `order` must be a TOTAL order (ties could straddle a boundary in
+    * arbitrary order). `valueCol` must be a string column (the only
+    * shape the callers need; generalize via encoder if ever needed).
+    */
+  def fillDown(df: DataFrame, order: Seq[Column], valueCol: String,
+      partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+            else spark.sessionState.conf.numShufflePartitions
+    require(df.schema(valueCol).dataType == org.apache.spark.sql.types.StringType,
+      s"fillDown carries string columns; got ${df.schema(valueCol).dataType}")
+    val idx = df.schema.fieldIndex(valueCol)
+    val ranged = df.repartitionByRange(n, order: _*).sortWithinPartitions(order: _*)
+      .localCheckpoint() // pass 2 must see pass 1's exact partitioning
+    val lasts: Array[(Int, String)] = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var last: String = null
+      it.foreach { r => if (!r.isNullAt(idx)) last = r.getString(idx) }
+      Iterator.single(pid -> last)
+    }.collect()
+    val carry = new Array[String](n + 1) // carry(p) = value inherited BY partition p
+    lasts.sortBy(_._1).foreach { case (pid, l) =>
+      carry(pid + 1) = if (l != null) l else carry(pid)
+    }
+    for (p <- 1 to n) if (carry(p) == null) carry(p) = carry(p - 1)
+    val carryB = spark.sparkContext.broadcast(carry)
+    val schema = ranged.schema
+    val filled = ranged.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur = carryB.value(pid)
+      it.map { r =>
+        if (!r.isNullAt(idx)) { cur = r.getString(idx); r }
+        else {
+          val vals = r.toSeq.toArray
+          vals(idx) = cur
+          org.apache.spark.sql.Row.fromSeq(vals.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(filled, schema)
+  }
+
   /** Salted equi-join: result-identical to `large.join(small, key)`,
     * with the large side spread over `nSalts` sub-keys and the small
     * side replicated nSalts× THROUGH THE SHUFFLE (never the driver —

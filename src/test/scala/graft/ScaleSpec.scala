@@ -144,4 +144,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
+
+  test("fillDown: distributed LOCF equals the single-partition window on every boundary shape") {
+    import org.apache.spark.sql.expressions.Window
+    val sess = spark; import sess.implicits._
+    // 100 ordered rows; value present on a sparse, irregular set so
+    // carries must cross partition boundaries; leading rows null so
+    // the stay-null-before-first-value case is exercised
+    val df = (1 to 100).map { i =>
+      (i, if (i >= 7 && (i % 13 == 0 || i % 31 == 5)) s"v$i" else null)
+    }.toDF("k", "v")
+    val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("v", last(col("v"), ignoreNulls = true).over(w))
+      .collect().map(r => (r.getInt(0), r.getAs[String]("v"))).toMap
+    // 7 partitions forces ~14-row slices: several all-null partitions
+    // inherit their carry from 2+ partitions upstream
+    for (parts <- Seq(1, 7, 32)) {
+      val got = Scale.fillDown(df, Seq(col("k")), "v", partitions = parts)
+        .collect().map(r => (r.getInt(0), r.getAs[String]("v"))).toMap
+      assert(got == expected, s"fillDown($parts partitions) diverges from the window LOCF")
+    }
+    assert(expected(6) == null && expected(100) != null)
+  }
 }
