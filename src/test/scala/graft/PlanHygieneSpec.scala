@@ -42,14 +42,38 @@ class PlanHygieneSpec extends SparkSpec {
     "kg_sparql_noconst"   -> ("UNION-branch products over the 1-row seed-bound root " +
       "(each branch multiplies one row)"))
 
-  test("no query plans a cartesian product; nested-loop joins only where bounded by design") {
+  // Queries whose UNPARTITIONED window is intended: a global total
+  // order over a frame that is aggregate-sized by construction (never
+  // the data stream). Everything else must partition its windows —
+  // "No Partition Defined for Window" means the whole input serializes
+  // onto one task (the round-9 text_pdf_segments lesson; its fill now
+  // rides the distributed Scale.fillDown instead).
+  private val boundedGlobalWindow: Map[String, String] = Map(
+    "kg_geo_near" -> ("rank window over the TakeOrderedAndProject top-50 " +
+      "result — input is 50 rows by construction (orderBy+limit), never the box"))
+
+  test("no cartesian products, no unbounded nested loops, no single-partition windows") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
+      p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(f)
+        case n if f.isDefinedAt(n)    => Seq(f(n))
+      }.flatten
     val offenders = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val physical = fn(spark, sf).queryExecution.executedPlan
+      val plan = physical.toString
       if (plan.contains("CartesianProduct"))
         offenders += s"$name: CartesianProduct"
       if (plan.contains("BroadcastNestedLoopJoin") && !boundedNestedLoop.contains(name))
         offenders += s"$name: unexpected BroadcastNestedLoopJoin"
+      val globalWindows = collectAll(physical) {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      if (globalWindows.nonEmpty && !boundedGlobalWindow.contains(name))
+        offenders += s"$name: ${globalWindows.size} unpartitioned Window (single-partition sort)"
     }
     assert(offenders.isEmpty,
       s"plan hygiene violations:\n  ${offenders.mkString("\n  ")}")
