@@ -99,10 +99,17 @@ object Rdf {
     * language-tagged literals, other literals escaped + quoted),
     * rdf:type rows from the entity-id universe, and the order-date
     * typed-literal arm (`"1996-01-02"^^xsd:date`). */
-  def kgExportNt(spark: SparkSession, dir: String): DataFrame = {
-    val stmts = Triples.statements(spark, dir).select(
+  /** Render any statements-shaped frame `(s, p, o_id, o_val, lang)`
+    * as N-Triples lines — the reusable statements arm of
+    * [[kgExportNt]] (RdfPropSpec round-trips random literals through
+    * render→[[parseNt]]). */
+  def renderNt(statements: DataFrame): DataFrame =
+    statements.select(
       concat(iri(col("s")), lit(s" <${Base}prop/"), col("p"), lit("> "),
         ntObject, lit(" .")).as("nt"))
+
+  def kgExportNt(spark: SparkSession, dir: String): DataFrame = {
+    val stmts = renderNt(Triples.statements(spark, dir))
     val types = Triples.entityIds(spark, dir).select(
       concat(iri(col("id")), lit(s" <$RdfType> <${Base}class/"),
         nsName(col("id")), lit("> .")).as("nt"))
