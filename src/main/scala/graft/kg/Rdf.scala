@@ -250,6 +250,69 @@ object Rdf {
           regexp_extract(col("_obj"), langRe, 2)).as("lang"))
   }
 
+  /** Parse Turtle lines (one `ttl` string column, `@prefix` header
+    * rows + prefixed-name body rows) back into the statement shape.
+    * The prefix map is NOT hardcoded: the header rows are parsed into
+    * a (pref, iri) frame and the body resolves prefixed names through
+    * an INNER broadcast join against it — a body row whose prefix the
+    * header never declared drops out (the strict-parser contract), and
+    * the whole parse stays distributed (the header frame is
+    * prefix-count-sized; no driver collect). Entity-type segments come
+    * from the RESOLVED IRIs, so the parser works for any header that
+    * maps onto the store's namespaces. */
+  def parseTtl(lines: DataFrame): DataFrame = {
+    val ttl = col("ttl")
+    val hdrRe = "^@prefix ([a-z]+): <([^>]*)> \\.$"
+    val hdr = lines
+      .filter(ttl.startsWith("@prefix "))
+      .select(regexp_extract(ttl, hdrRe, 1).as("pref"),
+        regexp_extract(ttl, hdrRe, 2).as("iri"))
+    val seg = (i: Column) => regexp_extract(i, s"^$BaseRe([a-z]+)/$$", 1)
+    val subjRe = "^([a-z]+):([0-9]+) "
+    val predRe = "^[a-z]+:[0-9]+ (a|prop:[a-z_]+) "
+    val objRe = "^[a-z]+:[0-9]+ (?:a|prop:[a-z_]+) (.*) \\.$"
+    val pnameRe = "^([a-z]+):([0-9]+)$"
+    val langRe = "^\"(.*)\"@([a-z]+)$"
+    val typedRe = "^\"(.*)\"\\^\\^xsd:([a-z]+)$"
+    val plainRe = "^\"(.*)\"$"
+    val body = lines.filter(!ttl.startsWith("@prefix "))
+      .select(ttl,
+        regexp_extract(ttl, subjRe, 1).as("spref"),
+        regexp_extract(ttl, subjRe, 2).as("skey"),
+        regexp_extract(ttl, predRe, 1).as("pred"),
+        regexp_extract(ttl, objRe, 1).as("obj"))
+      .withColumn("opref", regexp_extract(col("obj"), pnameRe, 1))
+      .withColumn("okey", regexp_extract(col("obj"), pnameRe, 2))
+    val sh = hdr.select(col("pref").as("spref"), col("iri").as("s_iri"))
+    val oh = hdr.select(col("pref").as("opref"), col("iri").as("o_iri"))
+    body
+      .join(broadcast(sh), Seq("spref"))
+      .join(broadcast(oh), Seq("opref"), "left_outer")
+      .select(
+        (nsNum(seg(col("s_iri"))) * NS + col("skey").cast("long")).as("s"),
+        when(col("pred") === "a", lit("a"))
+          .otherwise(call_function("replace", col("pred"), lit("prop:"), lit("")))
+          .as("p"),
+        when(col("pred") =!= "a" && col("opref") =!= "",
+          nsNum(seg(col("o_iri"))) * NS + col("okey").cast("long")).as("o_id"),
+        when(col("pred") === "a", regexp_extract(col("obj"), "^[a-z]+:([a-z]+)$", 1))
+          .when(regexp_extract(col("obj"), langRe, 2) =!= "",
+            unesc(regexp_extract(col("obj"), langRe, 1)))
+          .when(col("obj").rlike(typedRe), unesc(regexp_extract(col("obj"), typedRe, 1)))
+          .when(col("obj").rlike(plainRe), unesc(regexp_extract(col("obj"), plainRe, 1)))
+          .as("o_val"),
+        when(regexp_extract(col("obj"), langRe, 2) =!= "",
+          regexp_extract(col("obj"), langRe, 2)).as("lang"))
+  }
+
+  /** kg_import_ttl — the Turtle inverse: [[kgExportTtl]]'s output
+    * parsed back through the header-driven [[parseTtl]]. RdfSpec
+    * asserts it lands on EXACTLY the same statements as the N-Triples
+    * path (cross-format agreement) and that removing a header prefix
+    * drops exactly that prefix's rows. */
+  def kgImportTtl(spark: SparkSession, dir: String): DataFrame =
+    parseTtl(kgExportTtl(spark, dir))
+
   /** kg_import_nt — the INVERSE serialization: [[kgExportNt]]'s lines
     * parsed back into statements, closing the full modeling round trip
     * (RdfSpec asserts `parse(render(store))` reproduces the statement
@@ -266,7 +329,8 @@ object Rdf {
     "kg_export_nt"     -> (kgExportNt _),
     "kg_export_ttl"    -> (kgExportTtl _),
     "kg_export_jsonld" -> (kgExportJsonld _),
-    "kg_import_nt"     -> (kgImportNt _))
+    "kg_import_nt"     -> (kgImportNt _),
+    "kg_import_ttl"    -> (kgImportTtl _))
 
   private val T = Triples.sqlCte
 
@@ -321,16 +385,14 @@ object Rdf {
        |FROM ox""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    "kg_export_nt" -> s"$T\n$ntBodySql",
-    "kg_import_nt" -> importNtSql,
-    "kg_export_ttl" -> {
-      val header = prefixes
-        .map { case (p, iriv) => s"SELECT '@prefix $p: <$iriv> .' AS ttl" }
-        .mkString("\nUNION ALL ")
-      s"""$T
-         |$header
-         |UNION ALL
+  /** The Turtle render as SQL (header + three body arms — shared by
+    * the export oracle and the import oracle's round trip). */
+  private def ttlBodySql: String = {
+    val header = prefixes
+      .map { case (p, iriv) => s"SELECT '@prefix $p: <$iriv> .' AS ttl" }
+      .mkString("\nUNION ALL ")
+    s"""$header
+       |UNION ALL
          |SELECT ${pnameSql("s")} || ' prop:' || p || ' ' ||
          |  (CASE WHEN o_id IS NOT NULL THEN ${pnameSql("o_id")}
          |        WHEN lang IS NOT NULL THEN chr(34) || ${escSql("o_val")} || chr(34) || '@' || lang
@@ -343,7 +405,54 @@ object Rdf {
          |SELECT 'order:' || CAST(o_orderkey AS VARCHAR) || ' prop:order_date ' ||
          |  chr(34) || strftime(o_orderdate, '%Y-%m-%d') || chr(34) || '^^xsd:date .'
          |FROM orders""".stripMargin
-    },
+  }
+
+  private def importTtlSql: String = {
+    val D = "$"
+    val segSql = (e: String) => s"regexp_extract($e, '^$BaseRe([a-z]+)/$D', 1)"
+    s"""$T,
+       |tl AS ($ttlBodySql),
+       |hdr AS (SELECT
+       |    regexp_extract(ttl, '^@prefix ([a-z]+): <([^>]*)> \\.$D', 1) AS pref,
+       |    regexp_extract(ttl, '^@prefix ([a-z]+): <([^>]*)> \\.$D', 2) AS iri
+       |  FROM tl WHERE ttl LIKE '@prefix %'),
+       |body AS (SELECT ttl,
+       |    regexp_extract(ttl, '^([a-z]+):([0-9]+) ', 1) AS spref,
+       |    regexp_extract(ttl, '^([a-z]+):([0-9]+) ', 2) AS skey,
+       |    regexp_extract(ttl, '^[a-z]+:[0-9]+ (a|prop:[a-z_]+) ', 1) AS pred,
+       |    regexp_extract(ttl, '^[a-z]+:[0-9]+ (?:a|prop:[a-z_]+) (.*) \\.$D', 1) AS obj
+       |  FROM tl WHERE ttl NOT LIKE '@prefix %'),
+       |ox AS (SELECT body.*,
+       |    regexp_extract(obj, '^([a-z]+):([0-9]+)$D', 1) AS opref,
+       |    regexp_extract(obj, '^([a-z]+):([0-9]+)$D', 2) AS okey,
+       |    regexp_extract(obj, '^"(.*)"@([a-z]+)$D', 1) AS lval,
+       |    regexp_extract(obj, '^"(.*)"@([a-z]+)$D', 2) AS ltag,
+       |    CASE WHEN regexp_matches(obj, '^"(.*)"\\^\\^xsd:([a-z]+)$D')
+       |         THEN regexp_extract(obj, '^"(.*)"\\^\\^xsd:([a-z]+)$D', 1) END AS tval,
+       |    CASE WHEN regexp_matches(obj, '^"(.*)"$D')
+       |         THEN regexp_extract(obj, '^"(.*)"$D', 1) END AS pval
+       |  FROM body)
+       |SELECT
+       |  CAST(${nsNumSql(segSql("sh.iri"))} * $NS + CAST(skey AS BIGINT) AS BIGINT) AS s,
+       |  CASE WHEN pred = 'a' THEN 'a' ELSE replace(pred, 'prop:', '') END AS p,
+       |  CASE WHEN pred <> 'a' AND opref <> ''
+       |       THEN CAST(${nsNumSql(segSql("oh.iri"))} * $NS + CAST(okey AS BIGINT) AS BIGINT)
+       |       END AS o_id,
+       |  CASE WHEN pred = 'a' THEN regexp_extract(obj, '^[a-z]+:([a-z]+)$D', 1)
+       |       WHEN ltag <> '' THEN ${unescSql("lval")}
+       |       WHEN tval IS NOT NULL THEN ${unescSql("tval")}
+       |       WHEN pval IS NOT NULL THEN ${unescSql("pval")} END AS o_val,
+       |  CASE WHEN ltag <> '' THEN ltag END AS lang
+       |FROM ox
+       |JOIN hdr sh ON ox.spref = sh.pref
+       |LEFT JOIN hdr oh ON ox.opref = oh.pref""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "kg_export_nt" -> s"$T\n$ntBodySql",
+    "kg_import_nt" -> importNtSql,
+    "kg_export_ttl" -> s"$T\n$ttlBodySql",
+    "kg_import_ttl" -> importTtlSql,
     "kg_export_jsonld" ->
       s"""$T
          |SELECT '{' || chr(34) || '@id' || chr(34) || ':' || chr(34) ||

@@ -86,6 +86,22 @@ class RdfSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("o_id")))
   }
 
+  test("kg_import_ttl: Turtle and N-Triples parse to IDENTICAL statements; header drives resolution") {
+    val viaTtl = Rdf.kgImportTtl(spark, sf)
+    val viaNt = Rdf.kgImportNt(spark, sf)
+    assert(viaTtl.exceptAll(viaNt).count() == 0 && viaNt.exceptAll(viaTtl).count() == 0,
+      "the two serializations must decode to the same statement multiset")
+    // the prefix header is load-bearing: drop the customer prefix row
+    // and exactly the customer-SUBJECT rows disappear (strict parser)
+    val full = Rdf.kgExportTtl(spark, sf)
+    val crippled = full.filter(!col("ttl").startsWith("@prefix customer:"))
+    val parsed = Rdf.parseTtl(crippled)
+    val lostSubjects = viaTtl.filter(col("s") >= 3L * Triples.NS && col("s") < 4L * Triples.NS)
+    assert(parsed.count() == viaTtl.count() - lostSubjects.count(),
+      "removing a header prefix must drop exactly that prefix's subject rows")
+    assert(parsed.filter(col("s") >= 3L * Triples.NS && col("s") < 4L * Triples.NS).count() == 0)
+  }
+
   test("rdf exports are projection-only: no exchange in any arm") {
     Seq(Rdf.kgExportNt(spark, sf), Rdf.kgExportTtl(spark, sf),
       Rdf.kgExportJsonld(spark, sf)).foreach { df =>
