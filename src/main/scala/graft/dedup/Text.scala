@@ -376,10 +376,10 @@ object Text {
       decode(regexp_extract(col("html"), "<h3>(.*?)</h3>", 1)).as("title"),
       dateText.as("date_text"),
       regexp_extract(dateText, "[0-9]{4}", 0).cast("int").as("year"),
-      when(col("html").contains("timeline-icon star"), "misc")
-        .when(col("html").contains("timeline-icon round"), "lesbian")
-        .when(col("html").contains("timeline-icon square"), "gay").as("grp"),
-      when(col("html").contains("muc"), "München").as("location"),
+      when(col("html").contains("timeline-icon star\""), "misc")
+        .when(col("html").contains("timeline-icon round\""), "lesbian")
+        .when(col("html").contains("timeline-icon square\""), "gay").as("grp"),
+      when(col("html").contains("data-loc=\"muc\""), "München").as("location"),
       trim(array_join(expr("regexp_extract_all(html, '<p>(.*?)</p>', 1)"), " ")).as("text"))
   }
 
@@ -484,13 +484,13 @@ object Text {
     val sess = spark; import sess.implicits._
     val gazetteer = Tables.part(spark, dir)
       .select(explode(split(lower(col("p_name")), " ")).as("term"))
-      .distinct().as[String].collect().sorted
-    val gazB = spark.sparkContext.broadcast(gazetteer)
+      .distinct().as[String].collect()
+    val gazB = spark.sparkContext.broadcast(gazetteer.toSet)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { it =>
         // once-per-partition MODEL INIT (a real NER pipeline loads here)
-        val gaz = gazB.value.toSet
+        val gaz = gazB.value
         val suffixRe = java.util.regex.Pattern.compile(".*(er|or)")
         // documents flow through in fixed-size batches — the unit a
         // real pipeline scores in one forward pass (spaCy nlp.pipe's
@@ -696,10 +696,10 @@ object Text {
           |  regexp_extract(html, '<span class="timeline-date">(.*?)</span>', 1) AS date_text,
           |  CAST(regexp_extract(regexp_extract(html,
           |    '<span class="timeline-date">(.*?)</span>', 1), '[0-9]{4}') AS INTEGER) AS year,
-          |  CASE WHEN contains(html, 'timeline-icon star') THEN 'misc'
-          |       WHEN contains(html, 'timeline-icon round') THEN 'lesbian'
-          |       WHEN contains(html, 'timeline-icon square') THEN 'gay' END AS grp,
-          |  CASE WHEN contains(html, 'muc') THEN 'München' END AS location,
+          |  CASE WHEN contains(html, 'timeline-icon star"') THEN 'misc'
+          |       WHEN contains(html, 'timeline-icon round"') THEN 'lesbian'
+          |       WHEN contains(html, 'timeline-icon square"') THEN 'gay' END AS grp,
+          |  CASE WHEN contains(html, 'data-loc="muc"') THEN 'München' END AS location,
           |  trim(array_to_string(regexp_extract_all(html, '<p>(.*?)</p>', 1), ' ')) AS text
           |FROM h""".stripMargin,
       "text_pdf_segments" ->

@@ -288,6 +288,10 @@ object Rdf {
     body
       .join(broadcast(sh), Seq("spref"))
       .join(broadcast(oh), Seq("opref"), "left_outer")
+      // strict on BOTH sides: an entity object whose prefix the header
+      // never declared drops the row (it must not survive as a
+      // corrupted no-object statement)
+      .filter(col("opref") === "" || col("o_iri").isNotNull)
       .select(
         (nsNum(seg(col("s_iri"))) * NS + col("skey").cast("long")).as("s"),
         when(col("pred") === "a", lit("a"))
@@ -445,7 +449,8 @@ object Rdf {
        |  CASE WHEN ltag <> '' THEN ltag END AS lang
        |FROM ox
        |JOIN hdr sh ON ox.spref = sh.pref
-       |LEFT JOIN hdr oh ON ox.opref = oh.pref""".stripMargin
+       |LEFT JOIN hdr oh ON ox.opref = oh.pref
+       |WHERE ox.opref = '' OR oh.pref IS NOT NULL""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(

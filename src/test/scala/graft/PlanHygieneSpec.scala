@@ -56,8 +56,10 @@ class PlanHygieneSpec extends SparkSpec {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.window.WindowExec
+    // collectWithSubqueries: a single-partition window hiding inside a
+    // scalar/IN subquery plan must not slip past the gate
     def collectAll[T](p: SparkPlan)(f: PartialFunction[SparkPlan, T]): Seq[T] =
-      p.collect {
+      p.collectWithSubqueries {
         case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(f)
         case n if f.isDefinedAt(n)    => Seq(f(n))
       }.flatten
@@ -90,7 +92,7 @@ class PlanHygieneSpec extends SparkSpec {
     import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val limit = spark.sessionState.conf.hugeMethodLimit
-    def stages(p: SparkPlan): Seq[WholeStageCodegenExec] = p.collect {
+    def stages(p: SparkPlan): Seq[WholeStageCodegenExec] = p.collectWithSubqueries {
       case w: WholeStageCodegenExec => Seq(w)
       case a: AdaptiveSparkPlanExec => stages(a.executedPlan)
     }.flatten

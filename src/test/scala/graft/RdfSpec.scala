@@ -96,10 +96,17 @@ class RdfSpec extends SparkSpec {
     val full = Rdf.kgExportTtl(spark, sf)
     val crippled = full.filter(!col("ttl").startsWith("@prefix customer:"))
     val parsed = Rdf.parseTtl(crippled)
-    val lostSubjects = viaTtl.filter(col("s") >= 3L * Triples.NS && col("s") < 4L * Triples.NS)
-    assert(parsed.count() == viaTtl.count() - lostSubjects.count(),
-      "removing a header prefix must drop exactly that prefix's subject rows")
-    assert(parsed.filter(col("s") >= 3L * Triples.NS && col("s") < 4L * Triples.NS).count() == 0)
+    val cust = (c: org.apache.spark.sql.Column) =>
+      c >= 3L * Triples.NS && c < 4L * Triples.NS
+    val lostSubjects = viaTtl.filter(cust(col("s")))
+    val lostObjects = viaTtl.filter(!cust(col("s")) && col("o_id").isNotNull && cust(col("o_id")))
+    assert(parsed.count() == viaTtl.count() - lostSubjects.count() - lostObjects.count(),
+      "an undeclared prefix must drop its subject rows AND its entity-object rows")
+    assert(parsed.filter(cust(col("s"))).count() == 0)
+    // never a corrupted no-object statement: every surviving row has an
+    // entity object, a literal, or is an rdf:type row
+    assert(parsed.filter(col("o_id").isNull && col("o_val").isNull).count() == 0,
+      "no row may survive with neither o_id nor o_val")
   }
 
   test("rdf exports are projection-only: no exchange in any arm") {

@@ -127,10 +127,15 @@ def main(sf_dir, out_dir):
         if files:
             # gate EVERY part file's schema, not just the first: Spark
             # writes are uniform, but a stale/mixed dump dir must not
-            # slip a drifting dtype past the gate on file order
-            schemas = {pq.read_schema(f).to_string(): f for f in files}
-            bad = sorted({m for s in schemas.values()
-                          for m in dtype_mismatches(pq.read_schema(s), rel.columns, rel.types)})
+            # slip a drifting dtype past the gate on file order. Key by
+            # the LOGICAL field list (name, type) — not to_string(),
+            # which drags writer metadata in — and read each footer once.
+            schemas = {}
+            for f in files:
+                sch = pq.read_schema(f)
+                schemas.setdefault(tuple((fld.name, str(fld.type)) for fld in sch), sch)
+            bad = sorted({m for sch in schemas.values()
+                          for m in dtype_mismatches(sch, rel.columns, rel.types)})
             if len(schemas) > 1:
                 bad.append(f"{len(schemas)} distinct part-file schemas in dump dir")
             if bad:
