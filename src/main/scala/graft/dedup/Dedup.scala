@@ -540,12 +540,81 @@ object Dedup {
     e.withColumn("bucket", bitExprs.reduce((a, b) => a + b))
   }
 
-  /** sim_ann_ivf — IVF (inverted-file) ANN: see [[annIvf]]. Default
-    * 16 coarse cells, probe the 4 nearest, quantizer fitted on a 25%
-    * sample — the clustered-embedding production path beside the
-    * hyperplane LSH. */
+  /** sim_ann_ivf — IVF (inverted-file) ANN over the COMMITTED coarse
+    * quantizer ([[IvfCentroids]], trained offline by
+    * [[graft.tools.FitIvf]] — the artifact shape production actually
+    * ships, exactly like the PQ codebook): 16 cells, probe the 4
+    * nearest. Fully oracle-replayed — the committed centroid literals
+    * make assignment, probe selection and scoring bit-identical in
+    * both engines. The in-situ KMeans fit ([[annIvf]]) remains the
+    * trainer + recall-dial reference path, spec-measured on planted
+    * clusters. */
   def simAnnIvf(spark: SparkSession, dir: String): DataFrame =
-    annIvf(spark, dir, k = 16, nprobe = 4, trainFraction = 0.25)
+    annIvfCommitted(spark, dir, nprobe = 4)
+
+  /** The committed IVF centroids as a nested array literal — identical
+    * bits in the Spark plan and the DuckDB oracle (java
+    * Double.toString is the shortest uniquely-identifying rendering;
+    * both parsers are correctly rounded). */
+  private val ivfCentLit: Column =
+    typedLit(IvfCentroids.centroids.map(_.toVector).toVector)
+
+  /** Per-row committed-centroid assignment, higher-order-function
+    * form — kept as the readable reference implementation; the QUERY
+    * path uses the native [[graft.functions.IvfAssign]] expression
+    * (fused codegen loop over the flat centroid array — the HOF tree
+    * interprets per element, k·d evals per row), and FunctionsSpec
+    * asserts the two are bit-identical. First-minimum tie-break via
+    * array_position — deterministic in both engines. */
+  private[graft] def ivfAssignHof(u: Column): Column = {
+    import IvfCentroids.{D, K}
+    val dists = transform(sequence(lit(0), lit(K - 1)), cc =>
+      aggregate(sequence(lit(0), lit(D - 1)), lit(0.0), (a, i) => {
+        val x = element_at(u, (i + 1).cast("int"))
+        val c = element_at(element_at(ivfCentLit, (cc + 1).cast("int")), (i + 1).cast("int"))
+        a + (x - c) * (x - c)
+      }))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** The committed-quantizer IVF query path (see [[simAnnIvf]]).
+    * Assignment is a PER-ROW argmin over the k committed centroids —
+    * one codegen'd projection ([[graft.functions.IvfAssign]]), no
+    * shuffle, no model object: list = first minimum of
+    * Σ_i (u_i − c_cc,i)² (ties with DuckDB's `list_position` because
+    * both scan for the first bit-identical element). The probe stays
+    * the bounded query-batch × k cross product; scoring joins only
+    * the probed lists. Scale shape is [[annIvf]] minus the fit: the
+    * assignment is a scan-speed map over the table, and the
+    * production layout buckets by `list` so the probe join prunes. */
+  private def annIvfCommitted(spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val e = vecs(spark, dir)
+    val unit = e.withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x*x))"))
+      .filter(col("nrm") > 0) // zero vectors have no direction — excluded from the index
+      .withColumn("u", expr("transform(v, x -> x / nrm)"))
+    val assigned = unit.withColumn("list", expr("ivf_assign(u)"))
+    val t = assigned.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("list"))
+    val centers = IvfCentroids.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list", "c")
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q"), col("v").as("vq"), col("u").as("uq"))
+    // query × centroid is a BOUNDED cross product: |query batch| × k,
+    // both dictionary-sized — never data × data
+    val wq = Window.partitionBy(col("q")).orderBy(col("cdist"), col("list"))
+    val probes = q.crossJoin(broadcast(centers))
+      .withColumn("cdist",
+        expr("aggregate(zip_with(uq, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= nprobe)
+      .select(col("q"), col("vq"), col("list"))
+    val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("neighbor"))
+    broadcast(probes).join(t, Seq("list")).filter(col("q") =!= col("neighbor"))
+      .withColumn("cosine", cos("vq", "vt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
+  }
 
   /** IVF-style ANN: a k-means coarse quantizer (Spark MLlib, fixed
     * seed → deterministic) assigns every vector to its nearest
@@ -741,11 +810,67 @@ object Dedup {
        |  $bandArms)""".stripMargin
   }
 
-  /** Every signature pipeline — MinHash, SimHash, hyperplane LSH —
-    * is replayed exactly by DuckDB (md5-derived hashes / literal
-    * hyperplanes); only sim_ann_ivf stays [R] (iterative KMeans fit),
-    * covered by its measured-recall spec instead. */
+  /** Every signature pipeline — MinHash, SimHash, hyperplane LSH,
+    * and (since the quantizer became a committed artifact) IVF — is
+    * replayed exactly by DuckDB: md5-derived hashes, literal
+    * hyperplanes, literal centroids. */
   val oracles: Map[String, String] = Map(
+    // IVF over the committed coarse quantizer: the centroid literals
+    // render as E-notation DOUBLEs (bare decimals are DECIMAL in
+    // DuckDB — double-rounded), every double fold is the ordered
+    // left-reduce seeded 0.0 (= Spark's aggregate(..., 0D, +)), the
+    // assignment tie-break is first-minimum in both engines, and the
+    // final cosine is the bruteforce-proven list_dot_product form
+    // (bit-identical to the native cosine_sim expression)
+    "sim_ann_ivf" -> {
+      def dlit(d: Double): String = {
+        val s = d.toString
+        require(java.lang.Double.parseDouble(s) == d)
+        if (s.contains("E") || s.contains("e")) s else s + "e0"
+      }
+      def fold(terms: String) =
+        s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $terms), (acc, x) -> acc + x)"
+      val cbSql = IvfCentroids.centroids
+        .map(_.map(dlit).mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      val d = IvfCentroids.D; val k = IvfCentroids.K
+      s"""WITH uv AS (
+         |  SELECT vec_id, v, nrm, list_transform(v, x -> x / fnrm) AS u FROM (
+         |    SELECT vec_id, v,
+         |      sqrt(${fold("list_transform(v, x -> x * x)")}) AS fnrm,
+         |      sqrt(list_dot_product(v, v)) AS nrm
+         |    FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |          FROM embeddings))
+         |  WHERE fnrm > 0),
+         |assigned AS (
+         |  SELECT vec_id, v, nrm, u,
+         |    CAST(list_position(dists, list_min(dists)) - 1 AS INTEGER) AS list
+         |  FROM (SELECT vec_id, v, nrm, u,
+         |      list_transform(range(0, $k), cc -> ${fold(s"""list_transform(range(0, $d), i ->
+         |          (u[i + 1] - cb[cc + 1][i + 1]) * (u[i + 1] - cb[cc + 1][i + 1]))""")}) AS dists
+         |    FROM (SELECT *, CAST($cbSql AS DOUBLE[][]) AS cb FROM uv))),
+         |cents AS (
+         |  SELECT CAST(g.generate_series AS INTEGER) AS list, cb[g.generate_series + 1] AS c
+         |  FROM (SELECT CAST($cbSql AS DOUBLE[][]) AS cb) b, generate_series(0, ${k - 1}) g),
+         |pdist AS (
+         |  SELECT a.vec_id AS q, c.list,
+         |    ${fold(s"""list_transform(range(0, $d), i ->
+         |        (a.u[i + 1] - c.c[i + 1]) * (a.u[i + 1] - c.c[i + 1]))""")} AS cd
+         |  FROM uv a, cents c WHERE a.vec_id < 10),
+         |probes AS (
+         |  SELECT q, list FROM (
+         |    SELECT q, list, row_number() OVER (PARTITION BY q ORDER BY cd, list) AS pr
+         |    FROM pdist) WHERE pr <= 4),
+         |scored AS (
+         |  SELECT p.q, t.vec_id AS neighbor,
+         |    list_dot_product(qv.v, t.v) / (qv.nrm * t.nrm) AS cosine
+         |  FROM probes p
+         |  JOIN assigned t ON t.list = p.list
+         |  JOIN uv qv ON qv.vec_id = p.q
+         |  WHERE t.vec_id <> p.q)
+         |SELECT q, neighbor, cosine,
+         |  CAST(row_number() OVER (PARTITION BY q ORDER BY cosine DESC, neighbor) AS INTEGER) AS rk
+         |FROM scored QUALIFY rk <= 5""".stripMargin
+    },
     // the full NN-Descent trajectory replayed: same md5 seeding, same
     // candidate expansion, same (cosine DESC, id) top-K per round —
     // MATERIALIZED per round (each s_i is referenced three times by

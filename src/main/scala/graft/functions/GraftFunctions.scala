@@ -268,6 +268,72 @@ object PqNative {
   }
 }
 
+/** ivf_assign(u): native IVF coarse-quantizer assignment — the index
+  * of the L2-nearest centroid from the committed
+  * [[graft.dedup.IvfCentroids]] artifact (the corpus-wide pass of
+  * `sim_ann_ivf`). One fused loop over a FLAT double[] centroid
+  * array, participating in whole-stage codegen — the
+  * higher-order-function composition it replaces
+  * (transform ∘ aggregate ∘ array_position over a k×d literal) walks
+  * an interpreted expression tree per element, ~k·d evals per ROW.
+  *
+  * Numerics: per-centroid distance is the same sequential
+  * `a + (x-c)*(x-c)` left fold as the HOF reference form and the
+  * DuckDB oracle; argmin keeps the FIRST minimum (strict `<`) =
+  * `array_position(d, array_min(d))`. Assignments are therefore
+  * bit-identical to both (FunctionsSpec asserts equality against the
+  * composition). */
+case class IvfAssign(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ivf_assign requires array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullIntolerant: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any =
+    IvfNative.assign(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.IvfNative$$.MODULE$$.assign($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign =
+    copy(child = newChild)
+}
+
+/** Flat-centroid kernel behind [[IvfAssign]] — committed centroids
+  * flattened once per JVM to `double[K*D]` (index `cc*D + i`). */
+object IvfNative {
+  import graft.dedup.IvfCentroids.{D, K, centroids}
+  private val flat: Array[Double] = {
+    val a = new Array[Double](K * D)
+    for (cc <- 0 until K; i <- 0 until D) a(cc * D + i) = centroids(cc)(i)
+    a
+  }
+
+  /** First-minimum L2 centroid index of a unit vector; see [[IvfAssign]]. */
+  def assign(u: ArrayData): Int = {
+    var best = 0; var bd = Double.PositiveInfinity
+    var cc = 0
+    while (cc < K) {
+      var d = 0.0; var i = 0
+      val base = cc * D
+      while (i < D) {
+        val t = u.getDouble(i) - flat(base + i)
+        d += t * t
+        i += 1
+      }
+      if (d < bd) { bd = d; best = cc }
+      cc += 1
+    }
+    best
+  }
+}
+
 /** interleave16(a, b): native Morton (Z-order) interleave of two
   * 16-bit quantized coordinates — `a`'s bits land on odd positions,
   * `b`'s on even, via the classic branch-free mask-spread (5 shift/
@@ -354,8 +420,13 @@ object GraftFunctions {
     info("interleave16", "interleave16(a, b) - Morton/Z-order interleave of two 16-bit coordinates"),
     (children: Seq[Expression]) => Interleave16(children(0), children(1)))
 
+  private val ivfAssign = (
+    FunctionIdentifier("ivf_assign"),
+    info("ivf_assign", "ivf_assign(u) - nearest committed IVF centroid index of a unit vector"),
+    (children: Seq[Expression]) => IvfAssign(children.head))
+
   private val all = Seq(
-    cosineSim, hamming64, pqEncode, pqAdc, interleave16,
+    cosineSim, hamming64, pqEncode, pqAdc, interleave16, ivfAssign,
     md5Word("md5_hi32", 0), md5Word("md5_lo32", 1), md5Word("md5_p60", 2))
 
   /** Imperative registration into an existing session. */

@@ -63,7 +63,7 @@ object FitPq {
   }
 
   /** Render a double so it round-trips exactly (java toString does). */
-  private def formatD(d: Double): String = {
+  private[graft] def formatD(d: Double): String = {
     val s = d.toString
     require(java.lang.Double.parseDouble(s) == d)
     s
@@ -72,7 +72,7 @@ object FitPq {
   /** Plain Lloyd k-means with deterministic seeding (first k points of
     * a seeded shuffle) — small data, driver-side; production would use
     * MLlib on a sample exactly like annIvf's coarse quantizer. */
-  private def kmeans(xs: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+  private[graft] def kmeans(xs: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     var centers = rnd.shuffle(xs.toVector).take(k).map(_.clone).toArray
     for (_ <- 0 until iters) {
@@ -90,7 +90,7 @@ object FitPq {
     centers
   }
 
-  private def bestCenter(x: Array[Double], cs: Array[Array[Double]]): Int = {
+  private[graft] def bestCenter(x: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bd = Double.MaxValue
     for (c <- cs.indices) {
       var d = 0.0

@@ -265,6 +265,47 @@ class DedupSpec extends SparkSpec {
     assert(sampled >= 0.9, f"sample-trained IVF recall@5 $sampled%.3f below 0.9")
   }
 
+  test("sim_ann_ivf (committed quantizer) equals a driver-side exact replay") {
+    // replay the whole registered pipeline in plain JVM arithmetic:
+    // unit-normalize, assign to the first-minimum committed centroid
+    // (FitPq.bestCenter — the trainer's own assignment), probe the 4
+    // nearest lists by (dist, list), exact-cosine top-5 per query
+    import graft.dedup.IvfCentroids
+    import graft.tools.FitPq
+    val cents = IvfCentroids.centroids.map(_.toArray).toArray
+    def nrm(v: Array[Double]) = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+    def l2sq(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }; d
+    }
+    def cosine(a: Array[Double], b: Array[Double]) = {
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      dot / (nrm(a) * nrm(b))
+    }
+    val assign = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (_, v) => nrm(v) > 0 }
+      .map { case (id, v) => (id, v, FitPq.bestCenter(v.map(_ / nrm(v)), cents)) }
+    val expected = assign.filter(_._1 < 10).flatMap { case (q, vq, _) =>
+      val uq = vq.map(_ / nrm(vq))
+      val probed = cents.indices.map(c => (l2sq(uq, cents(c)), c)).sorted.take(4).map(_._2).toSet
+      assign.filter(t => probed.contains(t._3) && t._1 != q)
+        .map(t => (q, t._1, cosine(vq, t._2)))
+        .sortBy { case (_, n, c) => (-c, n) }.take(5)
+        .zipWithIndex.map { case ((qq, n, c), i) => (qq, n, c, i + 1) }
+    }
+    val got = graft.dedup.Dedup.queries("sim_ann_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.map(t => (t._1, t._2, t._4)).toSet ==
+      expected.map(t => (t._1, t._2, t._4)).toSet)
+    val gotCos = got.map(t => ((t._1, t._2), t._3)).toMap
+    expected.foreach { case (q, n, c, _) =>
+      assert(math.abs(gotCos((q, n)) - c) < 1e-12, s"cosine drift at ($q,$n)")
+    }
+  }
+
   test("simhash pairs equal an independent in-memory recomputation") {
     // recompute every signature from scratch with plain JVM
     // MessageDigest md5 (no Spark expression in the loop) and the full

@@ -133,6 +133,22 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ivf_assign equals the higher-order-function composition exactly") {
+    GraftFunctions.registerAll(spark)
+    import org.apache.spark.sql.functions.col
+    val both = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("vec_id", "transform(v, x -> x / sqrt(aggregate(v, 0D, (a, x) -> a + x*x))) AS u")
+      .withColumn("native", org.apache.spark.sql.functions.expr("ivf_assign(u)"))
+      .withColumn("hof", graft.dedup.Dedup.ivfAssignHof(col("u")))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getAs[Int]("native") == r.getAs[Int]("hof"),
+        s"assignment diverges for vec ${r.get(0)}")
+    }
+  }
+
   test("cosine_sim zero vector is NaN (documented); nanvl is the sentinel recipe") {
     GraftFunctions.registerAll(spark)
     val r = spark.sql(
