@@ -362,7 +362,16 @@ object GraphMetrics {
     * |frontier|·avg-degree rows, every round localCheckpointed so the
     * plan never grows with the diameter; no driver collect touches
     * per-pair state (only scalar counts + the max level). */
-  def kgEdgeBetweenness(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared forward half of Brandes: the undirected roots-induced
+    * edge set (`und`, least/greatest-normalized DISTINCT pairs), its
+    * symmetric adjacency (`adj`), and the all-sources shortest-path
+    * census `settled` = (src, node, dist, σ) built by level-
+    * synchronous frontier joins (σ summed over parents), plus the max
+    * level reached. All three frames are eager localCheckpoint roots
+    * the CALLER must free when done. Used verbatim by
+    * [[kgEdgeBetweenness]] (which continues into the backward δ
+    * sweep) and exposed integer-exact as [[kgSpCensus]]. */
+  private def spForward(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, Int) = {
     val wRel = kgWithinRelations(spark, dir)
     val und = wRel.select(least(col("root"), col("item1")).as("a"),
         greatest(col("root"), col("item1")).as("b")).distinct()
@@ -371,7 +380,6 @@ object GraphMetrics {
       .union(und.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(eager = true)
     val nodes = adj.select(col("a").as("node")).distinct()
-    // ---- forward: all-sources BFS with path counts -------------------
     var settled = nodes.select(col("node").as("src"), col("node"),
       lit(0).as("dist"), lit(1.0).as("sigma")).localCheckpoint(eager = true)
     var frontier = settled
@@ -396,6 +404,34 @@ object GraphMetrics {
         d += 1
       }
     }
+    (und, adj, settled, d)
+  }
+
+  /** kg_sp_census — the INTEGER-EXACT half of Brandes as its own
+    * oracle-gated query: all-sources BFS distances and σ shortest-path
+    * counts (src, node, dist, sigma) over the roots-induced subgraph.
+    * Unlike the δ-dependent betweenness score (IEEE sums → [R]), dist
+    * and σ are exact integers, so this frame hash-matches a DuckDB
+    * replay — a recursive min-dist CTE (recursion capped at
+    * [[SpCensusCap]]; measured eccentricity 2/4/6 at sf0.001/0.01/0.1,
+    * topology-bound by the modular family-edge offsets, so the cap
+    * only bounds cycle re-expansion) plus a shortest-prefix walk
+    * enumeration (every prefix of a shortest path is a shortest path,
+    * so constraining each step to land at dist = len+1 enumerates
+    * exactly the σ paths; total walk rows = Σσ = 481 at sf0.01).
+    * This machine-gates the σ/dist layer that kg_edge_betweenness
+    * builds on, leaving only the δ float sweep to the 1e-9 spec. */
+  def kgSpCensus(spark: SparkSession, dir: String): DataFrame = {
+    val (und, adj, settled, _) = spForward(spark, dir)
+    val out = settled.select(col("src"), col("node"), col("dist"),
+      col("sigma").cast("long").as("sigma"))
+    graft.util.Checkpoints.free(und)
+    graft.util.Checkpoints.free(adj)
+    out
+  }
+
+  def kgEdgeBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val (und, adj, settled, d) = spForward(spark, dir)
     // ---- shortest-path DAG edges ------------------------------------
     val sv = settled.select(col("src").as("s1"), col("node").as("v"),
       col("dist").as("dv"), col("sigma").as("sgv"))
@@ -439,6 +475,7 @@ object GraphMetrics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_edge_betweenness" -> (kgEdgeBetweenness _),
+    "kg_sp_census"        -> (kgSpCensus _),
     "kg_within_relations" -> (kgWithinRelations _),
     "kg_kcore"            -> (kgKcore _),
     "kg_path_alt"         -> (kgPathAlt _),
@@ -521,32 +558,73 @@ object GraphMetrics {
        |      (SELECT count(*) FROM s$KcoreRounds)""".stripMargin
   }
 
-  /** kg_within_relations oracle — family edges regenerated from the
-    * SAME kind list ([[Sparql.familyKinds]]), root-filtered on both
-    * endpoints, censuses as window counts. */
-  private val withinSql: String = {
+  /** Shared oracle CTE chain: roots, family edges and the DISTINCT
+    * root-filtered induced edge set `w` — regenerated from the SAME
+    * kind list ([[Sparql.familyKinds]]). */
+  private val withinCtes: String = {
     val branches = Sparql.familyKinds.map { case (p, res, mod, off) =>
       s"""SELECT CAST(${3L * NS} + k.c_custkey AS BIGINT) AS root,
          |    '$p' AS property1, CAST(${3L * NS} + t.c_custkey AS BIGINT) AS item1
          |  FROM customer k JOIN customer t ON t.c_custkey = k.c_custkey + $off
          |  WHERE k.c_custkey % $mod = $res""".stripMargin
     }.mkString("\n  UNION ALL ")
-    s"""WITH roots AS (SELECT CAST(${3L * NS} + c.c_custkey AS BIGINT) AS member
+    s"""roots AS (SELECT CAST(${3L * NS} + c.c_custkey AS BIGINT) AS member
        |  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
        |  WHERE n.n_regionkey = 1),
        |fam AS (
        |  $branches),
        |w AS (SELECT DISTINCT f.root, f.property1, f.item1 FROM fam f
        |  JOIN roots r1 ON r1.member = f.root
-       |  JOIN roots r2 ON r2.member = f.item1)
+       |  JOIN roots r2 ON r2.member = f.item1)""".stripMargin
+  }
+
+  /** kg_within_relations oracle — the induced edge set with its two
+    * censuses as window counts. */
+  private val withinSql: String =
+    s"""WITH $withinCtes
        |SELECT root, property1, item1,
        |  count(*) OVER (PARTITION BY root) AS n_root_edges,
        |  count(*) OVER (PARTITION BY property1) AS n_property_edges
        |FROM w""".stripMargin
-  }
+
+  /** Recursion cap for the kg_sp_census min-dist CTE. Measured
+    * eccentricity of the roots-induced subgraph: 2 (sf0.001), 4
+    * (sf0.01), 6 (sf0.1) — topology-bound (the modular family-edge
+    * offsets chain customers at fixed strides), so 12 only bounds
+    * cycle re-expansion; min(dist) per (src, node) is exact. */
+  private val SpCensusCap = 12
+
+  /** kg_sp_census oracle — dist by capped recursive min-level BFS;
+    * σ by enumerating shortest-prefix walks (each step must land at
+    * dist = len+1, so rows of `walks` ARE the shortest paths —
+    * Σσ = 481 rows at sf0.01) and counting per endpoint. The inner
+    * WITH RECURSIVE inside `dmin` is the kg_shortest_path pattern. */
+  private val spCensusSql: String =
+    s"""WITH RECURSIVE $withinCtes,
+       |und AS (SELECT DISTINCT least(root, item1) AS a, greatest(root, item1) AS b FROM w),
+       |e AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+       |nodes AS (SELECT DISTINCT a AS node FROM e),
+       |dmin AS (
+       |  SELECT src, node, min(dist) AS dist FROM (
+       |    WITH RECURSIVE r(src, node, dist) AS (
+       |      SELECT node, node, 0 FROM nodes
+       |      UNION
+       |      SELECT r.src, e.b, r.dist + 1 FROM r JOIN e ON e.a = r.node
+       |      WHERE r.dist < $SpCensusCap)
+       |    SELECT src, node, dist FROM r)
+       |  GROUP BY src, node),
+       |walks(src, node, len) AS (
+       |  SELECT node, node, 0 FROM nodes
+       |  UNION ALL
+       |  SELECT wk.src, e.b, wk.len + 1
+       |  FROM walks wk JOIN e ON e.a = wk.node
+       |  JOIN dmin dm ON dm.src = wk.src AND dm.node = e.b AND dm.dist = wk.len + 1)
+       |SELECT src, node, CAST(len AS INTEGER) AS dist, count(*) AS sigma
+       |FROM walks GROUP BY src, node, len""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "kg_within_relations" -> withinSql,
+    "kg_sp_census"        -> spCensusSql,
     "kg_kcore" -> kcoreSql,
     "kg_communities" -> s"$T, $E,\n$lpaSql",
     "kg_void_stats" ->

@@ -496,8 +496,24 @@ object KGQueries {
       .agg(count(lit(1)).as("degree"))
   }
 
-  /** kg_pagerank — PageRank over the entity graph, fixed 10 iterations
-    * ([R]: float scores have no exact SQL oracle). GraphX
+  /** kg_pagerank — PageRank over the entity graph, fixed 10 iterations.
+    *
+    * Why this stays [R] when sim_ann_ivf/kg_sp_census converted: the
+    * per-vertex rank is a SUM of incoming float contributions whose
+    * ADDITION ORDER depends on shuffle partitioning — hub vertices
+    * here have unbounded in-degree (type/region nodes aggregate
+    * hundreds of thousands of edges at sf0.1), and IEEE addition is
+    * not associative, so Spark's partial aggregation and any SQL
+    * engine's scan order produce last-ulp-different sums; ten
+    * iterations then amplify the divergence. Forcing a deterministic
+    * order (sort_array(collect_list(...)) + ordered fold per vertex,
+    * plus a single-partition ordered fold for the final
+    * mass-normalization sum) would make the hot path collect
+    * hub-in-degree arrays per row — the exact anti-pattern this repo
+    * bans at 100 TB. The exactness gate is instead the 1e-6
+    * cross-implementation spec: GraphX Pregel vs the independent
+    * DataFrame loop ([[Components.staticPageRank]]) agree on every
+    * vertex. GraphX
     * `staticPageRank`, kept after MEASURING the DataFrame alternative
     * ([[Components.staticPageRank]], result-identical within 1e-6):
     * 13 s vs 23 s at sf0.1 — ten fixed iterations over the full

@@ -184,4 +184,33 @@ class GraphMetricsSpec extends SparkSpec {
     assert(got.values.forall(_ > 0))
     assert(got.values.toSet.size > 1, "all-equal scores cannot rank edges")
   }
+
+  test("kg_sp_census equals in-memory all-sources BFS (dist and sigma exact)") {
+    // integer ground truth, == not tolerance: the census is the
+    // oracle-gated half of Brandes
+    val w = graft.kg.GraphMetrics.kgWithinRelations(spark, sf)
+      .select("root", "item1").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = w.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.distinct
+    val adj = (und ++ und.map(e => (e._2, e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSeq }
+      .withDefaultValue(Seq.empty)
+    val expected = collection.mutable.Map[(Long, Long), (Int, Long)]()
+    for (s <- adj.keys.toSeq) {
+      val dist = collection.mutable.Map[Long, Int](s -> 0)
+      val sigma = collection.mutable.Map[Long, Long](s -> 1L).withDefaultValue(0L)
+      val queue = collection.mutable.Queue[Long](s)
+      while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        for (n <- adj(v)) {
+          if (!dist.contains(n)) { dist(n) = dist(v) + 1; queue += n }
+          if (dist(n) == dist(v) + 1) sigma(n) += sigma(v)
+        }
+      }
+      dist.foreach { case (n, d) => expected((s, n)) = (d, sigma(n)) }
+    }
+    val got = graft.kg.GraphMetrics.kgSpCensus(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getInt(2), r.getLong(3)))).toMap
+    assert(got == expected.toMap,
+      s"census differs: ${(got.toSet diff expected.toSet).take(3)} vs ${(expected.toSet diff got.toSet).take(3)}")
+  }
 }
