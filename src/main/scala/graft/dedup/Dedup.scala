@@ -594,26 +594,9 @@ object Dedup {
       .filter(col("nrm") > 0) // zero vectors have no direction — excluded from the index
       .withColumn("u", expr("transform(v, x -> x / nrm)"))
     val assigned = unit.withColumn("list", expr("ivf_assign(u)"))
-    val t = assigned.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("list"))
     val centers = IvfCentroids.centroids.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list", "c")
-    val q = assigned.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q"), col("v").as("vq"), col("u").as("uq"))
-    // query × centroid is a BOUNDED cross product: |query batch| × k,
-    // both dictionary-sized — never data × data
-    val wq = Window.partitionBy(col("q")).orderBy(col("cdist"), col("list"))
-    val probes = q.crossJoin(broadcast(centers))
-      .withColumn("cdist",
-        expr("aggregate(zip_with(uq, c, (x, y) -> (x-y)*(x-y)), 0D, (a, x) -> a + x)"))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= nprobe)
-      .select(col("q"), col("vq"), col("list"))
-    val w = Window.partitionBy(col("q")).orderBy(col("cosine").desc, col("neighbor"))
-    broadcast(probes).join(t, Seq("list")).filter(col("q") =!= col("neighbor"))
-      .withColumn("cosine", cos("vq", "vt"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("q"), col("neighbor"), col("cosine"), col("rk"))
+    ivfProbeScore(assigned, centers, nprobe)
   }
 
   /** IVF-style ANN: a k-means coarse quantizer (Spark MLlib, fixed
@@ -663,9 +646,21 @@ object Dedup {
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(8).fit(train)
     if (!(train eq feat)) graft.util.Checkpoints.free(train) // consumed by the fit
     val assigned = model.transform(feat).withColumnRenamed("prediction", "list")
-    val t = assigned.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("list"))
     val centers = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list", "c")
+    ivfProbeScore(assigned, centers, nprobe)
+  }
+
+  /** Shared IVF probe + score tail — the query side of BOTH the
+    * committed-artifact path ([[annIvfCommitted]]) and the in-situ
+    * trainer path ([[annIvf]]), so the recall spec measures the same
+    * pipeline the registered query ships. `assigned` must carry
+    * (vec_id, v, u, list). The query-batch × k centroid cross product
+    * picks each query's `nprobe` nearest lists by (cdist, list);
+    * scoring joins only the probed lists and cuts to exact-cosine
+    * top-5 per query by (cosine DESC, neighbor). */
+  private def ivfProbeScore(assigned: DataFrame, centers: DataFrame, nprobe: Int): DataFrame = {
+    val t = assigned.select(col("vec_id").as("neighbor"), col("v").as("vt"), col("list"))
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q"), col("v").as("vq"), col("u").as("uq"))
     // query × centroid is a BOUNDED cross product: |query batch| × k,

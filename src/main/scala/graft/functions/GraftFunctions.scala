@@ -310,6 +310,10 @@ case class IvfAssign(child: Expression) extends UnaryExpression {
 object IvfNative {
   import graft.dedup.IvfCentroids.{D, K, centroids}
   private val flat: Array[Double] = {
+    // fail loudly on a mis-regenerated artifact (K/D out of step with
+    // the centroid table would otherwise silently truncate the index)
+    require(centroids.length == K && centroids.forall(_.length == D),
+      s"IvfCentroids shape ${centroids.length}x${centroids.headOption.fold(0)(_.length)} != declared ${K}x$D")
     val a = new Array[Double](K * D)
     for (cc <- 0 until K; i <- 0 until D) a(cc * D + i) = centroids(cc)(i)
     a

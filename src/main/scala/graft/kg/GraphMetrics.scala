@@ -338,37 +338,17 @@ object GraphMetrics {
         count(lit(1)).over(Window.partitionBy(col("property1"))))
   }
 
-  /** kg_edge_betweenness — EXACT edge betweenness centrality of the
-    * roots-induced network, the
-    * `centrality_edge_betweenness()` the reference's network analysis
-    * ranks edges by (analysis/network/02-look-into-data.R:47): Brandes
-    * over every source simultaneously — a forward all-sources BFS
-    * building (src, node, dist, σ) with σ path counts summed over
-    * parents, then the backward dependency sweep level by level
-    * (δ(v) = Σ_w σv/σw·(1+δ(w)) over the shortest-path DAG), edge
-    * score = Σ over sources of its DAG contributions, halved
-    * (undirected pairs counted from both ends).
-    *
-    * Determinism/verification: σ and dist are exact integers; δ and
-    * the final score are IEEE sums, so this is a rows-only gate entry
-    * with the semantic spec comparing against an in-memory exact
-    * Brandes at 1e-9 (the kg_pagerank convention).
-    *
-    * Scale: betweenness is inherently all-sources (O(V·E) work) — the
-    * reference runs it on an ANALYSIS-CLASS-sized induced subgraph,
-    * and this operator keeps that contract (its input is the
-    * kg_within_relations frame, bounded by the root class). The
-    * sweeps are frontier joins keyed (src, node): work per round =
-    * |frontier|·avg-degree rows, every round localCheckpointed so the
-    * plan never grows with the diameter; no driver collect touches
-    * per-pair state (only scalar counts + the max level). */
   /** Shared forward half of Brandes: the undirected roots-induced
     * edge set (`und`, least/greatest-normalized DISTINCT pairs), its
     * symmetric adjacency (`adj`), and the all-sources shortest-path
     * census `settled` = (src, node, dist, σ) built by level-
     * synchronous frontier joins (σ summed over parents), plus the max
-    * level reached. All three frames are eager localCheckpoint roots
-    * the CALLER must free when done. Used verbatim by
+    * level reached. All three frames are eager localCheckpoint roots;
+    * the CALLER frees each as soon as its own result no longer
+    * derives from it (the returned query frame necessarily keeps its
+    * backing checkpoint pinned — the repo's result-checkpoint
+    * convention; consumers that fully drain a result may
+    * [[graft.util.Checkpoints.freeAll]] it). Used verbatim by
     * [[kgEdgeBetweenness]] (which continues into the backward δ
     * sweep) and exposed integer-exact as [[kgSpCensus]]. */
   private def spForward(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, Int) = {
@@ -430,6 +410,31 @@ object GraphMetrics {
     out
   }
 
+  /** kg_edge_betweenness — EXACT edge betweenness centrality of the
+    * roots-induced network, the
+    * `centrality_edge_betweenness()` the reference's network analysis
+    * ranks edges by (analysis/network/02-look-into-data.R:47): Brandes
+    * over every source simultaneously — the shared forward sweep
+    * ([[spForward]]: all-sources BFS building (src, node, dist, σ)
+    * with σ path counts summed over parents), then the backward
+    * dependency sweep level by level (δ(v) = Σ_w σv/σw·(1+δ(w)) over
+    * the shortest-path DAG), edge score = Σ over sources of its DAG
+    * contributions, halved (undirected pairs counted from both ends).
+    *
+    * Determinism/verification: σ and dist are exact integers —
+    * machine-gated via [[kgSpCensus]]; δ and the final score are IEEE
+    * sums, so this entry is rows-only with the semantic spec
+    * comparing against an in-memory exact Brandes at 1e-9 (the
+    * kg_pagerank convention).
+    *
+    * Scale: betweenness is inherently all-sources (O(V·E) work) — the
+    * reference runs it on an ANALYSIS-CLASS-sized induced subgraph,
+    * and this operator keeps that contract (its input is the
+    * kg_within_relations frame, bounded by the root class). The
+    * sweeps are frontier joins keyed (src, node): work per round =
+    * |frontier|·avg-degree rows, every round localCheckpointed so the
+    * plan never grows with the diameter; no driver collect touches
+    * per-pair state (only scalar counts + the max level). */
   def kgEdgeBetweenness(spark: SparkSession, dir: String): DataFrame = {
     val (und, adj, settled, d) = spForward(spark, dir)
     // ---- shortest-path DAG edges ------------------------------------
@@ -447,6 +452,9 @@ object GraphMetrics {
     var delta = settled.filter(col("dist") === d)
       .select(col("src"), col("node"), lit(0.0).as("delta"))
       .localCheckpoint(eager = true)
+    // settled and adj are fully consumed by dag + the delta seed
+    graft.util.Checkpoints.free(settled)
+    graft.util.Checkpoints.free(adj)
     var contribs = List.empty[DataFrame]
     for (dd <- d to 1 by -1) {
       val level = dag.filter(col("dw") === dd)
@@ -466,6 +474,10 @@ object GraphMetrics {
       case Nil => return und.select(col("a"), col("b"), lit(0.0).as("betweenness"))
       case xs  => xs.reduce(_ unionByName _)
     }
+    // the result reads only the per-level contrib checkpoints
+    graft.util.Checkpoints.free(dag)
+    graft.util.Checkpoints.free(delta)
+    graft.util.Checkpoints.free(und)
     all
       .select(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"),
         col("contrib"))

@@ -42,10 +42,10 @@ object FitIvf {
     sb ++= "package graft.dedup\n\n"
     sb ++= "/** FITTED IVF coarse-quantizer centroids — a committed model\n"
     sb ++= "  * artifact (see [[graft.tools.FitIvf]] for the trainer and the\n"
-    sb ++= "  * regeneration command). k=16 full-dimension (d=64) centroids\n"
+    sb ++= s"  * regeneration command). k=$K full-dimension (d=$D) centroids\n"
     sb ++= "  * over unit-normalized embeddings. DO NOT hand-edit. */\n"
     sb ++= "object IvfCentroids {\n"
-    sb ++= "  val K = 16; val D = 64\n"
+    sb ++= s"  val K = $K; val D = $D\n"
     sb ++= "  val centroids: IndexedSeq[IndexedSeq[Double]] = Vector(\n"
     cents.zipWithIndex.foreach { case (c, i) =>
       sb ++= "    Vector( // centroid " + i + "\n      "
