@@ -343,12 +343,9 @@ object GraphMetrics {
     * symmetric adjacency (`adj`), and the all-sources shortest-path
     * census `settled` = (src, node, dist, σ) built by level-
     * synchronous frontier joins (σ summed over parents), plus the max
-    * level reached. All three frames are eager localCheckpoint roots;
-    * the CALLER frees each as soon as its own result no longer
-    * derives from it (the returned query frame necessarily keeps its
-    * backing checkpoint pinned — the repo's result-checkpoint
-    * convention; consumers that fully drain a result may
-    * [[graft.util.Checkpoints.freeAll]] it). Used verbatim by
+    * level reached. All three frames are eager localCheckpoint roots
+    * OWNED by [[censusMemo]] — callers must NOT free them (the memo
+    * serves both consumers; [[resetMemo]] frees the blocks). Used by
     * [[kgEdgeBetweenness]] (which continues into the backward δ
     * sweep) and exposed integer-exact as [[kgSpCensus]]. */
   private def spForward(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, Int) = {
@@ -374,7 +371,7 @@ object GraphMetrics {
         .withColumn("dist", lit(d + 1))
         .select(col("src"), col("node"), col("dist"), col("sigma"))
         .localCheckpoint(eager = true)
-      if (nxt.isEmpty) go = false
+      if (nxt.isEmpty) { graft.util.Checkpoints.free(nxt); go = false }
       else {
         val prev = settled
         settled = settled.unionByName(nxt).localCheckpoint(eager = true)
@@ -384,7 +381,35 @@ object GraphMetrics {
         d += 1
       }
     }
+    // the last non-empty frontier is folded into settled's own
+    // checkpoint; free it (unless the graph had no edges at all and
+    // frontier still IS the initial settled)
+    if (!(frontier eq settled)) graft.util.Checkpoints.free(frontier)
     (und, adj, settled, d)
+  }
+
+  /** Forward-sweep memo: the census tuple computed ONCE per (session,
+    * input dir) and shared by kg_sp_census and kg_edge_betweenness —
+    * the level-synchronous all-sources BFS is the expensive half of
+    * both (the [[graft.er.ER]] ccMemo pattern). The memo OWNS the
+    * three checkpoint roots: exactly one copy lives per (session,
+    * dir) however many times the queries run, and [[resetMemo]]
+    * (called by Bench before cold measurements) frees the blocks
+    * explicitly. */
+  private val censusMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame, DataFrame, Int)]
+
+  private def spForwardMemo(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame, Int) =
+    censusMemo.getOrElseUpdate((spark, dir), spForward(spark, dir))
+
+  /** Drop memoized forward sweeps AND free their checkpoint blocks. */
+  def resetMemo(): Unit = {
+    censusMemo.values.foreach { case (und, adj, settled, _) =>
+      graft.util.Checkpoints.free(und)
+      graft.util.Checkpoints.free(adj)
+      graft.util.Checkpoints.free(settled)
+    }
+    censusMemo.clear()
   }
 
   /** kg_sp_census — the INTEGER-EXACT half of Brandes as its own
@@ -402,12 +427,9 @@ object GraphMetrics {
     * This machine-gates the σ/dist layer that kg_edge_betweenness
     * builds on, leaving only the δ float sweep to the 1e-9 spec. */
   def kgSpCensus(spark: SparkSession, dir: String): DataFrame = {
-    val (und, adj, settled, _) = spForward(spark, dir)
-    val out = settled.select(col("src"), col("node"), col("dist"),
+    val (_, _, settled, _) = spForwardMemo(spark, dir)
+    settled.select(col("src"), col("node"), col("dist"),
       col("sigma").cast("long").as("sigma"))
-    graft.util.Checkpoints.free(und)
-    graft.util.Checkpoints.free(adj)
-    out
   }
 
   /** kg_edge_betweenness — EXACT edge betweenness centrality of the
@@ -436,7 +458,7 @@ object GraphMetrics {
     * plan never grows with the diameter; no driver collect touches
     * per-pair state (only scalar counts + the max level). */
   def kgEdgeBetweenness(spark: SparkSession, dir: String): DataFrame = {
-    val (und, adj, settled, d) = spForward(spark, dir)
+    val (und, adj, settled, d) = spForwardMemo(spark, dir)
     // ---- shortest-path DAG edges ------------------------------------
     val sv = settled.select(col("src").as("s1"), col("node").as("v"),
       col("dist").as("dv"), col("sigma").as("sgv"))
@@ -452,9 +474,7 @@ object GraphMetrics {
     var delta = settled.filter(col("dist") === d)
       .select(col("src"), col("node"), lit(0.0).as("delta"))
       .localCheckpoint(eager = true)
-    // settled and adj are fully consumed by dag + the delta seed
-    graft.util.Checkpoints.free(settled)
-    graft.util.Checkpoints.free(adj)
+    // settled/adj/und are memo-owned (censusMemo) — not freed here
     var contribs = List.empty[DataFrame]
     for (dd <- d to 1 by -1) {
       val level = dag.filter(col("dw") === dd)
@@ -474,10 +494,10 @@ object GraphMetrics {
       case Nil => return und.select(col("a"), col("b"), lit(0.0).as("betweenness"))
       case xs  => xs.reduce(_ unionByName _)
     }
-    // the result reads only the per-level contrib checkpoints
+    // the result reads only the per-level contrib checkpoints (dag and
+    // the final delta are this call's own; the memo keeps und/adj/settled)
     graft.util.Checkpoints.free(dag)
     graft.util.Checkpoints.free(delta)
-    graft.util.Checkpoints.free(und)
     all
       .select(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"),
         col("contrib"))

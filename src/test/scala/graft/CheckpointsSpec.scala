@@ -46,6 +46,28 @@ class CheckpointsSpec extends SparkSpec {
       s"persistent RDD count grew: $baseline -> $live")
   }
 
+  test("repeated census/betweenness calls share one memoized sweep; resetMemo frees it") {
+    import graft.kg.GraphMetrics
+    GraphMetrics.resetMemo()
+    val baseline0 = live
+    val c1 = GraphMetrics.kgSpCensus(spark, sf).count()
+    val afterFirst = live
+    assert(afterFirst > baseline0, "first census must materialize the sweep")
+    // second call and the betweenness consumer reuse the memo — no new
+    // sweep checkpoints appear however many times either runs
+    val c2 = GraphMetrics.kgSpCensus(spark, sf).count()
+    assert(c1 == c2)
+    assert(live == afterFirst, "second census call created new sweep blocks")
+    val eb = GraphMetrics.kgEdgeBetweenness(spark, sf)
+    eb.count()
+    Checkpoints.freeAll(eb) // frees the per-call contrib checkpoints
+    assert(live <= afterFirst,
+      s"betweenness leaked per-call blocks: $afterFirst -> $live")
+    GraphMetrics.resetMemo()
+    assert(live <= baseline0,
+      s"resetMemo left sweep blocks live: baseline $baseline0 -> $live")
+  }
+
   test("free is a no-op on derived frames and only frees checkpoint roots") {
     val sess = spark; import sess.implicits._
     val cp = (1 to 100).toDF("x").localCheckpoint(eager = true)
