@@ -491,7 +491,12 @@ object GraphMetrics {
       graft.util.Checkpoints.free(prevDelta)
     }
     val all = contribs match {
-      case Nil => return und.select(col("a"), col("b"), lit(0.0).as("betweenness"))
+      case Nil =>
+        // free this call's own checkpoints before the early return —
+        // the empty-graph result derives only from (memo-owned) und
+        graft.util.Checkpoints.free(dag)
+        graft.util.Checkpoints.free(delta)
+        return und.select(col("a"), col("b"), lit(0.0).as("betweenness"))
       case xs  => xs.reduce(_ unionByName _)
     }
     // the result reads only the per-level contrib checkpoints (dag and

@@ -252,14 +252,17 @@ object Rdf {
 
   /** Parse Turtle lines (one `ttl` string column, `@prefix` header
     * rows + prefixed-name body rows) back into the statement shape.
-    * The prefix map is NOT hardcoded: the header rows are parsed into
-    * a (pref, iri) frame and the body resolves prefixed names through
-    * an INNER broadcast join against it — a body row whose prefix the
-    * header never declared drops out (the strict-parser contract), and
-    * the whole parse stays distributed (the header frame is
-    * prefix-count-sized; no driver collect). Entity-type segments come
-    * from the RESOLVED IRIs, so the parser works for any header that
-    * maps onto the store's namespaces. */
+    * The ENTITY prefix map is NOT hardcoded: the header rows are
+    * parsed into a (pref, iri) frame and the body resolves subject /
+    * entity-object prefixed names through an INNER broadcast join
+    * against it — a body row whose prefix the header never declared
+    * drops out (the strict-parser contract), and the whole parse
+    * stays distributed (the header frame is prefix-count-sized; no
+    * driver collect). Entity-type segments come from the RESOLVED
+    * IRIs, so entity prefixes may be renamed freely. PREDICATES are
+    * the store's canonical dialect (`a` and `prop:` — fixed vocabulary
+    * namespaces, like `xsd:`): a line with any other predicate form is
+    * strictly dropped, not header-resolved. */
   def parseTtl(lines: DataFrame): DataFrame = {
     val ttl = col("ttl")
     val hdrRe = "^@prefix ([a-z]+): <([^>]*)> \\.$"
@@ -281,6 +284,11 @@ object Rdf {
         regexp_extract(ttl, subjRe, 2).as("skey"),
         regexp_extract(ttl, predRe, 1).as("pred"),
         regexp_extract(ttl, objRe, 1).as("obj"))
+      // strict on the PREDICATE/OBJECT shape too: a line whose
+      // predicate is outside the canonical dialect (`a` / `prop:`) or
+      // whose object segment doesn't parse drops out here — it must
+      // not survive as a corrupted no-predicate/no-object statement
+      .filter(col("pred") =!= "" && col("obj") =!= "")
       .withColumn("opref", regexp_extract(col("obj"), pnameRe, 1))
       .withColumn("okey", regexp_extract(col("obj"), pnameRe, 2))
     val sh = hdr.select(col("pref").as("spref"), col("iri").as("s_iri"))
@@ -313,9 +321,18 @@ object Rdf {
     * parsed back through the header-driven [[parseTtl]]. RdfSpec
     * asserts it lands on EXACTLY the same statements as the N-Triples
     * path (cross-format agreement) and that removing a header prefix
-    * drops exactly that prefix's rows. */
+    * drops exactly that prefix's rows.
+    *
+    * The rendered lines are materialized ONCE (eager localCheckpoint)
+    * before parsing: parseTtl consumes its input three times (header
+    * scan + two broadcast prefix sides) on top of the body scan, so
+    * an unmaterialized round trip re-executed the whole statement
+    * render per consumer. The checkpoint backs the returned frame
+    * (result-checkpoint convention — consumers that fully drain it
+    * may Checkpoints.freeAll; Bench's sweep unpersists between
+    * queries). */
   def kgImportTtl(spark: SparkSession, dir: String): DataFrame =
-    parseTtl(kgExportTtl(spark, dir))
+    parseTtl(kgExportTtl(spark, dir).localCheckpoint(eager = true))
 
   /** kg_import_nt — the INVERSE serialization: [[kgExportNt]]'s lines
     * parsed back into statements, closing the full modeling round trip
@@ -425,7 +442,9 @@ object Rdf {
        |    regexp_extract(ttl, '^([a-z]+):([0-9]+) ', 2) AS skey,
        |    regexp_extract(ttl, '^[a-z]+:[0-9]+ (a|prop:[a-z_]+) ', 1) AS pred,
        |    regexp_extract(ttl, '^[a-z]+:[0-9]+ (?:a|prop:[a-z_]+) (.*) \\.$D', 1) AS obj
-       |  FROM tl WHERE ttl NOT LIKE '@prefix %'),
+       |  FROM tl WHERE ttl NOT LIKE '@prefix %'
+       |    AND regexp_extract(ttl, '^[a-z]+:[0-9]+ (a|prop:[a-z_]+) ', 1) <> ''
+       |    AND regexp_extract(ttl, '^[a-z]+:[0-9]+ (?:a|prop:[a-z_]+) (.*) \\.$D', 1) <> ''),
        |ox AS (SELECT body.*,
        |    regexp_extract(obj, '^([a-z]+):([0-9]+)$D', 1) AS opref,
        |    regexp_extract(obj, '^([a-z]+):([0-9]+)$D', 2) AS okey,

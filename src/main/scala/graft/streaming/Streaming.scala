@@ -615,8 +615,12 @@ object Streaming {
     * within-watermark) timestamp, the cross-batch interleaving the
     * round-8 newest-event-only state got wrong. The unsealed tail
     * waits in state; the event-time timeout re-invokes the group as
-    * the watermark advances until everything seals, then drops the
-    * state (per lag semantics the trailing open gap never emits). */
+    * the watermark advances until everything seals. The sealed anchor
+    * then PERSISTS (parked on [[QuietAnchorMs]]): it is the lag()
+    * cursor, and a returning user always forms a real gap pair with
+    * it, so eviction would silently lose cross-batch gaps. The
+    * trailing OPEN gap (anchor → nothing yet) never emits, per lag
+    * semantics. */
   private[graft] def gapEmit(userId: Long, events: Iterator[Ev],
       state: org.apache.spark.sql.streaming.GroupState[GapState]): Iterator[GapOut] = {
     val wmUs = state.getCurrentWatermarkMs() * 1000L
@@ -634,23 +638,37 @@ object Streaming {
         case None => last = Some((t, id))
       }
     }
-    if (open.isEmpty && state.hasTimedOut) {
-      // nothing left to seal and no new data brought us here: drop the
-      // one-tuple state (heartbeat-style alerting would emit the open
-      // trailing gap here instead)
+    if (open.isEmpty && last.isEmpty && state.hasTimedOut) {
+      // never-sealed, nothing buffered: nothing a future event could
+      // pair with — safe to drop (in practice unreachable, kept as a
+      // guard)
       state.remove()
     } else {
       state.update(GapState(last.map(_._1).getOrElse(0L), last.map(_._2).getOrElse(0L),
         last.isDefined, open))
-      // wake again once the watermark can seal more: just past the
-      // earliest unsealed event, or past the inactivity threshold when
-      // fully sealed (timeout timestamps must sit above the watermark)
-      val target = open.headOption.map(_._1 + 1000L)
-        .getOrElse(last.map(_._1).getOrElse(0L) + gapThresholdUs)
-      state.setTimeoutTimestamp(Math.floorDiv(Math.max(target, wmUs + 2000L) + 999L, 1000L))
+      // wake again once the watermark can seal more of the tail. A
+      // FULLY-SEALED state must NOT be evicted: the sealed anchor is
+      // the lag() cursor, and a user returning after ANY absence
+      // longer than the threshold forms a real gap pair with it (the
+      // batch lag-window oracle emits that pair no matter how long
+      // the quiet period — dropping the anchor on a timeout silently
+      // lost exactly those gaps when the return arrived in a later
+      // micro-batch). Park it on a far-future timestamp instead of
+      // leaving the fired timeout in the state store, which would
+      // re-invoke the group every batch forever.
+      val target = open.headOption.map(o => Math.max(o._1 + 1000L, wmUs + 2000L))
+        .map(t => Math.floorDiv(t + 999L, 1000L))
+        .getOrElse(QuietAnchorMs)
+      state.setTimeoutTimestamp(target)
     }
     out.reverse.iterator
   }
+
+  /** Far-future event-time timeout for a fully-sealed gap-detector
+    * anchor — "no wakeup": the one-tuple state stays resident (the
+    * price of exact lag semantics on an unbounded stream) without the
+    * group being re-invoked on every batch. */
+  private val QuietAnchorMs = Long.MaxValue / 2
 
   /** stream_gap_detect — inactivity-gap detection (the
     * missing-heartbeat monitor): per user, emit one row per
@@ -660,7 +678,9 @@ object Streaming {
     * within-watermark order converges to the same output). State per
     * user = the last sealed event plus at most the watermark delay's
     * worth of unsealed tail — bounded by the 1 h delay, not stream
-    * length — evicted by the event-time timeout once fully sealed.
+    * length. The one-tuple sealed anchor persists for the stream's
+    * lifetime (lag() needs its cursor — see [[gapEmit]]); only the
+    * unsealed tail is transient.
     * The oracle is the batch lag-window over the same events, so the
     * stateful path is hash-checked against exact batch semantics. */
   def streamGapDetect(spark: SparkSession, dir: String): DataFrame = {

@@ -75,6 +75,17 @@ object Scale {
     * `order` must be a TOTAL order (ties could straddle a boundary in
     * arbitrary order). `valueCol` must be a string column (the only
     * shape the callers need; generalize via encoder if ever needed).
+    *
+    * Storage lifecycle: the internal localCheckpoint is LOAD-BEARING
+    * (range-partition sampling is not deterministic across
+    * re-evaluations — pass 2 and the result must read pass 1's exact
+    * partitioning) and BACKS the returned frame, so it cannot be
+    * freed here and sits one RDD-dependency up from the result where
+    * Checkpoints.freeAll cannot reach it. It is reclaimed by the
+    * ContextCleaner once the returned frame becomes unreachable (the
+    * cascadeMemo convention), and Bench's between-query sweep
+    * unpersists it explicitly; a long-running driver that holds many
+    * fillDown results should drop the references when done.
     */
   def fillDown(df: DataFrame, order: Seq[Column], valueCol: String,
       partitions: Int = 0): DataFrame = {

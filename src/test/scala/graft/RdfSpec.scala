@@ -109,6 +109,27 @@ class RdfSpec extends SparkSpec {
       "no row may survive with neither o_id nor o_val")
   }
 
+  test("parseTtl: a non-canonical predicate or malformed object drops strictly") {
+    val sess = spark; import sess.implicits._
+    // header declares both prefixes, but `pr:` is not the canonical
+    // predicate dialect (`a` / `prop:`) — the line must DROP, not
+    // survive as a (p='', o_id=null, o_val=null) corrupted statement
+    val lines = Seq(
+      "@prefix customer: <http://example.com/customer/> .",
+      "@prefix pr: <http://example.com/prop/> .",
+      "customer:1 pr:label \"x\" .",          // foreign predicate form
+      "customer:2 prop:label \"kept\" .",     // canonical — survives
+      "customer:3 prop:label no-closing-dot", // malformed object
+      "customer:4 a class:customer .").toDF("ttl")
+    val parsed = Rdf.parseTtl(lines).collect()
+    assert(parsed.length == 2, s"expected 2 strict survivors, got ${parsed.toSeq}")
+    assert(parsed.forall(r => !(r.isNullAt(r.fieldIndex("o_id")) &&
+      r.isNullAt(r.fieldIndex("o_val")))), "corrupted row survived the strict parse")
+    assert(parsed.exists(r => r.getAs[String]("p") == "label" &&
+      r.getAs[String]("o_val") == "kept"))
+    assert(parsed.exists(r => r.getAs[String]("p") == "a"))
+  }
+
   test("rdf exports are projection-only: no exchange in any arm") {
     Seq(Rdf.kgExportNt(spark, sf), Rdf.kgExportTtl(spark, sf),
       Rdf.kgExportJsonld(spark, sf)).foreach { df =>

@@ -50,7 +50,21 @@ class StreamingGapSpec extends SparkSpec {
     val out3 = Streaming.gapEmit(7L, Iterator.empty, s3).toList
     assert(out3 == List(GapOut(7L, 0L, 30 * H * 1000L, 30 * 3600L)),
       s"expected exactly the true 0→30h gap; got $out3")
-    assert(s3.isRemoved, "fully sealed state must be dropped")
+    // the sealed anchor must PERSIST: it is the lag() cursor
+    assert(!s3.isRemoved && s3.get.hasSealed && s3.get.sealedUs == 50 * H * 1000L
+      && s3.get.buf.isEmpty, s"anchor must survive full sealing; state ${s3.get}")
+
+    // batch 4: the user RETURNS at t=200h after a long quiet period —
+    // lag semantics pair it with the 50h anchor (a 150h gap). The
+    // pre-fix eviction dropped the anchor on the batch-3 timeout and
+    // silently lost exactly this gap.
+    val s4 = mkState(Some(s3.get), wmMs = 150 * H, timedOut = true)
+    val out4 = Streaming.gapEmit(7L, Iterator(ev(9, 200)), s4).toList
+    assert(out4.isEmpty, "200h is not sealed yet")
+    val s5 = mkState(Some(s4.get), wmMs = 300 * H, timedOut = true)
+    val out5 = Streaming.gapEmit(7L, Iterator.empty, s5).toList
+    assert(out5 == List(GapOut(7L, 50 * H * 1000L, 200 * H * 1000L, 150 * 3600L)),
+      s"returning-user gap must emit against the persisted anchor; got $out5")
   }
 
   test("gapEmit: single-batch delivery still matches lag semantics") {
@@ -62,6 +76,7 @@ class StreamingGapSpec extends SparkSpec {
     assert(out == List(
       GapOut(7L, 0L, 30 * H * 1000L, 30 * 3600L),
       GapOut(7L, 50 * H * 1000L, 100 * H * 1000L, 50 * 3600L)), s"got $out")
-    assert(s2.isRemoved)
+    assert(!s2.isRemoved && s2.get.sealedUs == 100 * H * 1000L,
+      "anchor persists after full sealing")
   }
 }
