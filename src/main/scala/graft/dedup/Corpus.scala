@@ -277,11 +277,41 @@ object Corpus {
         expr(s"global_idx div ${BatchSize}L").as("batch_id"))
   }
 
+  /** corpus_stats — the per-(source, lang) census a mixture planner
+    * reads BEFORE setting corpus_mix caps: document / whitespace-token
+    * / char volumes, distinct-text count (md5 of the text — the
+    * dedup_exact key, so `n_docs − n_unique_texts` is the exact-dup
+    * overhang per cell), and each cell's share of the corpus token
+    * total. One scan + one map-side-partial groupBy; the grand total
+    * is a 1-row broadcast (never a single-partition window). Every
+    * column is an exact integer except the share — one division of
+    * two exact longs, bit-deterministic, so the frame stays
+    * hash-gated. At 100 TB this is the nightly corpus census: cost =
+    * one pass over `documents`, output = sources × languages rows. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame = {
+    val cell = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        md5(col("text")).as("h"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_ws_tokens"),
+        sum(col("chars")).as("n_chars"),
+        countDistinct(col("h")).as("n_unique_texts"))
+    val total = cell.agg(sum(col("n_ws_tokens")).as("tot_tokens"))
+    cell.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        col("n_ws_tokens").cast("double") / col("tot_tokens").cast("double"))
+      .drop("tot_tokens")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_sample"  -> (corpusSample _),
     "corpus_pack"    -> (corpusPack _),
     "corpus_mix"     -> (corpusMix _),
     "corpus_shuffle" -> (corpusShuffle _),
+    "corpus_stats"   -> (corpusStats _),
     "corpus_filter"  -> (corpusFilter _))
 
   val oracles: Map[String, String] = {
@@ -289,6 +319,28 @@ object Corpus {
       s"CASE WHEN lang = '$l' THEN $r ELSE $acc END"
     }
     Map(
+      // the census replays exactly: len(string_split) is the proven
+      // whitespace-token twin (text_tokens), md5 is bit-identical, the
+      // sums are exact integers (HUGEINT → BIGINT casts per the gate
+      // convention), and the share is one BIGINT/BIGINT division in
+      // double — deterministic in both engines
+      "corpus_stats" ->
+        """WITH d AS (SELECT source, lang,
+          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+          |    CAST(length(text) AS BIGINT) AS chars,
+          |    md5(text) AS h
+          |  FROM documents),
+          |cell AS (SELECT source, lang,
+          |    count(*) AS n_docs,
+          |    CAST(sum(toks) AS BIGINT) AS n_ws_tokens,
+          |    CAST(sum(chars) AS BIGINT) AS n_chars,
+          |    count(DISTINCT h) AS n_unique_texts
+          |  FROM d GROUP BY source, lang)
+          |SELECT source, lang, n_docs, n_ws_tokens, n_chars, n_unique_texts,
+          |  CAST(n_ws_tokens AS DOUBLE) /
+          |    CAST((SELECT CAST(sum(n_ws_tokens) AS BIGINT) FROM cell) AS DOUBLE)
+          |    AS token_share
+          |FROM cell""".stripMargin,
       "corpus_sample" ->
         s"""SELECT doc_id, lang, source,
            |  ${p60Sql("doc_id::VARCHAR")} AS sample_key

@@ -185,4 +185,29 @@ class CorpusSpec extends SparkSpec {
         s"$shard holds ${toks.sum} tokens; removing its largest doc still exceeds $budget")
     }
   }
+
+  test("corpus_stats: census invariants against an independent driver-side replay") {
+    val rows = Corpus.corpusStats(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // exact integer columns replayed in plain JVM
+    val byCell = docs.groupBy(t => (t._1, t._2))
+    assert(rows.length == byCell.size)
+    val totalToks = docs.map(_._3.split(" ", -1).length.toLong).sum
+    var shareSum = 0.0
+    rows.foreach { r =>
+      val cell = byCell((r.getString(0), r.getString(1)))
+      assert(r.getLong(r.fieldIndex("n_docs")) == cell.length)
+      assert(r.getLong(r.fieldIndex("n_ws_tokens")) ==
+        cell.map(_._3.split(" ", -1).length.toLong).sum)
+      assert(r.getLong(r.fieldIndex("n_chars")) == cell.map(_._3.length.toLong).sum)
+      assert(r.getLong(r.fieldIndex("n_unique_texts")) == cell.map(_._3).distinct.length)
+      assert(r.getLong(r.fieldIndex("n_unique_texts")) <= r.getLong(r.fieldIndex("n_docs")))
+      assert(math.abs(r.getDouble(r.fieldIndex("token_share")) -
+        cell.map(_._3.split(" ", -1).length.toLong).sum.toDouble / totalToks) < 1e-12)
+      shareSum += r.getDouble(r.fieldIndex("token_share"))
+    }
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+  }
 }

@@ -16,6 +16,7 @@ class PlanHygieneSpec extends SparkSpec {
     "search_bm25"         -> "1-row corpus-stats broadcast",
     "search_vocab"        -> "1-row total broadcast",
     "corpus_mix"          -> "1-row corpus-total broadcast into the langs census",
+    "corpus_stats"        -> "1-row corpus token total broadcast into the census",
     "sketch_bloom"        -> "1-row filter-sizing stats (n_build, m_bits) broadcast",
     "kg_having"           -> "1-row aggregate-subquery threshold broadcast",
     "text_keywords"       -> "1-row corpus-size broadcast into the tf/df join",
