@@ -672,7 +672,244 @@ object ER {
         min(col("score")).as("min_score"),
         max(col("score")).as("max_score"))
 
+  /** Generic-modifier ignore list for [[erNgramMerge]] — the analogue
+    * of the reference's `c("university", "college", "u", "of",
+    * "institute", "inst")` (misc-refiner.R:18): tokens so common they
+    * carry no identity and would glue unrelated values into one
+    * fingerprint. These are the non-discriminative modifier words of
+    * the synthetic name vocabulary. */
+  private val MergeIgnores = Seq("spring", "light", "dark", "pale", "deep", "metallic", "misty")
+
+  private def ignoresSqlList: String = MergeIgnores.map(s => s"'$s'").mkString(", ")
+
+  private def dropIgnored(tokens: Column): Column =
+    filter(tokens, x => x =!= lit("") && !x.isin(MergeIgnores: _*))
+
+  /** er_ngram_merge — refinr's two-pass value clustering, the exact
+    * composition the reference runs over its book-author pool
+    * (data-gathering/analysis/misc-refiner.R:19–23:
+    * `key_collision_merge(ignore_strings = ignores)` then
+    * `n_gram_merge(ignore_strings = ignores)`):
+    *
+    *   1. KEY-COLLISION MERGE with an ignore list: the fingerprint is
+    *      the sorted distinct token set AFTER dropping ignore words
+    *      ([[MergeIgnores]]) — catches the "surname, forename"
+    *      reversed twins AND values differing only by a generic
+    *      modifier, which plain [[erFingerprint]] keeps apart. Every
+    *      colliding value is rewritten to the group's most frequent
+    *      original value (tie: lexicographically smallest — refinr's
+    *      most-common rule made deterministic). All-ignored values
+    *      (empty fingerprint) keep themselves, as refinr does.
+    *   2. N-GRAM MERGE over the pass-1 output: the character-level
+    *      second pass that catches the "Clemsson/Clemson" TYPO twins
+    *      token fingerprints miss. Per value, the ignore-filtered
+    *      tokens concatenate to one string; its sorted-distinct
+    *      1-gram fingerprint is the block key (typos that double or
+    *      shuffle letters preserve the character SET) and its
+    *      sorted-distinct 2-gram fingerprint the comparator. Within a
+    *      block the most frequent value (by pool rows; tie smallest)
+    *      is canonical, and a member merges to it iff
+    *      `levenshtein(fp2, canon_fp2) <= 2` — a doubled letter adds
+    *      exactly one bigram (refinr's edit_threshold idea as a
+    *      STAR-merge to the block canonical, deterministic where
+    *      refinr's pairwise transitive merge is order-sensitive).
+    *
+    * The pool is the er_fingerprint books/posters scenario plus a
+    * deterministic TYPO source (every 11th name with its second
+    * character doubled — the er_isbn corruption pattern), so the spec
+    * can assert pass 2 merges exactly what pass 1 misses.
+    *
+    * Scale: NO pair generation anywhere — both passes are (groupBy on
+    * a fingerprint key + one per-key window over the value-domain-
+    * sized count frame + one equi-join back). Key cardinality is the
+    * distinct-value domain; skew mirrors duplicate mass itself, the
+    * er_exact_dups boundedness argument. All fingerprints are
+    * codegen'd array expressions — no UDFs, no explode. */
+  def erNgramMerge(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val books = p.select(lit("books").as("src"),
+      col("p_partkey").cast("long").as("id"), col("p_name").as("label"))
+    val posters = p.select(lit("posters").as("src"),
+      (col("p_partkey") + lit(1000000L)).as("id"),
+      concat_ws(", ", reverse(split(col("p_name"), " "))).as("label"))
+    val typos = p.filter(col("p_partkey") % 11 === 0)
+      .select(lit("typos").as("src"), (col("p_partkey") + lit(2000000L)).as("id"),
+        concat(substring(col("p_name"), 1, 2),
+          col("p_name").substr(lit(2), length(col("p_name")))).as("label"))
+    val pool = books.unionAll(posters).unionAll(typos)
+
+    // pass 1: token-fingerprint key collision with the ignore list
+    val t1 = pool.withColumn("fp1",
+      array_join(array_sort(array_distinct(dropIgnored(split(norm(col("label")), " ")))), " "))
+    val w1 = Window.partitionBy(col("fp1")).orderBy(col("n").desc, col("label"))
+    val can1 = t1.filter(col("fp1") =!= "")
+      .groupBy(col("fp1"), col("label")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w1)).filter(col("rk") === 1)
+      .select(col("fp1"), col("label").as("kc"))
+    val s1 = t1.join(can1, Seq("fp1"), "left_outer")
+      .withColumn("key_coll", when(col("fp1") === "", col("label")).otherwise(col("kc")))
+      .select(col("src"), col("id"), col("label"), col("key_coll"))
+
+    // pass 2: character n-gram fingerprints of the pass-1 values
+    val base = array_join(dropIgnored(split(norm(col("key_coll")), " ")), "")
+    def grams(src: Column, n: Int): Column =
+      when(length(src) >= n,
+        array_join(array_sort(array_distinct(
+          transform(sequence(lit(1), length(src) - lit(n - 1)),
+            i => src.substr(i, lit(n))))), ""))
+      .otherwise(lit(""))
+    val g = s1.withColumn("base", base)
+      .withColumn("fp2", grams(col("base"), 2))
+      .withColumn("fp1c", grams(col("base"), 1))
+    val w2 = Window.partitionBy(col("fp1c")).orderBy(col("n").desc, col("key_coll"))
+    val can2 = g.filter(col("fp1c") =!= "")
+      .groupBy(col("fp1c"), col("key_coll"), col("fp2")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w2)).filter(col("rk") === 1)
+      .select(col("fp1c"), col("key_coll").as("canon"), col("fp2").as("canon_fp2"))
+    g.join(can2, Seq("fp1c"), "left_outer")
+      .withColumn("ngram",
+        when(col("fp1c") =!= "" && levenshtein(col("fp2"), col("canon_fp2")) <= 2,
+          col("canon")).otherwise(col("key_coll")))
+      .select(col("src"), col("id"), col("label"), col("key_coll"), col("ngram"),
+        (col("label") =!= col("ngram")).as("changed"))
+  }
+
+  /** Source names for [[erDisambiguate]]'s candidate tiers — the
+    * reference's lobid search hierarchy (disambiguate-entities.Rmd:
+    * 58–66: isbn=1, author name=2, author book=3, publisher=4). */
+  private val DisSources = Seq("via_isbn", "via_author_name", "via_author_book", "via_publisher")
+
+  /** Deterministic candidate stride for [[erDisambiguate]]'s
+    * synthesized matches table (see scaladoc there). */
+  private val DisStride = 37L
+  private val DisDomain = 2000L
+
+  /** er_disambiguate — the lobid ambiguity-triage flow
+    * (data-linking/lobid/disambiguate-entities.Rmd:74–191). The Rmd
+    * STARTS from a `matches` table — per-entity candidate lists
+    * collected by the 01–04 search scripts (our [[erLinkCascade]]
+    * models the searches themselves) — and triages it:
+    *
+    *   - per-pair string similarity = `1 − stringdist(fp_a, fp_b,
+    *     "jaccard")` (Rmd:80–85), re-expressed on the fingerprint
+    *     TOKEN sets: |A∩B| / |A∪B| carried as exact integers
+    *     (sim_num, sim_den) plus the one IEEE division both engines
+    *     compute identically;
+    *   - keep per entity at (min search hierarchy, then max
+    *     similarity) — the Rmd:92–94 filter chain, kept as FILTERS
+    *     (ties survive, like dplyr's filter), not a top-1 window;
+    *   - the per-person LASTNAME check (Rmd:95–107): the external
+    *     label's text before the comma must occur in the entity name
+    *     — the "Pierre Seel ↔ Gisel, Pierre" false-positive killer;
+    *     `not_passed` rows are dropped, others tagged;
+    *   - `matches_count` partition into `one_match` / `more_matches`
+    *     (Rmd:128–168) with per-source candidate counts;
+    *   - the similarity ≥ 0.85 confidence cut (Rmd:120) as a flag.
+    *
+    * The matches table is synthesized deterministically (the er_isbn
+    * corruption pattern): entity k carries 1 + (7k mod 5) candidates,
+    * candidate c pointing at authority (k + 37c) mod 2000 — stride
+    * and fan-out give every entity a varying candidate count (so both
+    * verdicts occur), authorities in every search tier, person labels
+    * in "surname, forename" shape whose surname is usually NOT in the
+    * entity's name (so the lastname check really rejects), and ~1/32
+    * same-name candidates (so the ≥ 0.85 cut splits).
+    *
+    * Scale: the fan-out is a bounded explode (≤ 5 rows per entity);
+    * candidates resolve through ONE equi-join on the authority id;
+    * counts are one map-side-partial groupBy on the entity id joined
+    * back; the keep filters are min/max windows partitioned by the
+    * high-cardinality entity id. Nothing pairs entities against the
+    * full authority set. */
+  def erDisambiguate(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val ent = p.select(col("p_partkey").cast("long").as("id"), col("p_name").as("name"))
+      .withColumn("e_toks", array_sort(array_distinct(
+        filter(split(norm(col("name")), " "), x => x =!= lit("")))))
+    val auth = p.select(col("p_partkey").cast("long").as("apk"),
+        (col("p_partkey") + lit(AuthBase)).cast("long").as("auth_id"),
+        (col("p_partkey") % 4).cast("int").as("section"),
+        when(col("p_partkey") % 4 === 1,
+          concat_ws(", ", reverse(split(col("p_name"), " "))))
+          .otherwise(col("p_name")).as("a_label"))
+      .withColumn("source", element_at(lit(DisSources.toArray), col("section") + 1))
+      .withColumn("hierarchy", (col("section") + 1).cast("int"))
+      .withColumn("is_person", col("section") === 1)
+      .withColumn("a_toks", array_sort(array_distinct(
+        filter(split(norm(col("a_label")), " "), x => x =!= lit("")))))
+      .drop("section")
+    val fan = ent
+      .withColumn("c", explode(sequence(lit(0L), (col("id") * 7) % 5)))
+      .withColumn("apk", (col("id") + col("c") * DisStride) % DisDomain)
+    val cand = fan.join(auth, Seq("apk"))
+    val agg = cand.groupBy(col("id")).agg(
+      count_distinct(col("auth_id")).as("n_candidates"),
+      sum(when(col("source") === "via_isbn", 1L).otherwise(0L)).as("n_via_isbn"),
+      sum(when(col("source") === "via_author_name", 1L).otherwise(0L)).as("n_via_author_name"),
+      sum(when(col("source") === "via_author_book", 1L).otherwise(0L)).as("n_via_author_book"),
+      sum(when(col("source") === "via_publisher", 1L).otherwise(0L)).as("n_via_publisher"),
+      min(col("hierarchy")).as("min_h"))
+    val wId = Window.partitionBy(col("id"))
+    val sims = cand.join(agg, Seq("id"))
+      .filter(col("hierarchy") === col("min_h"))
+      .withColumn("sim_num", size(array_intersect(col("e_toks"), col("a_toks"))))
+      .withColumn("sim_den",
+        size(col("e_toks")) + size(col("a_toks"))
+          - size(array_intersect(col("e_toks"), col("a_toks"))))
+      .withColumn("similarity", col("sim_num").cast("double") / col("sim_den"))
+      .withColumn("max_sim", max(col("similarity")).over(wId))
+    sims.filter(col("similarity") === col("max_sim"))
+      .withColumn("lastname", when(col("is_person"), regexp_extract(col("a_label"), "^(.+),", 1)))
+      .withColumn("lastname_check",
+        when(!col("is_person"), "not_relevant")
+          .when(col("name").contains(col("lastname")), "passed")
+          .otherwise("not_passed"))
+      .filter(col("lastname_check") =!= "not_passed")
+      .select(col("id"), col("name"), col("auth_id"), col("a_label"), col("source"),
+        col("hierarchy"),
+        col("n_candidates"), col("n_via_isbn"), col("n_via_author_name"),
+        col("n_via_author_book"), col("n_via_publisher"),
+        when(col("n_candidates") === 1, "one_match").otherwise("more_matches").as("verdict"),
+        col("sim_num"), col("sim_den"), col("similarity"), col("lastname_check"),
+        (col("similarity") >= 0.85).as("confident"))
+  }
+
+  /** er_confirmed_merges — apply a HUMAN-confirmed/rejected pairs
+    * table to the machine match graph, the missing piece of the
+    * reference's entity-resolver loop (apps/entity-resolver/index.Rmd:
+    * the Shiny app shows machine candidate pairs, a person confirms
+    * or rejects each, and the confirmed table is what actually merges
+    * entities downstream): REJECTED pairs REMOVE machine edges (an
+    * anti-join on the pair key — a human veto must break the cluster
+    * even though the string matcher fired), CONFIRMED pairs ADD
+    * edges the matcher never proposed, and the shared large-star/
+    * small-star component build runs over the EDITED edge set. The
+    * human tables here are deterministic stand-ins (confirmed:
+    * consecutive-id pairs at id % 17 = 0; rejected: machine edges
+    * whose id sum ≡ 0 mod 13), exactly replayed by the oracle.
+    *
+    * Scale: the edit is two edge-sized operations (anti-join on the
+    * pair key, union) before the same CC the machine path runs —
+    * human tables are review-queue-sized, far below the machine edge
+    * count, so the added cost is one broadcast-or-hash anti-join. */
+  def erConfirmedMerges(spark: SparkSession, dir: String): DataFrame = {
+    val machine = erFuzzyMatch(spark, dir)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val rejected = machine.filter((col("a") + col("b")) % 13 === 0)
+    val p = Tables.part(spark, dir).select(col("p_partkey").as("id"))
+    val confirmed = p.select(col("id").as("a"), (col("id") + 1).as("b"))
+      .filter(col("a") % 17 === 0)
+      .join(p.select(col("id").as("b")), Seq("b"))
+      .select(col("a"), col("b"))
+    val edited = machine.join(rejected, Seq("a", "b"), "left_anti")
+      .unionAll(confirmed).distinct()
+    graft.kg.Components.connectedComponents(edited, p)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_ngram_merge"          -> (erNgramMerge _),
+    "er_disambiguate"         -> (erDisambiguate _),
+    "er_confirmed_merges"     -> (erConfirmedMerges _),
     "er_link_report"          -> (erLinkReport _),
     "er_link_cascade"         -> (erLinkCascade _),
     "er_isbn"                 -> (erIsbn _),
@@ -813,6 +1050,119 @@ object ER {
   }
 
   val oracles: Map[String, String] = Map(
+    "er_ngram_merge" ->
+      s"""WITH pool AS (
+         |  SELECT 'books' AS src, CAST(p_partkey AS BIGINT) AS id, p_name AS label FROM part
+         |  UNION ALL SELECT 'posters', CAST(p_partkey + 1000000 AS BIGINT),
+         |    array_to_string(list_reverse(string_split(p_name, ' ')), ', ') FROM part
+         |  UNION ALL SELECT 'typos', CAST(p_partkey + 2000000 AS BIGINT),
+         |    substring(p_name, 1, 2) || substring(p_name, 2) FROM part WHERE p_partkey % 11 = 0),
+         |t1 AS (SELECT src, id, label,
+         |    coalesce(array_to_string(list_sort(list_distinct(list_filter(
+         |      string_split(${normSql("label")}, ' '),
+         |      x -> x <> '' AND x NOT IN ($ignoresSqlList)))), ' '), '') AS fp1
+         |  FROM pool),
+         |cnt1 AS (SELECT fp1, label, count(*) AS n FROM t1 WHERE fp1 <> '' GROUP BY 1, 2),
+         |can1 AS (SELECT fp1, label AS kc FROM cnt1
+         |  QUALIFY row_number() OVER (PARTITION BY fp1 ORDER BY n DESC, label) = 1),
+         |s1 AS (SELECT t.src, t.id, t.label,
+         |    CASE WHEN t.fp1 = '' THEN t.label ELSE c.kc END AS key_coll
+         |  FROM t1 t LEFT JOIN can1 c USING (fp1)),
+         |bs AS (SELECT src, id, label, key_coll,
+         |    coalesce(array_to_string(list_filter(string_split(${normSql("key_coll")}, ' '),
+         |      x -> x <> '' AND x NOT IN ($ignoresSqlList)), ''), '') AS base
+         |  FROM s1),
+         |g AS (SELECT src, id, label, key_coll,
+         |    coalesce(array_to_string(list_sort(list_distinct(
+         |      list_transform(range(1, length(base)), i -> base[i:i+1]))), ''), '') AS fp2,
+         |    coalesce(array_to_string(list_sort(list_distinct(
+         |      list_transform(range(1, length(base) + 1), i -> base[i:i]))), ''), '') AS fp1c
+         |  FROM bs),
+         |cnt2 AS (SELECT fp1c, key_coll, fp2, count(*) AS n FROM g
+         |  WHERE fp1c <> '' GROUP BY 1, 2, 3),
+         |can2 AS (SELECT fp1c, key_coll AS canon, fp2 AS canon_fp2 FROM cnt2
+         |  QUALIFY row_number() OVER (PARTITION BY fp1c ORDER BY n DESC, key_coll) = 1),
+         |mg AS (SELECT g.src, g.id, g.label, g.key_coll,
+         |    CASE WHEN g.fp1c <> '' AND levenshtein(g.fp2, c.canon_fp2) <= 2
+         |         THEN c.canon ELSE g.key_coll END AS ngram
+         |  FROM g LEFT JOIN can2 c USING (fp1c))
+         |SELECT src, id, label, key_coll, ngram, label <> ngram AS changed FROM mg""".stripMargin,
+    "er_disambiguate" ->
+      s"""WITH ent AS (SELECT CAST(p_partkey AS BIGINT) AS id, p_name AS name,
+         |    list_sort(list_distinct(list_filter(
+         |      string_split(${normSql("p_name")}, ' '), x -> x <> ''))) AS e_toks
+         |  FROM part),
+         |a0 AS (SELECT CAST(p_partkey AS BIGINT) AS apk,
+         |    CAST(p_partkey + $AuthBase AS BIGINT) AS auth_id,
+         |    CAST(p_partkey % 4 AS INTEGER) AS section,
+         |    CASE WHEN p_partkey % 4 = 1
+         |         THEN array_to_string(list_reverse(string_split(p_name, ' ')), ', ')
+         |         ELSE p_name END AS a_label
+         |  FROM part),
+         |auth AS (SELECT apk, auth_id, a_label,
+         |    list_extract(['via_isbn', 'via_author_name', 'via_author_book', 'via_publisher'],
+         |      section + 1) AS source,
+         |    CAST(section + 1 AS INTEGER) AS hierarchy,
+         |    section = 1 AS is_person,
+         |    list_sort(list_distinct(list_filter(
+         |      string_split(${normSql("a_label")}, ' '), x -> x <> ''))) AS a_toks
+         |  FROM a0),
+         |fan AS (SELECT id, name, e_toks,
+         |    unnest(list_transform(range(0, (id * 7) % 5 + 1),
+         |      c -> (id + c * $DisStride) % $DisDomain)) AS apk
+         |  FROM ent),
+         |cand AS (SELECT f.id, f.name, f.e_toks, a.auth_id, a.a_label, a.source,
+         |    a.hierarchy, a.is_person, a.a_toks
+         |  FROM fan f JOIN auth a USING (apk)),
+         |agg AS (SELECT id, count(DISTINCT auth_id) AS n_candidates,
+         |    CAST(sum(CASE WHEN source = 'via_isbn' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_via_isbn,
+         |    CAST(sum(CASE WHEN source = 'via_author_name' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_via_author_name,
+         |    CAST(sum(CASE WHEN source = 'via_author_book' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_via_author_book,
+         |    CAST(sum(CASE WHEN source = 'via_publisher' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_via_publisher,
+         |    min(hierarchy) AS min_h
+         |  FROM cand GROUP BY 1),
+         |sims AS (SELECT c.*, g.n_candidates, g.n_via_isbn, g.n_via_author_name,
+         |    g.n_via_author_book, g.n_via_publisher,
+         |    CAST(len(list_intersect(e_toks, a_toks)) AS INTEGER) AS sim_num,
+         |    CAST(len(e_toks) + len(a_toks) - len(list_intersect(e_toks, a_toks)) AS INTEGER)
+         |      AS sim_den,
+         |    CAST(len(list_intersect(e_toks, a_toks)) AS DOUBLE) /
+         |      (len(e_toks) + len(a_toks) - len(list_intersect(e_toks, a_toks))) AS similarity
+         |  FROM cand c JOIN agg g USING (id) WHERE c.hierarchy = g.min_h),
+         |atmax AS (SELECT *, max(similarity) OVER (PARTITION BY id) AS max_sim FROM sims),
+         |chk AS (SELECT *,
+         |    CASE WHEN NOT is_person THEN 'not_relevant'
+         |         WHEN contains(name, regexp_extract(a_label, '^(.+),', 1)) THEN 'passed'
+         |         ELSE 'not_passed' END AS lastname_check
+         |  FROM atmax WHERE similarity = max_sim)
+         |SELECT id, name, auth_id, a_label, source, hierarchy,
+         |  n_candidates, n_via_isbn, n_via_author_name, n_via_author_book, n_via_publisher,
+         |  CASE WHEN n_candidates = 1 THEN 'one_match' ELSE 'more_matches' END AS verdict,
+         |  sim_num, sim_den, similarity, lastname_check,
+         |  similarity >= 0.85 AS confident
+         |FROM chk WHERE lastname_check <> 'not_passed'""".stripMargin,
+    "er_confirmed_merges" ->
+      s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
+         |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),
+         |m AS (SELECT a.id AS id_a, x.id AS id_b
+         |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
+         |      WHERE levenshtein(a.norm, x.norm) <= 2),
+         |em AS (SELECT DISTINCT id_a, id_b FROM (
+         |  SELECT id_a, id_b FROM m WHERE (id_a + id_b) % 13 <> 0
+         |  UNION ALL
+         |  SELECT a.id, a.id + 1 FROM p a JOIN p x ON x.id = a.id + 1 WHERE a.id % 17 = 0)),
+         |e AS (SELECT id_a AS a, id_b AS b FROM em UNION ALL SELECT id_b, id_a FROM em),
+         |reach AS (
+         |  WITH RECURSIVE r(src, node) AS (
+         |    SELECT id, id FROM p
+         |    UNION
+         |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
+         |  SELECT src, node FROM r)
+         |SELECT src AS id, min(node) AS comp FROM reach GROUP BY src""".stripMargin,
     "er_link_cascade" -> cascadeSql,
     "er_link_report" ->
       s"""SELECT strategy, priority, count(*) AS n_entities,

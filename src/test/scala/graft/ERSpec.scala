@@ -256,4 +256,94 @@ class ERSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(audit == Set(("c|z", 4L)), s"dropped blocks must be surfaced; got $audit")
   }
+
+  test("er_ngram_merge: pass 1 merges reversed twins, pass 2 merges the typo twins pass 1 misses") {
+    val rows = ER.erNgramMerge(spark, sf).collect()
+    val byId = rows.map(r => r.getAs[Long]("id") ->
+      (r.getAs[String]("src"), r.getAs[String]("label"),
+        r.getAs[String]("key_coll"), r.getAs[String]("ngram"))).toMap
+    // reversed twins: a book and its poster twin (id + 1e6) collide on
+    // the token fingerprint, so pass 1 already rewrites them to ONE value
+    val books = rows.filter(_.getAs[String]("src") == "books")
+    assert(books.nonEmpty)
+    books.foreach { b =>
+      val id = b.getAs[Long]("id")
+      byId.get(id + 1000000L).foreach { case (_, _, posterKc, _) =>
+        assert(b.getAs[String]("key_coll") == posterKc,
+          s"book $id and its reversed poster twin must key-collide to the same value")
+      }
+    }
+    // typo twins: the doubled-letter source rows do NOT key-collide with
+    // their clean twin (token fingerprints differ)...
+    val typos = rows.filter(_.getAs[String]("src") == "typos")
+    assert(typos.nonEmpty)
+    typos.foreach { t =>
+      val clean = byId(t.getAs[Long]("id") - 2000000L)
+      assert(t.getAs[String]("key_coll") != clean._3,
+        "a doubled letter must defeat the token-fingerprint pass")
+    }
+    // ...but pass 2 (character n-gram star-merge) lands them on the
+    // clean twin's merged value — except where the block canonical is a
+    // third same-character-set value farther than the bigram threshold
+    // (star-merge compares to the canonical only, by design)
+    val merged = typos.count(t => byId(t.getAs[Long]("id") - 2000000L)._4 == t.getAs[String]("ngram"))
+    assert(merged > typos.length / 2,
+      s"pass 2 must merge most typo rows onto their clean twin's value ($merged/${typos.length})")
+    // and pass 2 changes SOMETHING pass 1 left alone
+    assert(rows.exists(r => r.getAs[String]("ngram") != r.getAs[String]("key_coll")))
+  }
+
+  test("er_disambiguate: keep filters honored, verdict matches the count, no not_passed survives") {
+    val rows = ER.erDisambiguate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[String]("verdict")
+      val n = r.getAs[Long]("n_candidates")
+      assert(v == (if (n == 1) "one_match" else "more_matches"))
+      assert(r.getAs[String]("lastname_check") != "not_passed")
+      val srcSum = Seq("n_via_isbn", "n_via_author_name", "n_via_author_book",
+        "n_via_publisher").map(r.getAs[Long]).sum
+      assert(srcSum >= n, "per-source counts cover every distinct candidate")
+      val (num, den) = (r.getAs[Int]("sim_num"), r.getAs[Int]("sim_den"))
+      assert(r.getAs[Double]("similarity") == num.toDouble / den)
+      assert(r.getAs[Boolean]("confident") == (num.toDouble / den >= 0.85))
+    }
+    // kept rows are at their entity's min hierarchy and max similarity
+    rows.groupBy(_.getAs[Long]("id")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("hierarchy")).distinct.length == 1,
+        "all kept rows of one entity share the (min) hierarchy")
+      assert(rs.map(_.getAs[Double]("similarity")).distinct.length == 1,
+        "all kept rows of one entity share the (max) similarity")
+    }
+    assert(rows.map(_.getAs[String]("verdict")).toSet == Set("one_match", "more_matches"))
+  }
+
+  test("er_confirmed_merges: rejected edges break clusters, confirmed edges join them") {
+    import org.apache.spark.sql.functions.col
+    val machine = ER.erFuzzyMatch(spark, sf).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = spark.read.parquet(s"$sf/part.parquet").select("p_partkey")
+      .collect().map(_.getLong(0))
+    val idSet = ids.toSet
+    val confirmed = ids.filter(i => i % 17 == 0 && idSet.contains(i + 1)).map(i => (i, i + 1))
+    val edited = machine.filter { case (a, b) => (a + b) % 13 != 0 } ++ confirmed
+    // ground truth union-find over the EDITED edge set
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edited.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap.map { case (k, _) => k -> find(k) }
+    val got = ER.erConfirmedMerges(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the human edit must actually change something vs the machine graph
+    val machineComps = ER.erConnectedComponents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got != machineComps, "edited components must differ from the machine-only components")
+    confirmed.foreach { case (a, b) =>
+      assert(got(a) == got(b), s"confirmed pair ($a,$b) must share a component")
+    }
+  }
 }
