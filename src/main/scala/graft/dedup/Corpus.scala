@@ -287,7 +287,12 @@ object Corpus {
     * column is an exact integer except the share — one division of
     * two exact longs, bit-deterministic, so the frame stays
     * hash-gated. At 100 TB this is the nightly corpus census: cost =
-    * one pass over `documents`, output = sources × languages rows. */
+    * one pass over `documents`, output = sources × languages rows.
+    * The cell census is localCheckpointed (cell-count-sized) because
+    * BOTH the grand-total aggregate and the crossJoin input read it —
+    * un-materialized, the documents scan + groupBy would execute twice
+    * unless AQE exchange reuse happened to fire (round-9 ADVICE: the
+    * one-scan claim was plan-dependent; now it's structural). */
   def corpusStats(spark: SparkSession, dir: String): DataFrame = {
     val cell = Tables.documents(spark, dir)
       .select(col("source"), col("lang"),
@@ -299,6 +304,7 @@ object Corpus {
         sum(col("toks")).as("n_ws_tokens"),
         sum(col("chars")).as("n_chars"),
         countDistinct(col("h")).as("n_unique_texts"))
+      .localCheckpoint()
     val total = cell.agg(sum(col("n_ws_tokens")).as("tot_tokens"))
     cell.crossJoin(broadcast(total))
       .withColumn("token_share",

@@ -628,7 +628,17 @@ object GraphMetrics {
     * eccentricity of the roots-induced subgraph: 2 (sf0.001), 4
     * (sf0.01), 6 (sf0.1) — topology-bound (the modular family-edge
     * offsets chain customers at fixed strides), so 12 only bounds
-    * cycle re-expansion; min(dist) per (src, node) is exact. */
+    * cycle re-expansion; min(dist) per (src, node) is exact.
+    *
+    * ORACLE COST BOUND (round-9 ADVICE): the σ side enumerates
+    * shortest-PREFIX walks, whose row count is Σσ — combinatorial in
+    * graph density, NOT in node count (481 rows at the sf0.01 gate,
+    * 2 941 at sf0.1). The oracle is priced for the GATE's scale
+    * factor; bumping the gate to a denser graph can blow the walk
+    * enumeration up long before the engine side (which is per-level
+    * frontier joins) notices. If the gate scale ever moves, re-measure
+    * Σσ first — a DuckDB hang here is the walk census, not the CTE
+    * cap. The engine query itself has no such term. */
   private val SpCensusCap = 12
 
   /** kg_sp_census oracle — dist by capped recursive min-level BFS;

@@ -198,10 +198,20 @@ object Rdf {
     * instead). Chain: park double-backslash, decode the char escapes,
     * restore the parked backslashes. */
   private val UnescSentinel = "\u0001"
-  private def unesc(c: Column): Column =
+  private def unesc(c: Column): Column = {
+    // LOUD sentinel guard: a literal that already contains U+0001 would
+    // silently corrupt through the park-and-restore chain (the escape
+    // side never emits it — only a non-normalized foreign corpus can).
+    // raise_error evaluates ONLY on a violating row, so the guard costs
+    // one contains() per literal and fails the import with the
+    // offending text instead of shipping corrupted o_val bytes.
+    val guarded = when(c.contains(UnescSentinel),
+      raise_error(concat(lit("RDF import: literal contains the U+0001 unescape sentinel "
+        + "(non-normalized corpus): "), c))).otherwise(c)
     (Seq("\\\\" -> UnescSentinel, "\\n" -> "\n", "\\r" -> "\r", "\\t" -> "\t",
       "\\\"" -> "\"") :+ (UnescSentinel -> "\\"))
-      .foldLeft(c) { case (acc, (s, r)) => call_function("replace", acc, lit(s), lit(r)) }
+      .foldLeft(guarded) { case (acc, (s, r)) => call_function("replace", acc, lit(s), lit(r)) }
+  }
   private def unescSql(e: String): String = {
     val steps = Seq(
       ("chr(92)||chr(92)", "chr(1)"), ("chr(92)||'n'", "chr(10)"),
@@ -219,35 +229,58 @@ object Rdf {
     * shuffle. */
   def parseNt(lines: DataFrame): DataFrame = {
     val nt = col("nt")
-    val subjRe = s"^<$BaseRe([a-z]+)/([0-9]+)> "
-    val objStr = regexp_extract(nt, "^<[^>]*> <[^>]*> (.*) \\.$", 1)
-    val predIri = regexp_extract(nt, "^<[^>]*> <([^>]*)> ", 1)
+    // Same single-split shape as [[parseTtl]] (round-10 rewrite): ONE
+    // split per line — [subject IRI, predicate IRI, object + " ."] —
+    // then every regex anchors on a SHORT token (bracketed IRI, quote
+    // suffix), never the whole line; literal bodies extract by
+    // substring arithmetic off the last raw quote. The old per-field
+    // battery re-scanned each full line (long literals included) ~10
+    // times. Malformed lines (non-IRI subject/predicate, no closing
+    // dot) drop strictly, as in parseTtl.
+    val subjRe = s"^<$BaseRe([a-z]+)/([0-9]+)>$$"
     val entRe = s"^<$BaseRe([a-z]+)/([0-9]+)>$$"
     val classRe = s"^<${BaseRe}class/([a-z]+)>$$"
-    val langRe = "^\"(.*)\"@([a-z]+)$"
-    val typedRe = "^\"(.*)\"\\^\\^<[^>]*>$"
-    val plainRe = "^\"(.*)\"$"
-    lines
-      .withColumn("_obj", objStr)
-      .select(
-        (nsNum(regexp_extract(nt, subjRe, 1)) * NS +
-          regexp_extract(nt, subjRe, 2).cast("long")).as("s"),
-        when(predIri === RdfType, lit("a"))
-          .otherwise(call_function("replace", predIri, lit(s"${Base}prop/"), lit("")))
-          .as("p"),
-        when(regexp_extract(col("_obj"), classRe, 1) === "" &&
-            regexp_extract(col("_obj"), entRe, 1) =!= "",
-          nsNum(regexp_extract(col("_obj"), entRe, 1)) * NS +
-            regexp_extract(col("_obj"), entRe, 2).cast("long")).as("o_id"),
-        when(regexp_extract(col("_obj"), classRe, 1) =!= "",
-          regexp_extract(col("_obj"), classRe, 1))
-          .when(regexp_extract(col("_obj"), langRe, 2) =!= "",
-            unesc(regexp_extract(col("_obj"), langRe, 1)))
-          .when(col("_obj").rlike(typedRe), unesc(regexp_extract(col("_obj"), typedRe, 1)))
-          .when(col("_obj").rlike(plainRe), unesc(regexp_extract(col("_obj"), plainRe, 1)))
-          .as("o_val"),
-        when(regexp_extract(col("_obj"), langRe, 2) =!= "",
-          regexp_extract(col("_obj"), langRe, 2)).as("lang"))
+    val body0 = lines
+      .select(split(nt, " ", 3).as("t"))
+      .select(col("t").getItem(0).as("subj"), col("t").getItem(1).as("predt"),
+        col("t").getItem(2).as("tail"))
+      .filter(col("subj").rlike(subjRe) &&
+        col("predt").rlike("^<[^>]*>$") &&
+        col("tail").isNotNull && col("tail").endsWith(" ."))
+      .select(col("subj"), col("predt"),
+        col("tail").substr(lit(1), length(col("tail")) - 2).as("obj"))
+      .filter(col("obj") =!= "")
+    val isQuoted = col("obj").startsWith("\"") && length(col("obj")) >= 2
+    // the literal machinery is kept to ONE unesc subtree per row:
+    // Catalyst collapses these projections into one, so every column
+    // reference expands INLINE — three unesc arms (the first cut)
+    // tripled the replace-chain tree, blew the generated method past
+    // the JVM limit, and the whole projection fell back to interpreted
+    // execution (~4× slower end-to-end; the er_link_cascade lesson)
+    val body = body0
+      .withColumn("sfx", when(isQuoted, substring_index(col("obj"), "\"", -1)))
+      .withColumn("litOk",
+        col("sfx").rlike("^@[a-z]+$") || col("sfx").rlike("^\\^\\^<[^>]*>$") ||
+          col("sfx") === "")
+      .withColumn("qbody", when(isQuoted && col("litOk"),
+        col("obj").substr(lit(2), length(col("obj")) - length(col("sfx")) - lit(2))))
+    val predIri = col("predt").substr(lit(2), length(col("predt")) - 2)
+    val langArm = col("sfx").rlike("^@[a-z]+$")
+    body.select(
+      (nsNum(regexp_extract(col("subj"), subjRe, 1)) * NS +
+        regexp_extract(col("subj"), subjRe, 2).cast("long")).as("s"),
+      when(predIri === RdfType, lit("a"))
+        .otherwise(call_function("replace", predIri, lit(s"${Base}prop/"), lit("")))
+        .as("p"),
+      when(regexp_extract(col("obj"), classRe, 1) === "" &&
+          regexp_extract(col("obj"), entRe, 1) =!= "",
+        nsNum(regexp_extract(col("obj"), entRe, 1)) * NS +
+          regexp_extract(col("obj"), entRe, 2).cast("long")).as("o_id"),
+      when(regexp_extract(col("obj"), classRe, 1) =!= "",
+        regexp_extract(col("obj"), classRe, 1))
+        .when(col("litOk"), unesc(col("qbody")))
+        .as("o_val"),
+      when(langArm, col("sfx").substr(lit(2), length(col("sfx")) - 1)).as("lang"))
   }
 
   /** Parse Turtle lines (one `ttl` string column, `@prefix` header
@@ -271,28 +304,56 @@ object Rdf {
       .select(regexp_extract(ttl, hdrRe, 1).as("pref"),
         regexp_extract(ttl, hdrRe, 2).as("iri"))
     val seg = (i: Column) => regexp_extract(i, s"^$BaseRe([a-z]+)/$$", 1)
-    val subjRe = "^([a-z]+):([0-9]+) "
-    val predRe = "^[a-z]+:[0-9]+ (a|prop:[a-z_]+) "
-    val objRe = "^[a-z]+:[0-9]+ (?:a|prop:[a-z_]+) (.*) \\.$"
-    val pnameRe = "^([a-z]+):([0-9]+)$"
-    val langRe = "^\"(.*)\"@([a-z]+)$"
-    val typedRe = "^\"(.*)\"\\^\\^xsd:([a-z]+)$"
-    val plainRe = "^\"(.*)\"$"
-    val body = lines.filter(!ttl.startsWith("@prefix "))
-      .select(ttl,
-        regexp_extract(ttl, subjRe, 1).as("spref"),
-        regexp_extract(ttl, subjRe, 2).as("skey"),
-        regexp_extract(ttl, predRe, 1).as("pred"),
-        regexp_extract(ttl, objRe, 1).as("obj"))
-      // strict on the PREDICATE/OBJECT shape too: a line whose
-      // predicate is outside the canonical dialect (`a` / `prop:`) or
-      // whose object segment doesn't parse drops out here — it must
-      // not survive as a corrupted no-predicate/no-object statement
-      .filter(col("pred") =!= "" && col("obj") =!= "")
-      .withColumn("opref", regexp_extract(col("obj"), pnameRe, 1))
-      .withColumn("okey", regexp_extract(col("obj"), pnameRe, 2))
+    // ONE split per body line replaces the round-9 per-field regex
+    // battery (~10 anchored regex evals re-scanning every line — the
+    // bench's most expensive query): the canonical render guarantees
+    // single-space separation and space-free subject/predicate tokens,
+    // so split(line, ' ', 3) is exact — [subject pname, predicate,
+    // object + " ."]. Every remaining regex below anchors on a SHORT
+    // token (pname, predicate, quote suffix), never the whole line.
+    // The literal body extracts by substring arithmetic off the text
+    // after the LAST raw quote (escaped interior quotes render as
+    // backslash+quote, so the last raw quote is always the closing
+    // delimiter — exactly the boundary the old greedy regexes took).
+    val body0 = lines.filter(!ttl.startsWith("@prefix "))
+      .select(split(ttl, " ", 3).as("t"))
+      .select(col("t").getItem(0).as("subj"), col("t").getItem(1).as("pred0"),
+        col("t").getItem(2).as("tail"))
+      // strict on the SUBJECT/PREDICATE/OBJECT shape: a line whose
+      // subject isn't a pname, whose predicate is outside the
+      // canonical dialect (`a` / `prop:`), or whose object field
+      // doesn't close with " ." drops out here — it must not survive
+      // as a corrupted statement
+      .filter(col("subj").rlike("^[a-z]+:[0-9]+$") &&
+        col("pred0").rlike("^(a|prop:[a-z_]+)$") &&
+        col("tail").isNotNull && col("tail").endsWith(" ."))
+      .select(col("subj"), col("pred0").as("pred"),
+        col("tail").substr(lit(1), length(col("tail")) - 2).as("obj"))
+      .filter(col("obj") =!= "")
+    val isQuoted = col("obj").startsWith("\"") && length(col("obj")) >= 2
+    val isPname = col("obj").rlike("^[a-z]+:[0-9]+$")
+    val body = body0
+      .withColumn("spref", substring_index(col("subj"), ":", 1))
+      .withColumn("skey", substring_index(col("subj"), ":", -1))
+      // sfx = the text after the closing quote ("" plain, "@xx" lang,
+      // "^^xsd:t" typed); null when the object is not a literal. litOk
+      // folds the three literal forms into ONE flag so the final
+      // projection carries a single unesc subtree (three arms tripled
+      // the replace chain and risk the 64 KB codegen fallback — see
+      // parseNt)
+      .withColumn("sfx", when(isQuoted, substring_index(col("obj"), "\"", -1)))
+      .withColumn("litOk",
+        col("sfx").rlike("^@[a-z]+$") || col("sfx").rlike("^\\^\\^xsd:[a-z]+$") ||
+          col("sfx") === "")
+      .withColumn("qbody",
+        when(isQuoted && col("litOk"), col("obj").substr(lit(2),
+          length(col("obj")) - length(col("sfx")) - lit(2))))
+      .withColumn("opref", when(isPname, substring_index(col("obj"), ":", 1)).otherwise(""))
+      .withColumn("okey", when(isPname, substring_index(col("obj"), ":", -1)).otherwise(""))
+      .drop("subj")
     val sh = hdr.select(col("pref").as("spref"), col("iri").as("s_iri"))
     val oh = hdr.select(col("pref").as("opref"), col("iri").as("o_iri"))
+    val langArm = col("sfx").rlike("^@[a-z]+$")
     body
       .join(broadcast(sh), Seq("spref"))
       .join(broadcast(oh), Seq("opref"), "left_outer")
@@ -308,13 +369,9 @@ object Rdf {
         when(col("pred") =!= "a" && col("opref") =!= "",
           nsNum(seg(col("o_iri"))) * NS + col("okey").cast("long")).as("o_id"),
         when(col("pred") === "a", regexp_extract(col("obj"), "^[a-z]+:([a-z]+)$", 1))
-          .when(regexp_extract(col("obj"), langRe, 2) =!= "",
-            unesc(regexp_extract(col("obj"), langRe, 1)))
-          .when(col("obj").rlike(typedRe), unesc(regexp_extract(col("obj"), typedRe, 1)))
-          .when(col("obj").rlike(plainRe), unesc(regexp_extract(col("obj"), plainRe, 1)))
+          .when(col("litOk"), unesc(col("qbody")))
           .as("o_val"),
-        when(regexp_extract(col("obj"), langRe, 2) =!= "",
-          regexp_extract(col("obj"), langRe, 2)).as("lang"))
+        when(langArm, col("sfx").substr(lit(2), length(col("sfx")) - 1)).as("lang"))
   }
 
   /** kg_import_ttl — the Turtle inverse: [[kgExportTtl]]'s output
@@ -327,12 +384,22 @@ object Rdf {
     * before parsing: parseTtl consumes its input three times (header
     * scan + two broadcast prefix sides) on top of the body scan, so
     * an unmaterialized round trip re-executed the whole statement
-    * render per consumer. The checkpoint backs the returned frame
-    * (result-checkpoint convention — consumers that fully drain it
-    * may Checkpoints.freeAll; Bench's sweep unpersists between
-    * queries). */
+    * render per consumer. The checkpoint is MEMOIZED per (session,
+    * input dir) with a deterministic reclaim hook — [[resetMemo]], the
+    * ER.cascadeMemo pattern — so repeated imports on a long-lived
+    * driver reuse one materialization instead of accumulating storage
+    * blocks until GC (round-9 ADVICE). Bench's sweep resets it so cold
+    * numbers stay honest. */
+  private val linesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Drop the memoized rendered-lines checkpoints; their RDDs free
+    * via the ContextCleaner once unreferenced. */
+  def resetMemo(): Unit = linesMemo.clear()
+
   def kgImportTtl(spark: SparkSession, dir: String): DataFrame =
-    parseTtl(kgExportTtl(spark, dir).localCheckpoint(eager = true))
+    parseTtl(linesMemo.getOrElseUpdate((spark, dir, "ttl"),
+      kgExportTtl(spark, dir).localCheckpoint(eager = true)))
 
   /** kg_import_nt — the INVERSE serialization: [[kgExportNt]]'s lines
     * parsed back into statements, closing the full modeling round trip
@@ -342,9 +409,20 @@ object Rdf {
     * come from the export so the operator is self-contained and the
     * oracle replays render+parse end-to-end. rdf:type rows surface as
     * `p = 'a'` with the class segment in o_val; the typed date arm as
-    * `p = 'order_date'` lexical forms. */
+    * `p = 'order_date'` lexical forms.
+    *
+    * The rendered lines are memoized + checkpointed like the Turtle
+    * path — NOT just for reuse: without the materialization Catalyst
+    * collapses the render's per-arm concat trees INTO the parse
+    * projection, where every parse column re-evaluates the render
+    * expression (measured ~20 s vs ~1.5 s for the parse over
+    * materialized lines at sf0.1 — the same collapse-inlining family
+    * as the kg_describe seed re-execution). A production import reads
+    * `spark.read.text` (a scan, nothing to collapse) and needs no
+    * checkpoint. */
   def kgImportNt(spark: SparkSession, dir: String): DataFrame =
-    parseNt(kgExportNt(spark, dir))
+    parseNt(linesMemo.getOrElseUpdate((spark, dir, "nt"),
+      kgExportNt(spark, dir).localCheckpoint(eager = true)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_export_nt"     -> (kgExportNt _),

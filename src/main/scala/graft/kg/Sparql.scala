@@ -2203,20 +2203,39 @@ object Sparql {
       "unsupported query shape (need ASK {…})")
   }
 
+  /** Seed-count switch point for [[runDescribe]]: at or below the cap
+    * the solution set is collected and inlined (the query-sized-seeds
+    * contract); above it the collect would OOM the driver and a
+    * million-entry `isin` would break codegen anyway, so the plan
+    * auto-switches to the checkpointed semi-join fallback. 10k long
+    * ids ≈ 80 KB on the driver — far inside safety, far above any
+    * sane DESCRIBE. */
+  val DescribeSeedCap: Long = 10000L
+
   /** `DESCRIBE ?x WHERE { … }` — every statement touching the
     * solution set of ?x (subject or object side), the kg_describe
-    * entity card. The seed set is collected and inlined as an `isin`
-    * predicate — the QUERY-SIZED-seeds contract (kg_describe's
-    * measured lesson: Catalyst re-executes an uncached sub-plan under
-    * every join branch; a collected seed set costs ONE statements
-    * pass). Callers whose DESCRIBE variable solves to a data-sized
-    * set should restrict the WHERE body first — same contract as
-    * SPARQL VALUES blocks. */
+    * entity card. The solution set is materialized ONCE
+    * (localCheckpoint — Catalyst re-executes an uncached sub-plan
+    * under every join branch, the kg_describe measured lesson), then:
+    *
+    *   - ≤ [[DescribeSeedCap]] distinct seeds (every sane DESCRIBE):
+    *     collected and inlined as ONE codegen'd `isin` OR-predicate —
+    *     a single statements pass, no join;
+    *   - above the cap (a data-sized solution set): the collect would
+    *     be a driver OOM, so the plan AUTO-SWITCHES to the semi-join
+    *     fallback over the checkpointed seed frame — subject-side
+    *     semi-join ∪ (object-side semi-join ∖ subject hits), exact
+    *     same multiset as the isin form, two statements scans instead
+    *     of one, nothing data-sized ever on the driver.
+    *
+    * `seedCap` overrides the switch point (tests force the fallback
+    * with 0); both paths are spec-proven identical. */
   def runDescribe(spark: SparkSession, dir: String, text: String,
       predAliases: Map[String, String] = Map.empty,
       entityAliases: Map[String, Long] = Map.empty,
       autoLang: String = "de",
-      graphs: Map[String, ServiceGraph] = Map.empty): DataFrame = text match {
+      graphs: Map[String, ServiceGraph] = Map.empty,
+      seedCap: Long = DescribeSeedCap): DataFrame = text match {
     case DescribeRe(dvar, rest) =>
       val prefixLines = text.linesIterator.filter(_.trim.toUpperCase.startsWith("PREFIX"))
         .mkString("", "\n", "\n")
@@ -2224,9 +2243,18 @@ object Sparql {
         predAliases, entityAliases, autoLang, graphs)
       require(sel.schema(dvar).dataType.typeName == "long",
         s"DESCRIBE ?$dvar is literal-typed — DESCRIBE resolves entities")
-      val seeds = sel.select(dvar).distinct().collect().map(_.getLong(0)).toSeq
-      Triples.statements(spark, dir)
-        .filter(col("s").isin(seeds: _*) || col("o_id").isin(seeds: _*))
+      val seedFrame = sel.select(dvar).distinct().localCheckpoint()
+      val st = Triples.statements(spark, dir)
+      if (seedFrame.count() <= seedCap) {
+        val seeds = seedFrame.collect().map(_.getLong(0)).toSeq
+        st.filter(col("s").isin(seeds: _*) || col("o_id").isin(seeds: _*))
+      } else {
+        val bySubject = st.join(seedFrame.select(col(dvar).as("s")), Seq("s"), "left_semi")
+        val byObjectOnly = st
+          .join(seedFrame.select(col(dvar).as("o_id")), Seq("o_id"), "left_semi")
+          .join(seedFrame.select(col(dvar).as("s")), Seq("s"), "left_anti")
+        bySubject.unionByName(byObjectOnly.select(bySubject.columns.map(col): _*))
+      }
     case _ => throw new IllegalArgumentException(
       "unsupported query shape (need DESCRIBE ?x WHERE {…})")
   }

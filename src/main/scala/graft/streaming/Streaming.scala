@@ -622,6 +622,24 @@ object Streaming {
     * trailing OPEN gap (anchor → nothing yet) never emits, per lag
     * semantics. */
   private[graft] def gapEmit(userId: Long, events: Iterator[Ev],
+      state: org.apache.spark.sql.streaming.GroupState[GapState]): Iterator[GapOut] =
+    gapEmitCore(None)(userId, events, state)
+
+  /** The OPT-IN anchor-TTL variant (round-9 ADVICE: exact lag
+    * semantics park one sealed anchor per user forever, so the state
+    * store grows with the stream's lifetime distinct-user count). With
+    * a TTL, a fully-sealed anchor whose user has been silent longer
+    * than `ttlUs` (by event time, judged at its timeout) is EVICTED:
+    * state is bounded by users ACTIVE within the TTL window, and the
+    * accepted approximation is precisely that a user returning after
+    * more than the TTL starts a fresh anchor — the gap pair spanning
+    * the quiet period is not emitted. Exact semantics (the gated
+    * query) remain the default [[gapEmit]]. */
+  private[graft] def gapEmitTtl(ttlUs: Long)(userId: Long, events: Iterator[Ev],
+      state: org.apache.spark.sql.streaming.GroupState[GapState]): Iterator[GapOut] =
+    gapEmitCore(Some(ttlUs))(userId, events, state)
+
+  private def gapEmitCore(anchorTtlUs: Option[Long])(userId: Long, events: Iterator[Ev],
       state: org.apache.spark.sql.streaming.GroupState[GapState]): Iterator[GapOut] = {
     val wmUs = state.getCurrentWatermarkMs() * 1000L
     val prev = state.getOption.getOrElse(GapState(0L, 0L, hasSealed = false, Nil))
@@ -638,27 +656,36 @@ object Streaming {
         case None => last = Some((t, id))
       }
     }
-    if (open.isEmpty && last.isEmpty && state.hasTimedOut) {
-      // never-sealed, nothing buffered: nothing a future event could
-      // pair with — safe to drop (in practice unreachable, kept as a
-      // guard)
+    val anchorExpired = anchorTtlUs.exists(ttl =>
+      open.isEmpty && last.exists(wmUs - _._1 > ttl))
+    if (open.isEmpty && state.hasTimedOut && (last.isEmpty || anchorExpired)) {
+      // never-sealed with nothing buffered (nothing a future event
+      // could pair with — in practice unreachable, kept as a guard),
+      // or a TTL-expired sealed anchor (the opt-in approximation)
       state.remove()
     } else {
       state.update(GapState(last.map(_._1).getOrElse(0L), last.map(_._2).getOrElse(0L),
         last.isDefined, open))
-      // wake again once the watermark can seal more of the tail. A
-      // FULLY-SEALED state must NOT be evicted: the sealed anchor is
-      // the lag() cursor, and a user returning after ANY absence
-      // longer than the threshold forms a real gap pair with it (the
-      // batch lag-window oracle emits that pair no matter how long
-      // the quiet period — dropping the anchor on a timeout silently
-      // lost exactly those gaps when the return arrived in a later
-      // micro-batch). Park it on a far-future timestamp instead of
-      // leaving the fired timeout in the state store, which would
-      // re-invoke the group every batch forever.
+      // wake again once the watermark can seal more of the tail. Under
+      // EXACT semantics a FULLY-SEALED state must NOT be evicted: the
+      // sealed anchor is the lag() cursor, and a user returning after
+      // ANY absence longer than the threshold forms a real gap pair
+      // with it (the batch lag-window oracle emits that pair no matter
+      // how long the quiet period — dropping the anchor on a timeout
+      // silently lost exactly those gaps when the return arrived in a
+      // later micro-batch). Park it on a far-future timestamp instead
+      // of leaving the fired timeout in the state store, which would
+      // re-invoke the group every batch forever. With the opt-in TTL
+      // the park target is the anchor's expiry instead, so the store
+      // sheds quiet users as the watermark passes them.
+      val park = (anchorTtlUs, last) match {
+        case (Some(ttl), Some((lt, _))) =>
+          Math.max(Math.floorDiv(lt + ttl, 1000L) + 1L, state.getCurrentWatermarkMs() + 1000L)
+        case _ => QuietAnchorMs
+      }
       val target = open.headOption.map(o => Math.max(o._1 + 1000L, wmUs + 2000L))
         .map(t => Math.floorDiv(t + 999L, 1000L))
-        .getOrElse(QuietAnchorMs)
+        .getOrElse(park)
       state.setTimeoutTimestamp(target)
     }
     out.reverse.iterator

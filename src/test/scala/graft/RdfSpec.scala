@@ -130,6 +130,21 @@ class RdfSpec extends SparkSpec {
     assert(parsed.exists(r => r.getAs[String]("p") == "a"))
   }
 
+  test("import fails LOUDLY on a literal containing the U+0001 unescape sentinel") {
+    val sess = spark; import sess.implicits._
+    // a non-normalized foreign corpus smuggling the sentinel must be an
+    // error, never silently corrupted o_val bytes (round-9 ADVICE)
+    val line = Seq(
+      "<http://example.com/part/1> <http://example.com/prop/label> \"badlit\" .").toDF("nt")
+    val e = intercept[Exception] {
+      Rdf.parseNt(line).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("sentinel")),
+      s"expected the loud sentinel message, got: ${messages(e).mkString(" | ")}")
+  }
+
   test("rdf exports are projection-only: no exchange in any arm") {
     Seq(Rdf.kgExportNt(spark, sf), Rdf.kgExportTtl(spark, sf),
       Rdf.kgExportJsonld(spark, sf)).foreach { df =>

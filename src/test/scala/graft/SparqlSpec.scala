@@ -690,6 +690,19 @@ class SparqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("literal-typed"), e2.getMessage)
   }
 
+  test("runDescribe: the semi-join fallback (seeds above cap) is multiset-identical to the isin path") {
+    // force the fallback with seedCap = 0 — the data-sized-solution
+    // path a production DESCRIBE over an unrestricted WHERE body takes
+    val isin = Sparql.kgSparqlDescribe(spark, sf)
+    val fallback = Sparql.runDescribe(spark, sf, Sparql.describeText, seedCap = 0L)
+    assert(fallback.count() == isin.count())
+    assert(fallback.exceptAll(isin).isEmpty && isin.exceptAll(fallback).isEmpty,
+      "fallback and isin DESCRIBE plans must return the same statement multiset")
+    // and the fallback plan really is join-shaped (no giant In predicate)
+    val plan = fallback.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join shape, got:\n$plan")
+  }
+
   test("federation parse: compare-factgrid-wikidata_many_items.rq structure is recognized") {
     // the reference file's exact WHERE-clause shape: sitelink
     // reification, corresponding-property lookup, the SERVICE block

@@ -79,4 +79,32 @@ class StreamingGapSpec extends SparkSpec {
     assert(!s2.isRemoved && s2.get.sealedUs == 100 * H * 1000L,
       "anchor persists after full sealing")
   }
+
+  test("gapEmitTtl: sealed anchors evict after the TTL (opt-in approximate lag)") {
+    val ttlUs = 100L * H * 1000L // 100 h of event-time silence
+    val emit = Streaming.gapEmitTtl(ttlUs) _
+    // seal events 0h and 30h: the 0→30h gap emits, anchor parks at 30h
+    val s1 = mkState(None, wmMs = 0L, timedOut = false)
+    assert(emit(7L, Iterator(ev(1, 0), ev(2, 30)), s1).toList.isEmpty)
+    val s2 = mkState(Some(s1.get), wmMs = 60 * H, timedOut = true)
+    val out2 = emit(7L, Iterator.empty, s2).toList
+    assert(out2 == List(GapOut(7L, 0L, 30 * H * 1000L, 30 * 3600L)), s"got $out2")
+    // within the TTL the anchor persists and parks on its EXPIRY, not
+    // the far-future quiet target
+    assert(!s2.isRemoved && s2.get.sealedUs == 30 * H * 1000L)
+    assert(s2.getTimeoutTimestampMs.get <= (30 + 100) * H + 1000L,
+      s"TTL anchor must park on its expiry; parked at ${s2.getTimeoutTimestampMs}")
+    // past the TTL (watermark 30h + 100h + ε), the fired timeout EVICTS
+    val s3 = mkState(Some(s2.get), wmMs = 131 * H, timedOut = true)
+    assert(emit(7L, Iterator.empty, s3).toList.isEmpty)
+    assert(s3.isRemoved, "TTL-expired sealed anchor must evict")
+    // the accepted approximation: the user returning at 200h starts a
+    // FRESH anchor — no 30→200h pair (exact gapEmit would emit it)
+    val s4 = mkState(None, wmMs = 150 * H, timedOut = false)
+    assert(emit(7L, Iterator(ev(9, 200)), s4).toList.isEmpty)
+    val s5 = mkState(Some(s4.get), wmMs = 300 * H, timedOut = true)
+    assert(emit(7L, Iterator.empty, s5).toList.isEmpty,
+      "a fresh anchor has no predecessor — the documented TTL trade")
+    assert(!s5.isRemoved && s5.get.sealedUs == 200 * H * 1000L)
+  }
 }
