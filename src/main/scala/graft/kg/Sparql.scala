@@ -76,10 +76,10 @@ object Sparql {
   final case class Pattern(s: Term, p: String, o: Term)
   /** One `/`-separated step of a sequence path: a set of predicate
     * ALTERNATIVES (`p|q`, each optionally INVERSE `^p` — the
-    * kg_path_alt forms), with an optional closure modifier — `*`
-    * (zero-or-more) or `+` (one-or-more). */
+    * kg_path_alt forms), with an optional modifier — `*`
+    * (zero-or-more), `+` (one-or-more), or `?` (zero-or-one). */
   final case class PathStep(alts: Seq[(String, Boolean)], star: Boolean,
-      plus: Boolean = false) {
+      plus: Boolean = false, opt: Boolean = false) {
     def pred: String = alts.head._1 // first alternative (doc/messages)
   }
   sealed trait Filt
@@ -590,14 +590,18 @@ object Sparql {
     * IRI predicate `<https://…/x>` contains `/` but is not a path.) */
   private def isPath(p: String): Boolean =
     !(p.startsWith("<") && p.endsWith(">")) &&
-      "/*|^+(".exists(c => p.contains(c.toString))
+      ("/*|^+(".exists(c => p.contains(c.toString)) ||
+        // a trailing `?` is the zero-or-one modifier (`p?`) — but a
+        // LEADING `?` is a variable predicate, never a path
+        (!p.startsWith("?") && p.endsWith("?")))
 
-  /** Parse a sequence property path — `p/q`, `p/q*`, `p/q+`,
-    * `(p/(q*))`-style nesting one predicate deep, per-step
-    * alternation `(p|q)` with inverse arms `^p` (the kg_path_alt
-    * forms). Throws on anything outside the subset (`?` modifier,
-    * negated sets, nested path alternation) — never a silently wrong
-    * plan. */
+  /** Parse a sequence property path — `p/q`, `p/q*`, `p/q+`, `p?/q`
+    * (zero-or-one), `(p/(q*))`-style nesting one predicate deep,
+    * per-step alternation `(p|q)` with inverse arms `^p` (the
+    * kg_path_alt forms). With `?` and closure-FIRST forms (a starred
+    * first step, round 10) the SPARQL 1.1 path surface is complete
+    * except negated sets with inverse arms and nested path
+    * alternation — those still throw, never a silently wrong plan. */
   private[kg] def parsePath(raw: String): Seq[PathStep] = {
     def stripParens(s0: String): String = {
       var s = s0.trim
@@ -625,9 +629,10 @@ object Sparql {
     segs += sb.toString
     segs.toList.map { s0 =>
       var s = stripParens(s0)
-      var star = false; var plus = false
+      var star = false; var plus = false; var opt = false
       if (s.endsWith("*")) { star = true; s = stripParens(s.dropRight(1).trim) }
       else if (s.endsWith("+")) { plus = true; s = stripParens(s.dropRight(1).trim) }
+      else if (s.endsWith("?")) { opt = true; s = stripParens(s.dropRight(1).trim) }
       // per-step alternation: split on '|' at depth 0, each arm an
       // optionally-inverse plain/prefixed name
       val alts = s.split('|').toSeq.map(stripParens).map { a0 =>
@@ -638,7 +643,7 @@ object Sparql {
             "(supported: p, ^p, p|q, p*, p+, p/q, parenthesized)")
         (a, inv)
       }
-      PathStep(alts, star, plus)
+      PathStep(alts, star, plus, opt)
     }
   }
 
@@ -1022,13 +1027,18 @@ object Sparql {
       * non-star steps are equi-joins (BGP expansion — bag semantics,
       * per the SPARQL fixed-length-path rule), a starred step is the
       * semi-naive fixpoint seeded by the accumulated pairs (zero
-      * steps included — set semantics, also per spec). A constant
-      * subject is pushed into the FIRST step's scan, before any
-      * closure work. */
+      * steps included — set semantics, also per spec), a `?` step is
+      * the identity-or-one-step union (set semantics, per
+      * ZeroOrOnePath). A constant subject is pushed into the FIRST
+      * step's scan — or, for a closure-first/`?`-first path, into the
+      * identity seed — before any closure work. A VARIABLE-subject
+      * closure-first path seeds the closure with the identity over
+      * ALL graph nodes (SPARQL's ZeroOrMorePath over open ends: every
+      * term in the graph reaches itself in zero steps) — node-set
+      * sized, one distinct over two statement projections, then the
+      * same bounded kg_property_path fixpoint. */
     def pathFrame(p0: Pattern): DataFrame = {
       val steps = parsePath(p0.p)
-      require(!steps.head.star,
-        s"path '${p0.p}' starts with a closure step — write a bound first step (p/q*)")
       def edgesOf(stp: PathStep): DataFrame = {
         val arms = stp.alts.map { case (name, inv) =>
           val pr = pred(name)
@@ -1046,15 +1056,40 @@ object Sparql {
             e.withColumnRenamed("a", "_mid").withColumnRenamed("b", "_b2"),
             col("b") === col("_mid"))
           .select(col("a"), col("_b2").as("b"))
-      // first step: one mandatory traversal (also `+`'s "one"), then
-      // its closure if starred/plussed
-      var acc = edgesOf(steps.head)
-      resolve(p0.s) match {
-        case Num(v) => acc = acc.filter(col("a") === v)
-        case V(_)   =>
+      val subjConst: Option[Long] = resolve(p0.s) match {
+        case Num(v) => Some(v)
+        case V(_)   => None
         case Lit(v) => throw new IllegalArgumentException(s"literal subject '$v' unsupported")
       }
-      if (steps.head.plus) acc = TripleStore.fixpoint(edgesOf(steps.head), seed = Some(acc))
+      // zero-step pairs for a closure-first/`?`-first step: the
+      // constant subject reaches itself, or — variable subject — every
+      // graph node does (node-set sized, never edge-pair sized)
+      def identityPairs(): DataFrame = subjConst match {
+        case Some(v) =>
+          st.sparkSession.range(1).select(lit(v).as("a"), lit(v).as("b"))
+        case None =>
+          st.select(col("s").as("n"))
+            .unionAll(st.filter(col("o_id").isNotNull).select(col("o_id").as("n")))
+            .distinct()
+            .select(col("n").as("a"), col("n").as("b"))
+      }
+      // first step: one mandatory traversal (also `+`'s "one") — or,
+      // for `*`/`?`, the zero-step identity union
+      val headEdges = {
+        val e = edgesOf(steps.head)
+        subjConst.fold(e)(v => e.filter(col("a") === v))
+      }
+      // ZeroOrOnePath is the SET identity ∪ distinct(edges); self-loop
+      // edges coincide with identity, so R = identity ∪ distinct
+      // non-self-loop edges — and composing a bag with R preserves the
+      // bag's multiplicity (acc⋈R = acc ∪ advance(acc, R∖identity))
+      def zeroOrOne(e: DataFrame): DataFrame =
+        e.distinct().filter(col("a") =!= col("b"))
+      var acc =
+        if (steps.head.star) TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs()))
+        else if (steps.head.opt) identityPairs().unionAll(zeroOrOne(headEdges))
+        else if (steps.head.plus) TripleStore.fixpoint(edgesOf(steps.head), seed = Some(headEdges))
+        else headEdges
       steps.tail.foreach { stp =>
         val e = edgesOf(stp)
         acc =
@@ -1062,6 +1097,10 @@ object Sparql {
           // p+ = p/p*: one mandatory step, then the closure over the
           // reached frontier (excludes the zero-step pairs * keeps)
           else if (stp.plus) TripleStore.fixpoint(e, seed = Some(advance(acc, e)))
+          // p? = identity-or-one-step: acc ⋈ (identity ∪ distinct
+          // edges) = acc ∪ advance(acc, distinct non-self-loop edges)
+          // — acc's bag multiplicity preserved, per ZeroOrOnePath
+          else if (stp.opt) acc.unionAll(advance(acc, zeroOrOne(e)))
           else advance(acc, e)
       }
       val cols = scala.collection.mutable.ListBuffer[Column]()
@@ -2305,6 +2344,26 @@ object Sparql {
     run(spark, dir, pathPlusText,
       predAliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region"))
 
+  /** Zero-or-one + closure-FIRST text (round 10 — the last SPARQL 1.1
+    * path forms): branch `opt` walks `p?/q` (the zero-or-one step is
+    * identity ∪ one hop, so nations reach their region directly AND
+    * customers reach it through the optional nation hop); branch
+    * `star_first` opens with the closure `(p|q)*` over a VARIABLE
+    * subject — the ZeroOrMorePath-over-open-ends case, seeded by the
+    * identity over every graph node. */
+  val pathOptText: String =
+    """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+      |SELECT ?a ?r ?form WHERE {
+      |  { ?a (fgt:P2?/fgt:P3) ?r . BIND("opt" AS ?form) }
+      |  UNION
+      |  { ?a ((fgt:P2|fgt:P3)*/fgt:P3) ?r . BIND("star_first" AS ?form) }
+      |}""".stripMargin
+
+  /** kg_sparql_path_opt — [[pathOptText]] under the hash gate. */
+  def kgSparqlPathOpt(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, pathOptText,
+      predAliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region"))
+
   /** Negated-property-set text — `!(p|q)` (the kg_path_alt negated
     * arm): every order relation EXCEPT the part/supplier edges whose
     * object is entity-typed by its other binding site — i.e. the
@@ -3501,6 +3560,7 @@ object Sparql {
     "kg_sparql_describe"    -> (kgSparqlDescribe _),
     "kg_sparql_path_alt"    -> (kgSparqlPathAlt _),
     "kg_sparql_path_plus"   -> (kgSparqlPathPlus _),
+    "kg_sparql_path_opt"    -> (kgSparqlPathOpt _),
     "kg_sparql_path_neg"    -> (kgSparqlPathNeg _))
 
   /** Shared oracle pieces for the network-* files: the directClaim
@@ -4301,5 +4361,26 @@ object Sparql {
          |SELECT t.s AS o, t.o_id AS x, cn.o_id AS n
          |FROM triples t
          |JOIN triples cn ON cn.s = t.o_id AND cn.p = 'in_nation'
-         |WHERE t.p NOT IN ('has_part', 'supplied_by') AND t.o_id IS NOT NULL""".stripMargin)
+         |WHERE t.p NOT IN ('has_part', 'supplied_by') AND t.o_id IS NOT NULL""".stripMargin,
+    "kg_sparql_path_opt" ->
+      s"""$T,
+         |nodes AS (SELECT DISTINCT n FROM (
+         |  SELECT s AS n FROM triples
+         |  UNION ALL SELECT o_id FROM triples WHERE o_id IS NOT NULL)),
+         |nat AS (SELECT s AS a, o_id AS b FROM triples WHERE p = 'in_nation'),
+         |reg AS (SELECT s AS a, o_id AS b FROM triples WHERE p = 'in_region'),
+         |z AS (SELECT n AS a, n AS b FROM nodes
+         |      UNION SELECT a, b FROM nat WHERE a <> b),
+         |opt AS (SELECT z.a, reg.b AS r FROM z JOIN reg ON reg.a = z.b),
+         |e2 AS (SELECT DISTINCT a, b FROM (
+         |  SELECT a, b FROM nat UNION ALL SELECT a, b FROM reg)),
+         |clo AS (
+         |  WITH RECURSIVE c(a, b) AS (
+         |    SELECT n, n FROM nodes
+         |    UNION
+         |    SELECT c.a, e2.b FROM c JOIN e2 ON e2.a = c.b)
+         |  SELECT a, b FROM c),
+         |sf AS (SELECT clo.a, reg.b AS r FROM clo JOIN reg ON reg.a = clo.b)
+         |SELECT a, r, 'opt' AS form FROM opt
+         |UNION ALL SELECT a, r, 'star_first' FROM sf""".stripMargin)
 }

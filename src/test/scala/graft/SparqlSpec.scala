@@ -159,15 +159,37 @@ class SparqlSpec extends SparkSpec {
     assert(got.forall { case (c, _) => nations.exists(_._1 == c) })
     assert(got.exists { case (c, r) => nations.contains((c, r)) }, "nation step missing")
     assert(got.exists { case (c, r) => !nations.contains((c, r)) }, "region closure missing")
-    // loud rejects: closure-first, non-entity step, unsupported modifier
+    // loud reject: non-entity step
     def fails(p: String, frag: String): Unit = {
       val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
         s"SELECT ?a ?b WHERE { ?a $p ?b . }"))
       assert(e.getMessage.contains(frag), s"'${e.getMessage}' lacks '$frag'")
     }
-    fails("in_region*/in_nation", "closure step")
     fails("in_nation/label*", "not entity-valued")
-    fails("in_nation/in_region?", "unsupported path segment") // '?' stays out; '+' compiles now
+    // closure-FIRST compiles since round 10: in_region*/in_nation over a
+    // variable subject = identity-seeded closure then the nation hop —
+    // only the identity arm of the closure has in_nation out-edges, so
+    // the result is exactly the in_nation edge set
+    val st0 = graft.kg.Triples.statements(spark, sf)
+    val cf = Sparql.run(spark, sf,
+      "SELECT ?a ?b WHERE { ?a (in_region*/in_nation) ?b . }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val natEdges = st0.filter(col("p") === "in_nation")
+      .collect().map(r => (r.getAs[Long]("s"), r.getAs[Long]("o_id"))).sorted.toSeq
+    assert(cf == natEdges, "closure-first path must equal the nation edge set here")
+    // `?` (zero-or-one) compiles since round 10: in_nation/in_region? =
+    // the nation edges (zero) ∪ the two-step customer→region pairs (one)
+    val zo = Sparql.run(spark, sf,
+      "SELECT ?a ?b WHERE { ?a (in_nation/in_region?) ?b . }")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nat = st0.filter(col("p") === "in_nation")
+      .select(col("s").as("a"), col("o_id").as("b"))
+    val reg = st0.filter(col("p") === "in_region")
+      .select(col("s").as("b"), col("o_id").as("b2"))
+    val twoStep = nat.join(reg, "b").select(col("a"), col("b2").as("b"))
+    val zoExp = (natEdges.toSet ++
+      twoStep.collect().map(r => (r.getLong(0), r.getLong(1))))
+    assert(zo == zoExp, "p/q? must be the zero ∪ one step union")
   }
 
   test("SERVICE wikibase:label resolves ?xLabel with language preference and id fallback") {
@@ -630,10 +652,20 @@ class SparqlSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
       """SELECT ?c WHERE { ?c a "BUILDING" . }"""))
     assert(e1.getMessage.contains("dialect map"), e1.getMessage)
-    // the '?' modifier stays out of the subset — loudly
-    val e2 = intercept[IllegalArgumentException](Sparql.run(spark, sf,
-      "SELECT ?c ?r WHERE { ?c (in_nation/in_region?) ?r . }"))
-    assert(e2.getMessage.contains("unsupported path segment"), e2.getMessage)
+    // the '?' + closure-first gated query: both branches populated,
+    // the opt branch = direct region edges ∪ the optional-nation hop
+    val po = Sparql.kgSparqlPathOpt(spark, sf).collect()
+    assert(po.map(_.getAs[String]("form")).toSet == Set("opt", "star_first"))
+    val natE = st.filter(col("p") === "in_nation")
+      .select(col("s").as("a"), col("o_id").as("b"))
+    val regE = st.filter(col("p") === "in_region")
+      .select(col("s").as("b"), col("o_id").as("r"))
+    val optExp = regE.select(col("b").as("a"), col("r"))
+      .unionAll(natE.join(regE, "b").select(col("a"), col("r")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val optGot = po.filter(_.getAs[String]("form") == "opt")
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("r"))).sorted.toSeq
+    assert(optGot == optExp, "opt branch must be identity-or-one-step into the region hop")
     // negated property set: exclusion over the typed statements scan
     val neg = Sparql.run(spark, sf,
       """SELECT ?o ?x WHERE { ?o !(has_part|supplied_by) ?x . ?x in_nation ?n . }""")
