@@ -36,7 +36,15 @@ object ScaleBench {
     def time(n: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // checkpoint-backed results from the PREVIOUS rep are garbage the
+      // ContextCleaner can only reclaim after a GC; without this the
+      // reps measure accumulating storage pressure, not the query
+      // (kg_khop at sf1 measured warm 37 s vs cold 13 s before it).
+      // Memoized frames stay strongly referenced, so this frees only
+      // dropped results.
+      System.gc()
+      t
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
 

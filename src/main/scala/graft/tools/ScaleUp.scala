@@ -64,10 +64,20 @@ object ScaleUp {
     replicate("events")((df, r) => df
       .withColumn("event_id", col("event_id") + lit(r * K))
       .withColumn("user_id", col("user_id") + lit(r * K)))
+    // replica texts must be DISTINCT at the SHINGLE level, not just a
+    // lead token: a lead-token-only variant leaves minhash signatures
+    // nearly identical, so every doc gained 9 near-duplicates and the
+    // dedup verify stage did ~100× the pair work — a generator
+    // artifact, not a scaling property. Interleaving a replica marker
+    // every 6 words breaks every word-8-gram window, so near-dup
+    // structure exists within a replica exactly as it does at sf0.1.
     replicate("documents")((df, r) => df
       .withColumn("doc_id", col("doc_id") + lit(r * K))
       .withColumn("text",
-        if (r == 0) col("text") else concat(lit(s"qq${r}q "), col("text")))
+        if (r == 0) col("text")
+        else array_join(flatten(transform(split(col("text"), " "),
+          (w, i) => when(i % 6 === 5, array(w, lit(s"qq${r}q")))
+            .otherwise(array(w)))), " "))
       .withColumn("n_chars", length(col("text")).cast("long")))
     replicate("embeddings")((df, r) => df
       .withColumn("vec_id", col("vec_id") + lit(r * K))
