@@ -943,6 +943,9 @@ object Sparql {
           }
         case V(_) if p0.p.startsWith("!") => Nil // negated set: typing from other sites
         case V(n) if isPath(p0.p) => Seq(n -> "entity")
+        // the wikibase:statements META-predicate binds a count — a
+        // literal-kind var (it never joins an entity site)
+        case V(n) if p0.p == "wikibase:statements" => Seq(n -> "literal")
         case V(n) => Seq(n -> (if (entityPreds(pred(p0.p))) "entity" else "literal"))
         case _ => Nil
       }
@@ -1190,6 +1193,22 @@ object Sparql {
       if (p0.p.startsWith("!")) return negSetFrame(p0)
       if (isPath(p0.p)) return pathFrame(p0)
       if (isVarPred(p0.p)) return varPredFrame(p0)
+      // Wikibase META-predicate `?item wikibase:statements ?count` —
+      // WDQS's per-item statement-count virtual triple (the construct
+      // behind the reference's analyse-number-of-items.R inline
+      // query). Compiles to ONE map-side-partial groupBy(s) census
+      // over the statement store, joined into the BGP on the item var
+      // — entity-count-sized, the kg_degree shuffle class.
+      if (p0.p == "wikibase:statements") {
+        val (iv, cv) = (resolve(p0.s), resolve(p0.o)) match {
+          case (V(a), V(b)) => (a, b)
+          case _ => throw new IllegalArgumentException(
+            "wikibase:statements needs a variable subject and object " +
+              "(?item wikibase:statements ?count)")
+        }
+        return st.groupBy(col("s")).agg(count(lit(1)).as(cv))
+          .select(col("s").as(iv), col(cv))
+      }
       val p = Pattern(resolve(p0.s), pred(p0.p), resolve(p0.o))
       var df = st.filter(col("p") === p.p)
       val cols = scala.collection.mutable.ListBuffer[Column]()
@@ -2363,6 +2382,25 @@ object Sparql {
   def kgSparqlPathOpt(spark: SparkSession, dir: String): DataFrame =
     run(spark, dir, pathOptText,
       predAliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region"))
+
+  /** analyse-number-of-items.R's inline query BYTE-FOR-BYTE (the one
+    * reference query text outside the 22 .rq files that names a
+    * construct the compiler lacked): per-item statement counts via
+    * the `wikibase:statements` meta-predicate, anchored on the
+    * remove-na class edge, with the AUTO_LANGUAGE,en label chain. */
+  val nitemsText: String =
+    """SELECT DISTINCT ?item ?itemLabel ?statementcount
+      |WHERE {
+      |  SERVICE wikibase:label { bd:serviceParam wikibase:language "[AUTO_LANGUAGE],en". }
+      |  ?item wdt:P131 wd:Q400012 .
+      |  ?item wikibase:statements ?statementcount.
+      |}""".stripMargin
+
+  /** kg_sparql_nitems — [[nitemsText]] under the hash gate. */
+  def kgSparqlNitems(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, nitemsText,
+      predAliases = Map("wdt:P131" -> "in_nation"),
+      entityAliases = Map("wd:Q400012" -> (2L * Triples.NS + 3)))
 
   /** Negated-property-set text — `!(p|q)` (the kg_path_alt negated
     * arm): every order relation EXCEPT the part/supplier edges whose
@@ -3561,6 +3599,7 @@ object Sparql {
     "kg_sparql_path_alt"    -> (kgSparqlPathAlt _),
     "kg_sparql_path_plus"   -> (kgSparqlPathPlus _),
     "kg_sparql_path_opt"    -> (kgSparqlPathOpt _),
+    "kg_sparql_nitems"      -> (kgSparqlNitems _),
     "kg_sparql_path_neg"    -> (kgSparqlPathNeg _))
 
   /** Shared oracle pieces for the network-* files: the directClaim
@@ -4382,5 +4421,18 @@ object Sparql {
          |  SELECT a, b FROM c),
          |sf AS (SELECT clo.a, reg.b AS r FROM clo JOIN reg ON reg.a = clo.b)
          |SELECT a, r, 'opt' AS form FROM opt
-         |UNION ALL SELECT a, r, 'star_first' FROM sf""".stripMargin)
+         |UNION ALL SELECT a, r, 'star_first' FROM sf""".stripMargin,
+    "kg_sparql_nitems" ->
+      s"""$T,
+         |anch AS (SELECT s FROM triples WHERE p = 'in_nation' AND o_id = ${2L * Triples.NS + 3}),
+         |cnt AS (SELECT s, count(*) AS c FROM triples GROUP BY 1),
+         |best AS (SELECT s, o_val FROM (
+         |  SELECT s, o_val, row_number() OVER (PARTITION BY s
+         |    ORDER BY CASE WHEN lang = 'de' THEN 0 WHEN lang = 'en' THEN 1 END, lang) AS rk
+         |  FROM triples WHERE p = 'label' AND lang IN ('de', 'en')) WHERE rk = 1)
+         |SELECT DISTINCT a.s AS item,
+         |  COALESCE(b.o_val, CAST(a.s AS VARCHAR)) AS "itemLabel",
+         |  cnt.c AS statementcount
+         |FROM anch a JOIN cnt ON cnt.s = a.s
+         |LEFT JOIN best b ON b.s = a.s""".stripMargin)
 }

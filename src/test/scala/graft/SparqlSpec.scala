@@ -735,6 +735,26 @@ class SparqlSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"expected semi-join shape, got:\n$plan")
   }
 
+  test("kg_sparql_nitems: wikibase:statements meta-predicate = per-item statement census") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    val got = Sparql.kgSparqlNitems(spark, sf).collect()
+    assert(got.nonEmpty)
+    val cnt = st.groupBy("s").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { r =>
+      assert(r.getAs[Long]("statementcount") == cnt(r.getAs[Long]("item")),
+        s"count mismatch for item ${r.getAs[Long]("item")}")
+    }
+    val anchored = st.filter(col("p") === "in_nation" &&
+        col("o_id") === (2L * graft.kg.Triples.NS + 3))
+      .select("s").collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getAs[Long]("item")).toSet == anchored,
+      "exactly the anchor class carries a census row")
+    // non-variable slots reject loudly
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      """SELECT ?c WHERE { ?c wikibase:statements "5" . }"""))
+    assert(e.getMessage.contains("variable subject and object"), e.getMessage)
+  }
+
   test("federation parse: compare-factgrid-wikidata_many_items.rq structure is recognized") {
     // the reference file's exact WHERE-clause shape: sitelink
     // reification, corresponding-property lookup, the SERVICE block
