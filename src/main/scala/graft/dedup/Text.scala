@@ -514,7 +514,64 @@ object Text {
       }.toDF()
   }
 
+  /** text_ner_ingest — the reference's NER annotation-EXPORT ingest
+    * (data-gathering/from-website/chronik-after-ner.R): rubrix CSV
+    * exports carry per-document span lists SERIALIZED as
+    * `[('LABEL', start, end), …]`; the script separate_rows them on
+    * `), (`, strips the bracket shells, splits label/start/end,
+    * slices each mention back out of the text with
+    * `substr(text, start, end)` (1-based inclusive), trims stray
+    * punctuation (`„ “ ( ) leading-- trailing-, leading-/ trailing-.`
+    * removed, `§§ → §`), and keeps distinct `(id, label, name)` —
+    * text_ner_batch PRODUCES spans, this CONSUMES externally-labeled
+    * ones. The export column is synthesized deterministically from
+    * the text (the er_isbn never-trust-the-synthesis pattern: the
+    * operator parses the serialized STRING): token 2 labeled PER/LOC
+    * by doc parity, token 5 labeled ORG where present; empty
+    * annotations drop like the reference's `filter(annotation !=
+    * "[]")`.
+    *
+    * Scale: synthesis + parse are one codegen'd projection, the span
+    * fan-out a bounded explode (≤ 2 here, export-sized in
+    * production), the mention slice a DYNAMIC substr validating the
+    * offsets against the text they index; one map-side-partial
+    * distinct on the output. */
+  def textNerIngest(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    def startOf(n: Int): Column =
+      if (n == 1) lit(1L)
+      else (length(array_join(slice(toks, 1, n - 1), " ")) + 2).cast("long")
+    def endOf(n: Int): Column = startOf(n) + length(element_at(toks, n)) - 1
+    def span(label: Column, n: Int): Column =
+      concat(lit("('"), label, lit("', "), startOf(n).cast("string"),
+        lit(", "), endOf(n).cast("string"), lit(")"))
+    val spans = array(
+      when(size(toks) >= 2,
+        span(when(col("doc_id") % 2 === 0, lit("PER")).otherwise(lit("LOC")), 2)),
+      when(size(toks) >= 5, span(lit("ORG"), 5)))
+    val ann = concat(lit("["),
+      array_join(filter(spans, x => x.isNotNull), ", "), lit("]"))
+    val exported = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), ann.as("annotation"))
+      .filter(col("annotation") =!= "[]")
+    // the ingest proper: parse the serialized span list back and slice
+    val shell =
+      regexp_replace(regexp_replace(col("annotation"), "^\\[\\(", ""), "\\)\\]$", "")
+    exported
+      .select(col("doc_id"), col("text"), explode(split(shell, "\\), \\(")).as("a"))
+      .withColumn("label", call_function("replace",
+        split(col("a"), ", ").getItem(0), lit("'"), lit("")))
+      .withColumn("start", split(col("a"), ", ").getItem(1).cast("long"))
+      .withColumn("end", split(col("a"), ", ").getItem(2).cast("long"))
+      .withColumn("name", trim(col("text").substr(col("start").cast("int"),
+        (col("end") - col("start") + 1).cast("int"))))
+      .withColumn("name", regexp_replace(col("name"), "„|“|\\(|\\)|^-|,$|^/|\\.$", ""))
+      .withColumn("name", call_function("replace", col("name"), lit("§§"), lit("§")))
+      .select(col("doc_id"), col("label"), col("name")).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ner_ingest"  -> (textNerIngest _),
     "text_html_extract" -> (textHtmlExtract _),
     "text_pdf_segments" -> (textPdfSegments _),
     "text_ner_batch"   -> (textNerBatch _),
@@ -739,6 +796,41 @@ object Text {
           |  last_value(loc0 IGNORE NULLS) OVER (ORDER BY page, fmt
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS location
           |FROM loc""".stripMargin,
+      "text_ner_ingest" ->
+        """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+          |sp AS (SELECT doc_id, text,
+          |    CASE WHEN len(toks) >= 2 THEN
+          |      '(''' || CASE WHEN doc_id % 2 = 0 THEN 'PER' ELSE 'LOC' END || ''', ' ||
+          |      CAST(length(array_to_string(toks[1:1], ' ')) + 2 AS VARCHAR) || ', ' ||
+          |      CAST(length(array_to_string(toks[1:1], ' ')) + 1 + length(toks[2]) AS VARCHAR)
+          |      || ')' END AS s1,
+          |    CASE WHEN len(toks) >= 5 THEN
+          |      '(''ORG'', ' ||
+          |      CAST(length(array_to_string(toks[1:4], ' ')) + 2 AS VARCHAR) || ', ' ||
+          |      CAST(length(array_to_string(toks[1:4], ' ')) + 1 + length(toks[5]) AS VARCHAR)
+          |      || ')' END AS s2
+          |  FROM d),
+          |ann AS (SELECT doc_id, text,
+          |    '[' || coalesce(array_to_string(
+          |      list_filter([s1, s2], x -> x IS NOT NULL), ', '), '') || ']' AS annotation
+          |  FROM sp),
+          |ex AS (SELECT * FROM ann WHERE annotation <> '[]'),
+          |rws AS (SELECT doc_id, text,
+          |    unnest(string_split_regex(
+          |      regexp_replace(regexp_replace(annotation, '^\[\(', ''), '\)\]$', ''),
+          |      '\), \(')) AS a
+          |  FROM ex),
+          |f AS (SELECT doc_id, text,
+          |    replace(string_split(a, ', ')[1], chr(39), '') AS label,
+          |    CAST(string_split(a, ', ')[2] AS BIGINT) AS st,
+          |    CAST(string_split(a, ', ')[3] AS BIGINT) AS en
+          |  FROM rws),
+          |nm AS (SELECT doc_id, label,
+          |    replace(regexp_replace(
+          |      trim(substring(text, CAST(st AS INTEGER), CAST(en - st + 1 AS INTEGER))),
+          |      '„|“|\(|\)|^-|,$|^/|\.$', '', 'g'), '§§', '§') AS name
+          |  FROM f)
+          |SELECT DISTINCT doc_id, label, name FROM nm""".stripMargin,
       "text_ner_batch" ->
         """WITH gaz AS MATERIALIZED (
           |  SELECT DISTINCT unnest(string_split(lower(p_name), ' ')) AS term FROM part),

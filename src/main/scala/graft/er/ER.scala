@@ -906,7 +906,38 @@ object ER {
     graft.kg.Components.connectedComponents(edited, p)
   }
 
+  /** er_id_chain — the lobid flow's step 05
+    * (data-linking/lobid/05-fetch-wikidata-qid-from-gnd.R): chase the
+    * NEXT authority hop — every entity the cascade matched to a GND id
+    * queries the GND→Wikidata mapping, and a MISS is recorded as an
+    * explicit NA row ("make explicit if item has just not been
+    * searched for or no Wikidata item exists (is NA!!)" — the script's
+    * own emphasis): absence-of-evidence becomes a stored fact, so
+    * re-runs skip both hits and known misses. The GND→QID registry is
+    * synthesized deterministically (authority ids ≡ 0 mod 3 have no
+    * Wikidata twin; QIDs render from the id, the er_isbn pattern).
+    * `source_desc` is the script's literal provenance tag.
+    *
+    * Scale: one projection of the (memoized) cascade + ONE left
+    * equi-join against the registry — both sides authority-sized; the
+    * `found` verdict is a null check, no extra pass. */
+  def erIdChain(spark: SparkSession, dir: String): DataFrame = {
+    val matched = erLinkCascade(spark, dir)
+      .filter(col("auth_id").isNotNull)
+      .select(col("id"), col("auth_id").as("gnd_id"))
+    val registry = Tables.part(spark, dir)
+      .select((col("p_partkey") + lit(AuthBase)).cast("long").as("gnd_id"))
+      .filter(col("gnd_id") % 3 =!= 0)
+      .withColumn("wikidata_qid",
+        concat(lit("Q"), ((col("gnd_id") * 7) % 900000).cast("string")))
+    matched.join(registry, Seq("gnd_id"), "left_outer")
+      .select(col("id"), col("gnd_id"), col("wikidata_qid"),
+        col("wikidata_qid").isNotNull.as("found"),
+        lit("lobid via entity search using gnd_id").as("source_desc"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_id_chain"             -> (erIdChain _),
     "er_ngram_merge"          -> (erNgramMerge _),
     "er_disambiguate"         -> (erDisambiguate _),
     "er_confirmed_merges"     -> (erConfirmedMerges _),
@@ -1050,6 +1081,17 @@ object ER {
   }
 
   val oracles: Map[String, String] = Map(
+    "er_id_chain" ->
+      s"""WITH casc AS ($cascadeSql),
+         |matched AS (SELECT id, auth_id AS gnd_id FROM casc WHERE auth_id IS NOT NULL),
+         |registry AS (SELECT CAST(p_partkey + $AuthBase AS BIGINT) AS gnd_id,
+         |    'Q' || CAST((CAST(p_partkey + $AuthBase AS BIGINT) * 7) % 900000 AS VARCHAR)
+         |      AS wikidata_qid
+         |  FROM part WHERE (p_partkey + $AuthBase) % 3 <> 0)
+         |SELECT m.id, m.gnd_id, r.wikidata_qid,
+         |  r.wikidata_qid IS NOT NULL AS found,
+         |  'lobid via entity search using gnd_id' AS source_desc
+         |FROM matched m LEFT JOIN registry r USING (gnd_id)""".stripMargin,
     "er_ngram_merge" ->
       s"""WITH pool AS (
          |  SELECT 'books' AS src, CAST(p_partkey AS BIGINT) AS id, p_name AS label FROM part

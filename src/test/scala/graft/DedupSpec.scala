@@ -859,4 +859,43 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("ner_type") =!= "PRODUCT")
       .join(gaz, out("mention") === gaz("m")).count() == 0)
   }
+
+  test("text_ner_ingest: parsed spans slice real tokens; labels and parity rule hold") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.dedup.Text.textNerIngest(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, label, name) = (r.getLong(0), r.getString(1), r.getString(2))
+      val toks = docs(id).split(" ", -1)
+      assert(Set("PER", "LOC", "ORG")(label))
+      // the sliced mention is exactly the designated token (texts are
+      // clean words, so the punctuation trim is the identity here)
+      if (label == "ORG") assert(name == toks(4), s"doc $id ORG: '$name' vs '${toks(4)}'")
+      else {
+        assert(name == toks(1), s"doc $id $label: '$name' vs '${toks(1)}'")
+        assert(label == (if (id % 2 == 0) "PER" else "LOC"), "parity rule")
+      }
+    }
+    // short docs carry no ORG span; one-token docs are dropped entirely
+    val shortDocs = docs.filter(_._2.split(" ", -1).length < 5).keySet
+    assert(out.filter(r => shortDocs(r.getLong(0))).forall(_.getString(1) != "ORG"))
+  }
+
+  test("er_id_chain: every cascade match chains; misses are explicit NA rows") {
+    import graft.er.ER
+    val chain = ER.erIdChain(spark, sf).collect()
+    val matched = ER.erLinkCascade(spark, sf)
+      .filter(col("auth_id").isNotNull).count()
+    assert(chain.length == matched, "one chain row per cascade match, hits AND misses")
+    chain.foreach { r =>
+      val (gnd, qid, found) = (r.getLong(1), Option(r.getString(2)), r.getBoolean(3))
+      assert(found == qid.isDefined)
+      if (gnd % 3 == 0) assert(qid.isEmpty, "ids = 0 mod 3 have no Wikidata twin")
+      else assert(qid.contains("Q" + (gnd * 7 % 900000)))
+    }
+    assert(chain.exists(!_.getBoolean(3)) && chain.exists(_.getBoolean(3)),
+      "both hit and explicit-NA rows must occur")
+  }
 }
