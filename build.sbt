@@ -1,5 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// Source files carry non-ASCII literals (the ER de-ASCII translit map
+// and its umlaut probe rows) — pin the compiler charset.
+ThisBuild / scalacOptions ++= Seq("-encoding", "UTF-8")
 name := "removenalgbtiqqueerknowledgegraphspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

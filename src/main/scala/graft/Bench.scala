@@ -63,14 +63,36 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
 
-    val results = selected.map { case (name, fn) =>
+    val detailed = selected.map { case (name, fn) =>
       sweep()
       val cold = timed(name) { fn(spark, sfDir).count() }
       // warm reps reuse whatever the query itself caches/memoizes —
       // that is the definition of warm; the sweep runs only before cold
       val warms = (1 to reps).flatMap(_ => timed(name) { fn(spark, sfDir).count() })
+      name -> (cold.getOrElse(0.0), warms)
+    }
+    val results = detailed.map { case (name, (cold, warms)) =>
       val warmMedian = if (warms.isEmpty) 0.0 else warms.sorted.apply(warms.size / 2)
-      name -> (cold.getOrElse(0.0), warmMedian)
+      name -> (cold, warmMedian)
+    }
+
+    // Pin-proof artifact: the driver's round record keeps only a
+    // truncated tail of the stdout line, so a disputed number (round
+    // 10: kg_import_ttl 38 s driver vs 5.8 s re-run) can't be
+    // adjudicated from artifacts. Persist EVERY query's cold + each
+    // individual warm rep to a committed file, and surface the
+    // heaviest queries per-rep on stderr (stdout stays the driver's
+    // one-line contract).
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+    val fullJson = detailed.toSeq.sortBy(-_._2._1).map { case (name, (cold, warms)) =>
+      s"""  "$name": {"cold": $cold, "warm_reps": ${arr(warms)}}"""
+    }.mkString(s"""{\n "sf": "$sfDir", "reps": $reps, "cpus": $cpus,\n "queries": {\n""",
+      ",\n", "\n }\n}\n")
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    detailed.toSeq.sortBy(-_._2._1).take(20).foreach { case (name, (cold, warms)) =>
+      System.err.println(f"[bench] $name%-28s cold $cold%8.2f  warm_reps ${arr(warms)}")
     }
 
     def json(sel: ((Double, Double)) => Double): String =
@@ -78,7 +100,7 @@ object Bench {
     val totalCold = results.values.map(_._1).sum
     val totalWarm = results.values.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${json(_._1)},"queries_warm":${json(_._2)},"total_warm":$totalWarm,"failed":$failedJson,"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${json(_._1)},"queries_warm":${json(_._2)},"total_warm":$totalWarm,"failed":$failedJson,"reps":$reps,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

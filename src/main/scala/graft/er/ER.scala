@@ -35,13 +35,87 @@ import graft.util.Scale
   */
 object ER {
 
-  /** Shared name normalization: lower, strip punctuation, collapse
-    * whitespace — identical semantics to the SQL in [[normSql]]. */
+  /** de-ASCII digraph map applied on LOWERCASED text, the ICU
+    * `de-ASCII` transform's German-archive convention (ö→oe, never o)
+    * the reference runs before every fingerprint/authority search
+    * (open-refine-fingerprint.R:23, book-authors-viaf.R:21:
+    * `stringi::stri_trans_general(name, "de-ASCII; Latin-ASCII")` —
+    * its own comment: "remove `é` etc, but change Ö to OE instead of
+    * O"). A literal char map (the er_isbn replay-exactly pattern) so
+    * DuckDB replays it bit-for-bit: digraph targets first, then the
+    * one-to-one Latin-ASCII fold via `translate`. */
+  private val Digraphs: Seq[(String, String)] = Seq(
+    "ä" -> "ae", "ö" -> "oe", "ü" -> "ue", "ß" -> "ss",
+    "æ" -> "ae", "œ" -> "oe", "þ" -> "th")
+
+  /** One-to-one Latin-ASCII folds (ICU Latin-ASCII's Western-European
+    * accent strips). Positional map for `translate`; the require pins
+    * the two strings aligned. */
+  private val FoldPairs: Seq[(Char, Char)] = Seq(
+    "áàâãåāăą" -> 'a', "çćĉċč" -> 'c', "ďđð" -> 'd', "éèêëēĕėęě" -> 'e',
+    "ĝğġģ" -> 'g', "ĥħ" -> 'h', "íìîïĩīĭįı" -> 'i', "ĵ" -> 'j', "ķ" -> 'k',
+    "ĺļľŀł" -> 'l', "ñńņň" -> 'n', "óòôõøōŏő" -> 'o', "ŕŗř" -> 'r',
+    "śŝşš" -> 's', "ţťŧ" -> 't', "úùûũūŭůűų" -> 'u', "ŵ" -> 'w',
+    "ýÿŷ" -> 'y', "źżž" -> 'z').flatMap { case (from, to) => from.map(_ -> to) }
+  private val FoldFrom: String = FoldPairs.map(_._1).mkString
+  private val FoldTo: String = FoldPairs.map(_._2).mkString
+  require(FoldFrom.length == FoldTo.length, "translit fold map misaligned")
+
+  /** Transliterate lowercased text to ASCII, reference-faithfully:
+    * de-ASCII digraphs then the Latin-ASCII fold. "gödel" → "goedel",
+    * "müller" → "mueller", "société" → "societe". Pure codegen'd
+    * string expressions (replace chain + one translate), no UDF. */
+  def translit(c: Column): Column = {
+    val digraphed = Digraphs.foldLeft(c) { case (acc, (from, to)) =>
+      call_function("replace", acc, lit(from), lit(to))
+    }
+    translate(digraphed, FoldFrom, FoldTo)
+  }
+
+  def translitSql(s: String): String = {
+    val digraphed = Digraphs.foldLeft(s) { case (acc, (from, to)) =>
+      s"replace($acc, '$from', '$to')"
+    }
+    s"translate($digraphed, '$FoldFrom', '$FoldTo')"
+  }
+
+  /** Shared name normalization: lower, transliterate to ASCII
+    * ([[translit]] — the reference's de-ASCII; Latin-ASCII step the
+    * repo previously SKIPPED, deleting umlauts instead of folding
+    * them), strip remaining punctuation, collapse whitespace —
+    * identical semantics to the SQL in [[normSql]]. */
   def norm(c: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(trim(c)), "[^a-z0-9 ]", ""), " +", " "))
+    trim(regexp_replace(regexp_replace(translit(lower(trim(c))), "[^a-z0-9 ]", ""), " +", " "))
 
   def normSql(c: String): String =
-    s"trim(regexp_replace(regexp_replace(lower(trim($c)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(${translitSql(s"lower(trim($c))")}, '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+  /** Non-ASCII probe rows unioned into the fingerprint/merge pools so
+    * the sf0.01 DuckDB oracle actually EXERCISES the transliteration
+    * (the synthetic parquet vocabulary is pure ASCII, on which the
+    * de-ASCII step is a no-op). Each pair is the reference's umlaut
+    * scenario: the same person written with the German character in
+    * one source and the archive's ASCII digraph convention in the
+    * other — fingerprint-clusterable ONLY if ö folds to oe (the old
+    * delete-non-ASCII norm mapped "müller" → "mller", which can never
+    * collide with "mueller"). The oracle VALUES clause renders from
+    * the same constants (build.sbt pins -encoding UTF-8). */
+  private[graft] val UmlautRows: Seq[(String, Long, String)] = Seq(
+    ("books", 9000001L, "Kurt Gödel"),
+    ("posters", 9000002L, "Goedel, Kurt"),
+    ("books", 9000003L, "Müller, Heiner"),
+    ("posters", 9000004L, "Heiner Mueller"),
+    ("books", 9000005L, "Günter Straße"),
+    ("posters", 9000006L, "Strasse, Günter"),
+    ("books", 9000007L, "Société Æon Käthe"),
+    ("posters", 9000008L, "Kaethe Aeon, Societe"))
+
+  private def umlautPool(spark: SparkSession): DataFrame =
+    spark.createDataFrame(UmlautRows).toDF("src", "id", "label")
+
+  private def umlautPoolSql: String =
+    UmlautRows.map { case (s, i, l) => s"('$s', CAST($i AS BIGINT), '$l')" }
+      .mkString("(VALUES ", ", ", ")")
 
   /** Mention pool: entity labels from three sources. */
   private def mentions(spark: SparkSession, dir: String): DataFrame = {
@@ -426,7 +500,7 @@ object ER {
     val posters = p.select(lit("posters").as("src"),
       (col("p_partkey") + lit(1000000L)).as("id"),
       concat_ws(", ", reverse(split(col("p_name"), " "))).as("label"))
-    val pool = books.unionAll(posters)
+    val pool = books.unionAll(posters).unionAll(umlautPool(spark))
     pool
       .withColumn("fingerprint", array_join(array_sort(array_distinct(
         filter(split(norm(col("label")), " "), x => x =!= lit("")))), " "))
@@ -736,7 +810,7 @@ object ER {
       .select(lit("typos").as("src"), (col("p_partkey") + lit(2000000L)).as("id"),
         concat(substring(col("p_name"), 1, 2),
           col("p_name").substr(lit(2), length(col("p_name")))).as("label"))
-    val pool = books.unionAll(posters).unionAll(typos)
+    val pool = books.unionAll(posters).unionAll(typos).unionAll(umlautPool(spark))
 
     // pass 1: token-fingerprint key collision with the ignore list
     val t1 = pool.withColumn("fp1",
@@ -860,8 +934,13 @@ object ER {
       .withColumn("max_sim", max(col("similarity")).over(wId))
     sims.filter(col("similarity") === col("max_sim"))
       .withColumn("lastname", when(col("is_person"), regexp_extract(col("a_label"), "^(.+),", 1)))
+      // a comma-less person label extracts '' (the Rmd's str_extract
+      // yields NA there and maps to not_passed; contains(name, '') is
+      // vacuously true, so the empty case must short-circuit first —
+      // disambiguate-entities.Rmd:98–103)
       .withColumn("lastname_check",
         when(!col("is_person"), "not_relevant")
+          .when(col("lastname") === "", "not_passed")
           .when(col("name").contains(col("lastname")), "passed")
           .otherwise("not_passed"))
       .filter(col("lastname_check") =!= "not_passed")
@@ -1098,7 +1177,8 @@ object ER {
          |  UNION ALL SELECT 'posters', CAST(p_partkey + 1000000 AS BIGINT),
          |    array_to_string(list_reverse(string_split(p_name, ' ')), ', ') FROM part
          |  UNION ALL SELECT 'typos', CAST(p_partkey + 2000000 AS BIGINT),
-         |    substring(p_name, 1, 2) || substring(p_name, 2) FROM part WHERE p_partkey % 11 = 0),
+         |    substring(p_name, 1, 2) || substring(p_name, 2) FROM part WHERE p_partkey % 11 = 0
+         |  UNION ALL SELECT * FROM $umlautPoolSql AS u(src, id, label)),
          |t1 AS (SELECT src, id, label,
          |    coalesce(array_to_string(list_sort(list_distinct(list_filter(
          |      string_split(${normSql("label")}, ' '),
@@ -1178,6 +1258,7 @@ object ER {
          |atmax AS (SELECT *, max(similarity) OVER (PARTITION BY id) AS max_sim FROM sims),
          |chk AS (SELECT *,
          |    CASE WHEN NOT is_person THEN 'not_relevant'
+         |         WHEN regexp_extract(a_label, '^(.+),', 1) = '' THEN 'not_passed'
          |         WHEN contains(name, regexp_extract(a_label, '^(.+),', 1)) THEN 'passed'
          |         ELSE 'not_passed' END AS lastname_check
          |  FROM atmax WHERE similarity = max_sim)
@@ -1245,7 +1326,9 @@ object ER {
          |  SELECT 'books' AS src, CAST(p_partkey AS BIGINT) AS id, p_name AS label FROM part
          |  UNION ALL
          |  SELECT 'posters', CAST(p_partkey + 1000000 AS BIGINT),
-         |    array_to_string(list_reverse(string_split(p_name, ' ')), ', ') FROM part),
+         |    array_to_string(list_reverse(string_split(p_name, ' ')), ', ') FROM part
+         |  UNION ALL
+         |  SELECT * FROM $umlautPoolSql AS u(src, id, label)),
          |fp AS (SELECT src, id,
          |    array_to_string(list_sort(list_distinct(
          |      list_filter(string_split(${normSql("label")}, ' '), x -> x <> ''))), ' ')

@@ -266,21 +266,29 @@ object Rdf {
         col("obj").substr(lit(2), length(col("obj")) - length(col("sfx")) - lit(2))))
     val predIri = col("predt").substr(lit(2), length(col("predt")) - 2)
     val langArm = col("sfx").rlike("^@[a-z]+$")
-    body.select(
-      (nsNum(regexp_extract(col("subj"), subjRe, 1)) * NS +
-        regexp_extract(col("subj"), subjRe, 2).cast("long")).as("s"),
-      when(predIri === RdfType, lit("a"))
-        .otherwise(call_function("replace", predIri, lit(s"${Base}prop/"), lit("")))
-        .as("p"),
-      when(regexp_extract(col("obj"), classRe, 1) === "" &&
-          regexp_extract(col("obj"), entRe, 1) =!= "",
-        nsNum(regexp_extract(col("obj"), entRe, 1)) * NS +
-          regexp_extract(col("obj"), entRe, 2).cast("long")).as("o_id"),
-      when(regexp_extract(col("obj"), classRe, 1) =!= "",
-        regexp_extract(col("obj"), classRe, 1))
-        .when(col("litOk"), unesc(col("qbody")))
-        .as("o_val"),
-      when(langArm, col("sfx").substr(lit(2), length(col("sfx")) - 1)).as("lang"))
+    // each regexp extract lands in its OWN projection layer first and
+    // is referenced (not re-evaluated) downstream: nsNum expands to a
+    // 6-arm CASE, so an inlined extract would be re-run per arm —
+    // CollapseProject keeps the boundary for multi-use non-cheap
+    // expressions, which both bounds the codegen tree (the 64 KB
+    // cliff this file used to ride) and evaluates each regex once
+    body
+      .withColumn("sseg", regexp_extract(col("subj"), subjRe, 1))
+      .withColumn("eseg", regexp_extract(col("obj"), entRe, 1))
+      .withColumn("cseg", regexp_extract(col("obj"), classRe, 1))
+      .select(
+        (nsNum(col("sseg")) * NS +
+          regexp_extract(col("subj"), subjRe, 2).cast("long")).as("s"),
+        when(predIri === RdfType, lit("a"))
+          .otherwise(call_function("replace", predIri, lit(s"${Base}prop/"), lit("")))
+          .as("p"),
+        when(col("cseg") === "" && col("eseg") =!= "",
+          nsNum(col("eseg")) * NS +
+            regexp_extract(col("obj"), entRe, 2).cast("long")).as("o_id"),
+        when(col("cseg") =!= "", col("cseg"))
+          .when(col("litOk"), unesc(col("qbody")))
+          .as("o_val"),
+        when(langArm, col("sfx").substr(lit(2), length(col("sfx")) - 1)).as("lang"))
   }
 
   /** Parse Turtle lines (one `ttl` string column, `@prefix` header
@@ -361,13 +369,17 @@ object Rdf {
       // never declared drops the row (it must not survive as a
       // corrupted no-object statement)
       .filter(col("opref") === "" || col("o_iri").isNotNull)
+      // extract-once layer (see parseNt): nsNum's 6-arm CASE must
+      // reference these, never re-evaluate them per arm
+      .withColumn("sseg", seg(col("s_iri")))
+      .withColumn("oseg", seg(col("o_iri")))
       .select(
-        (nsNum(seg(col("s_iri"))) * NS + col("skey").cast("long")).as("s"),
+        (nsNum(col("sseg")) * NS + col("skey").cast("long")).as("s"),
         when(col("pred") === "a", lit("a"))
           .otherwise(call_function("replace", col("pred"), lit("prop:"), lit("")))
           .as("p"),
         when(col("pred") =!= "a" && col("opref") =!= "",
-          nsNum(seg(col("o_iri"))) * NS + col("okey").cast("long")).as("o_id"),
+          nsNum(col("oseg")) * NS + col("okey").cast("long")).as("o_id"),
         when(col("pred") === "a", regexp_extract(col("obj"), "^[a-z]+:([a-z]+)$", 1))
           .when(col("litOk"), unesc(col("qbody")))
           .as("o_val"),

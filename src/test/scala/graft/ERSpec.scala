@@ -148,10 +148,37 @@ class ERSpec extends SparkSpec {
       val toks = f.split(" ")
       assert(toks.sorted.sameElements(toks) && toks.distinct.length == toks.length, f)
     }
-    // cluster mass accounts for the whole pool (every id lands somewhere)
+    // cluster mass accounts for the whole pool (every id lands
+    // somewhere), including the 8 injected umlaut probe rows
     val nParts = graft.sources.Tables.part(spark, sf).count()
-    assert(rows.map(_.getLong(1)).sum == 2 * nParts,
-      "books + posters ids must all fall into some collision cluster")
+    assert(rows.map(_.getLong(1)).sum == 2 * nParts + graft.er.ER.UmlautRows.size,
+      "books + posters + umlaut-probe ids must all fall into some collision cluster")
+  }
+
+  test("translit: de-ASCII digraphs + Latin-ASCII fold, reference-faithful") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the reference's own examples: open-refine-fingerprint.R's
+    // "gödel", book-authors-viaf.R's "change Ö to OE instead of O"
+    val got = Seq("Kurt Gödel", "MÜLLER, Heiner", "Günter Straße", "Société Æon Œuvre", "ASCII stays 1-1")
+      .toDF("s").select(graft.er.ER.norm(col("s")).as("n")).as[String].collect()
+    assert(got(0) == "kurt goedel")
+    assert(got(1) == "mueller heiner")
+    assert(got(2) == "guenter strasse")
+    assert(got(3) == "societe aeon oeuvre")
+    assert(got(4) == "ascii stays 11") // punctuation/space rules unchanged
+  }
+
+  test("fingerprint: umlaut and digraph spellings of the same person cluster together") {
+    val rows = graft.er.ER.erFingerprint(spark, sf).collect()
+    // "Kurt Gödel" (books) and "Goedel, Kurt" (posters) must land in
+    // one cluster keyed by the transliterated sorted-token fingerprint
+    val goedel = rows.find(_.getString(0) == "goedel kurt")
+    assert(goedel.isDefined, "Gödel/Goedel must collide after de-ASCII")
+    assert(goedel.get.getLong(1) == 2L && goedel.get.getLong(2) == 2L)
+    val mueller = rows.find(_.getString(0) == "heiner mueller")
+    assert(mueller.isDefined, "Müller/Mueller must collide after de-ASCII")
+    assert(mueller.get.getLong(3) == 9000003L, "canonical = min id of the pair")
   }
 
   test("isbn: mod-11 verdicts match ground truth; normalized ISBN-13s re-validate") {

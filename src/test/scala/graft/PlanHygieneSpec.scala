@@ -90,16 +90,32 @@ class PlanHygieneSpec extends SparkSpec {
   // fails loudly where the runtime would silently fall back.
   test("every whole-stage codegen stage compiles under the JVM method limit") {
     import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
-    import org.apache.spark.sql.execution.{SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.{ApplyColumnarRulesAndInsertTransitions, CollapseCodegenStages, SparkPlan, WholeStageCodegenExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val limit = spark.sessionState.conf.hugeMethodLimit
+    // ROUND-11 BLIND-SPOT FIX: an UNEXECUTED AdaptiveSparkPlanExec
+    // carries NO WholeStageCodegenExec nodes at all — AQE applies
+    // CollapseCodegenStages per query stage at materialization time,
+    // so `a.executedPlan` pre-execution is codegen-free and the old
+    // gate silently compiled ZERO stages for every shuffling query
+    // (measured: q1_agg, kg_bgp_join, er_fingerprint, dedup_minhash_lsh
+    // all reported 0 stages). Apply the same postStageCreationRules
+    // AQE would (columnar transitions FIRST — a collapsed stage over a
+    // bare columnar scan generates row-reader code that explodes at
+    // subquery execution), so the gate sees what executors compile.
+    def collapse(p: SparkPlan): SparkPlan =
+      CollapseCodegenStages()(ApplyColumnarRulesAndInsertTransitions(
+        spark.sessionState.columnarRules, outputsColumnar = false)(p))
     def stages(p: SparkPlan): Seq[WholeStageCodegenExec] = p.collectWithSubqueries {
       case w: WholeStageCodegenExec => Seq(w)
-      case a: AdaptiveSparkPlanExec => stages(a.executedPlan)
+      case a: AdaptiveSparkPlanExec => stages(collapse(a.executedPlan))
     }.flatten
     val offenders = scala.collection.mutable.ListBuffer[String]()
+    var totalStages = 0
     SparkEntry.queries.foreach { case (name, fn) =>
-      stages(fn(spark, sf).queryExecution.executedPlan).foreach { w =>
+      val found = stages(fn(spark, sf).queryExecution.executedPlan)
+      totalStages += found.size
+      found.foreach { w =>
         try {
           val (_, source) = w.doCodeGen()
           val (_, byteStats) = CodeGenerator.compile(source)
@@ -112,7 +128,16 @@ class PlanHygieneSpec extends SparkSpec {
         }
       }
     }
+    // the no-op regression guard: if a Spark upgrade moves the codegen
+    // hook again, fail loudly instead of green-compiling nothing
+    assert(totalStages > SparkEntry.queries.size,
+      s"gate saw only $totalStages codegen stages across ${SparkEntry.queries.size} " +
+        "queries — the stage-collection hook has gone blind again")
     assert(offenders.isEmpty,
       s"silent codegen fallback would fire for:\n  ${offenders.mkString("\n  ")}")
+  }
+
+  test("no runtime codegen compile failure was logged by any suite so far") {
+    SparkSpec.assertNoCodegenFallback("PlanHygieneSpec")
   }
 }

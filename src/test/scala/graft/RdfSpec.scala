@@ -92,9 +92,16 @@ class RdfSpec extends SparkSpec {
     assert(viaTtl.exceptAll(viaNt).count() == 0 && viaNt.exceptAll(viaTtl).count() == 0,
       "the two serializations must decode to the same statement multiset")
     // the prefix header is load-bearing: drop the customer prefix row
-    // and exactly the customer-SUBJECT rows disappear (strict parser)
+    // and exactly the customer-SUBJECT rows disappear (strict parser).
+    // The crippled lines are MATERIALIZED before parsing, exactly as
+    // kgImportTtl's linesMemo does for its own input: parseTtl over a
+    // live render pipeline is the documented fused-render anti-pattern
+    // (CollapseProject + filter pushdown substitute the whole
+    // render+parse tree into every downstream predicate — the
+    // o_id/o_val strictness count below rode that straight past the
+    // 64 KB codegen cliff, 23 silent interpreted fallbacks)
     val full = Rdf.kgExportTtl(spark, sf)
-    val crippled = full.filter(!col("ttl").startsWith("@prefix customer:"))
+    val crippled = full.filter(!col("ttl").startsWith("@prefix customer:")).localCheckpoint()
     val parsed = Rdf.parseTtl(crippled)
     val cust = (c: org.apache.spark.sql.Column) =>
       c >= 3L * Triples.NS && c < 4L * Triples.NS
@@ -156,5 +163,12 @@ class RdfSpec extends SparkSpec {
       assert(exchanges <= distinctBranches * 2,
         s"export should add no shuffle beyond the store's DISTINCT branches:\n$plan")
     }
+  }
+
+  test("no silent codegen fallback fired anywhere in this suite's compositions") {
+    // the round-10 blind spot: the per-query gate can't see plans that
+    // only exist inside specs (render→parse→exceptAll compositions);
+    // this catches the runtime janino ERROR those plans would log
+    SparkSpec.assertNoCodegenFallback("RdfSpec")
   }
 }
