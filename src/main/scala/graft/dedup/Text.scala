@@ -480,11 +480,24 @@ object Text {
     * no per-row model setup); the dictionary is vocabulary-bounded and
     * broadcast (the text_mentions contract); output is ∝ mention
     * count. The driver-side collect is the model ARTIFACT, not data. */
+  /** Hard bound on the broadcast NER dictionary. The collect below is
+    * a model ARTIFACT by contract, but it is DERIVED from the part
+    * vocabulary, which the scale generator deliberately grows with the
+    * data — without a bound the "artifact" quietly becomes data-sized
+    * and creeps on driver memory. 2^21 terms ≈ a large production
+    * gazetteer (a spaCy vocab is well under 1M entries); past it the
+    * dictionary should ship as a broadcast-joined FRAME, not a set. */
+  val NerGazetteerCap: Int = 1 << 21
+
   def textNerBatch(spark: SparkSession, dir: String): DataFrame = {
     val sess = spark; import sess.implicits._
     val gazetteer = Tables.part(spark, dir)
       .select(explode(split(lower(col("p_name")), " ")).as("term"))
       .distinct().as[String].collect()
+    require(gazetteer.length <= NerGazetteerCap,
+      s"NER gazetteer has ${gazetteer.length} terms > cap $NerGazetteerCap — " +
+        "the model artifact has become data-sized; ship the dictionary as a " +
+        "broadcast-joined frame (the text_mentions shape) instead of a driver set")
     val gazB = spark.sparkContext.broadcast(gazetteer.toSet)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)]

@@ -746,6 +746,63 @@ object ER {
         min(col("score")).as("min_score"),
         max(col("score")).as("max_score"))
 
+  /** Candidate fan-out parameters for [[erViafLink]]'s synthesized
+    * suggest responses (the er_disambiguate fan pattern). */
+  private val ViafStride = 37L
+  private val ViafDomain = 1000003L
+
+  /** er_viaf_link — the reference's VIAF suggest-by-name authority
+    * linking (data-linking/book-authors-viaf.R), the one data-linking
+    * script whose accounting differs from the lobid cascade's
+    * anti-join carry-forward: per author the API returns scored
+    * candidate records across source SCHEMES; the script keeps DNB
+    * rows only (line 53), keeps ALL candidates tied at the per-author
+    * MAX score (`filter(score == max(score))`, 55–56 — ties survive,
+    * unlike a top-1 window), distincts the id/viaf/gnd triple (57),
+    * RIGHT-JOINS back to the full author table (59 — the coverage
+    * accounting frame), then drops single-token author names
+    * ("problematic, when single names like tony" — line 65) and the
+    * unmatched NA rows before import. The suggest response is
+    * synthesized deterministically (the er_isbn replay pattern): a
+    * bounded per-author candidate fan with arithmetic viaf/gnd ids,
+    * a 3-cycle scheme tag, and an integer score the oracle replays
+    * exactly. Name transliteration before the search
+    * (book-authors-viaf.R:21) is the shared [[translit]] fold,
+    * oracle-exercised in er_fingerprint.
+    *
+    * Scale: the fan is ≤ 4 candidate rows per author (suggest
+    * responses are API-page-sized by construction), the max-score
+    * keep is one window over the high-cardinality author id, and the
+    * right-join-back is an equi-join on (id, author) — no
+    * low-cardinality key anywhere, nothing collected. */
+  def erViafLink(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val authors = p.select(col("p_partkey").cast("long").as("id"),
+      when(col("p_partkey") % 13 === 0, split(col("p_name"), " ").getItem(0))
+        .otherwise(col("p_name")).as("author"))
+    val fan = authors
+      .withColumn("c", explode(sequence(lit(0L), (col("id") * 3) % 4)))
+      .withColumn("apk", (col("id") + col("c") * lit(ViafStride)) % lit(ViafDomain))
+    val cand = fan.select(col("id"), col("author"),
+      concat(lit("viaf"), (col("apk") + 500000L).cast("string")).as("viaf_id"),
+      when(col("apk") % 3 === 0, "DNB").when(col("apk") % 3 === 1, "LC")
+        .otherwise("WKP").as("scheme"),
+      concat(lit("gnd"), col("apk").cast("string")).as("gnd_id"),
+      // modulus 21 divides 7 * (3 * ViafStride), so an author's two
+      // DNB candidates (apk diff 3*stride) TIE — the keep-ties
+      // semantics below is observable, not top-1 in disguise
+      ((col("id") + col("apk") * 7) % 21).cast("int").as("score"))
+    val wId = Window.partitionBy(col("id"))
+    val keep = cand.filter(col("scheme") === "DNB")
+      .withColumn("mx", max(col("score")).over(wId))
+      .filter(col("score") === col("mx"))
+      .select("id", "author", "viaf_id", "gnd_id", "score").distinct()
+    keep.join(authors, Seq("id", "author"), "right_outer")
+      .filter(col("author").contains(" ") && col("viaf_id").isNotNull)
+      .select(col("id").as("author_id"), col("author"), col("viaf_id"),
+        col("gnd_id"), col("score"))
+  }
+
   /** Generic-modifier ignore list for [[erNgramMerge]] — the analogue
     * of the reference's `c("university", "college", "u", "of",
     * "institute", "inst")` (misc-refiner.R:18): tokens so common they
@@ -1016,6 +1073,7 @@ object ER {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_viaf_link"            -> (erViafLink _),
     "er_id_chain"             -> (erIdChain _),
     "er_ngram_merge"          -> (erNgramMerge _),
     "er_disambiguate"         -> (erDisambiguate _),
@@ -1286,6 +1344,30 @@ object ER {
          |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
          |  SELECT src, node FROM r)
          |SELECT src AS id, min(node) AS comp FROM reach GROUP BY src""".stripMargin,
+    "er_viaf_link" ->
+      s"""WITH authors AS (SELECT CAST(p_partkey AS BIGINT) AS id,
+         |    CASE WHEN p_partkey % 13 = 0 THEN string_split(p_name, ' ')[1]
+         |         ELSE p_name END AS author
+         |  FROM part),
+         |fan AS (SELECT id, author,
+         |    unnest(list_transform(range(0, (id * 3) % 4 + 1),
+         |      c -> (id + c * $ViafStride) % $ViafDomain)) AS apk
+         |  FROM authors),
+         |cand AS (SELECT id, author,
+         |    'viaf' || CAST(apk + 500000 AS VARCHAR) AS viaf_id,
+         |    CASE WHEN apk % 3 = 0 THEN 'DNB' WHEN apk % 3 = 1 THEN 'LC'
+         |         ELSE 'WKP' END AS scheme,
+         |    'gnd' || CAST(apk AS VARCHAR) AS gnd_id,
+         |    CAST((id + apk * 7) % 21 AS INTEGER) AS score
+         |  FROM fan),
+         |keep AS (SELECT id, author, viaf_id, gnd_id, score FROM (
+         |    SELECT *, max(score) OVER (PARTITION BY id) AS mx
+         |    FROM cand WHERE scheme = 'DNB') WHERE score = mx),
+         |dist AS (SELECT DISTINCT id, author, viaf_id, gnd_id, score FROM keep),
+         |rj AS (SELECT a.id, a.author, d.viaf_id, d.gnd_id, d.score
+         |       FROM dist d RIGHT JOIN authors a USING (id, author))
+         |SELECT id AS author_id, author, viaf_id, gnd_id, score
+         |FROM rj WHERE contains(author, ' ') AND viaf_id IS NOT NULL""".stripMargin,
     "er_link_cascade" -> cascadeSql,
     "er_link_report" ->
       s"""SELECT strategy, priority, count(*) AS n_entities,

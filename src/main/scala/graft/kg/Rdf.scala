@@ -405,13 +405,29 @@ object Rdf {
   private val linesMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
+  /** Memoize + checkpoint + PIN: the checkpoint is registered with
+    * [[graft.util.Checkpoints.pin]] so a consumer running the
+    * documented freeAll-after-draining convention on a derived import
+    * result cannot free the memo's blocks out from under the next
+    * kgImport* call in the same session (round-10 ADVICE). */
+  private def memoLines(spark: SparkSession, dir: String, fmt: String,
+      render: => DataFrame): DataFrame =
+    linesMemo.getOrElseUpdate((spark, dir, fmt), {
+      val cp = render.localCheckpoint(eager = true)
+      graft.util.Checkpoints.pin(cp)
+      cp
+    })
+
   /** Drop the memoized rendered-lines checkpoints; their RDDs free
-    * via the ContextCleaner once unreferenced. */
-  def resetMemo(): Unit = linesMemo.clear()
+    * via the ContextCleaner once unreferenced (unpinned first so
+    * sweepers may unpersist them immediately). */
+  def resetMemo(): Unit = {
+    linesMemo.values.foreach(graft.util.Checkpoints.unpin)
+    linesMemo.clear()
+  }
 
   def kgImportTtl(spark: SparkSession, dir: String): DataFrame =
-    parseTtl(linesMemo.getOrElseUpdate((spark, dir, "ttl"),
-      kgExportTtl(spark, dir).localCheckpoint(eager = true)))
+    parseTtl(memoLines(spark, dir, "ttl", kgExportTtl(spark, dir)))
 
   /** kg_import_nt — the INVERSE serialization: [[kgExportNt]]'s lines
     * parsed back into statements, closing the full modeling round trip
@@ -433,8 +449,7 @@ object Rdf {
     * `spark.read.text` (a scan, nothing to collapse) and needs no
     * checkpoint. */
   def kgImportNt(spark: SparkSession, dir: String): DataFrame =
-    parseNt(linesMemo.getOrElseUpdate((spark, dir, "nt"),
-      kgExportNt(spark, dir).localCheckpoint(eager = true)))
+    parseNt(memoLines(spark, dir, "nt", kgExportNt(spark, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_export_nt"     -> (kgExportNt _),

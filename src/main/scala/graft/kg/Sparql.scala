@@ -2321,7 +2321,12 @@ object Sparql {
         predAliases, entityAliases, autoLang, graphs)
       require(sel.schema(dvar).dataType.typeName == "long",
         s"DESCRIBE ?$dvar is literal-typed — DESCRIBE resolves entities")
-      val seedFrame = sel.select(dvar).distinct().localCheckpoint()
+      // nulls (an OPTIONAL-bound describe var) must drop IDENTICALLY in
+      // both paths: unfiltered, the isin arm would getLong(0) a null
+      // row into a spurious 0L seed while the semi-join arm silently
+      // never matches it (round-10 ADVICE)
+      val seedFrame =
+        sel.select(dvar).filter(col(dvar).isNotNull).distinct().localCheckpoint()
       val st = Triples.statements(spark, dir)
       if (seedFrame.count() <= seedCap) {
         val seeds = seedFrame.collect().map(_.getLong(0)).toSeq

@@ -68,6 +68,37 @@ class CheckpointsSpec extends SparkSpec {
       s"resetMemo left sweep blocks live: baseline $baseline0 -> $live")
   }
 
+  test("freeAll skips memo-pinned leaves; unpin releases them") {
+    val sess = spark; import sess.implicits._
+    val memoCp = (1 to 50).toDF("x").localCheckpoint(eager = true)
+    Checkpoints.pin(memoCp)
+    val derived = memoCp.select((col("x") * 2).as("y")).localCheckpoint(eager = true)
+    // the consumer convention: drain a derived result, freeAll it —
+    // this must free the derived checkpoint but NOT the pinned memo
+    Checkpoints.freeAll(derived.select(col("y") + 1))
+    assert(memoCp.count() == 50, "pinned memo checkpoint must survive freeAll")
+    // the round-10 footgun shape: freeAll over a plan READING the memo
+    Checkpoints.freeAll(memoCp.select(col("x") * 3))
+    assert(memoCp.count() == 50, "memo must survive freeAll through a derived reader")
+    Checkpoints.unpin(memoCp)
+    val before = live
+    Checkpoints.free(memoCp)
+    assert(live == before - 1, "unpinned memo checkpoint frees normally")
+  }
+
+  test("rdf import memo survives a consumer's freeAll; resetMemo still reclaims") {
+    import graft.kg.Rdf
+    Rdf.resetMemo()
+    val imp = Rdf.kgImportTtl(spark, sf)
+    val n = imp.count()
+    // the documented consumer convention on a drained result
+    Checkpoints.freeAll(imp)
+    // the memoized lines must still be readable by the next import
+    assert(Rdf.kgImportTtl(spark, sf).count() == n,
+      "second import in the same session must reuse live memo blocks")
+    Rdf.resetMemo()
+  }
+
   test("free is a no-op on derived frames and only frees checkpoint roots") {
     val sess = spark; import sess.implicits._
     val cp = (1 to 100).toDF("x").localCheckpoint(eager = true)

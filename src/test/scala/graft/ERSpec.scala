@@ -246,6 +246,26 @@ class ERSpec extends SparkSpec {
     assert(strategies.size >= 3, s"expected >=3 strategies to fire, got $strategies")
   }
 
+  test("er_viaf_link: max-score ties kept, single names dropped, triple unique") {
+    val rows = graft.er.ER.erViafLink(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the import's uniqueness contract (book-authors-viaf.R's
+    // expect_unique on author_id/viaf_id/gnd_id)
+    val triples = rows.map(r => (r.getLong(0), r.getString(2), r.getString(3)))
+    assert(triples.distinct.length == triples.length, "triple must be unique")
+    // single-token author names never survive the cleanup
+    assert(rows.forall(_.getString(1).contains(" ")), "single names must drop")
+    // keep-ALL-at-max semantics: every author's surviving scores equal
+    // their max (ties produce >1 row, unlike a top-1 window)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val scores = rs.map(_.getInt(4)).toSet
+      assert(scores.size == 1, s"all surviving rows must share the max score: $rs")
+    }
+    // and ties really occur somewhere (the keep is not top-1 in disguise)
+    assert(rows.groupBy(_.getLong(0)).exists(_._2.length > 1),
+      "expected at least one max-score tie in the pool")
+  }
+
   test("er_link_report: per-strategy accounting sums to the book universe") {
     val rep = ER.erLinkReport(spark, sf).collect()
     val n = spark.read.parquet(s"$sf/part.parquet").count()

@@ -735,6 +735,28 @@ class SparqlSpec extends SparkSpec {
     assert(plan.contains("LeftSemi"), s"expected semi-join shape, got:\n$plan")
   }
 
+  test("runDescribe: OPTIONAL-null solutions drop identically in the isin and semi-join paths") {
+    // ?x is OPTIONAL-bound: every labeled non-nation subject yields a
+    // null ?x row. Unfiltered, the isin path would getLong(0) those
+    // into a spurious 0L seed while the semi-join path silently drops
+    // them (round-10 ADVICE) — both paths must now equal the describe
+    // of exactly the NON-NULL seed set (the in_region objects).
+    val text =
+      """DESCRIBE ?x WHERE { ?s label ?lbl . OPTIONAL { ?s in_region ?x } }"""
+    val isin = Sparql.runDescribe(spark, sf, text)
+    val fallback = Sparql.runDescribe(spark, sf, text, seedCap = 0L)
+    val st = graft.kg.Triples.statements(spark, sf)
+    val seeds = st.filter(col("p") === "in_region")
+      .select("o_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(seeds.nonEmpty)
+    val expected = st.filter(col("s").isin(seeds.toSeq: _*) ||
+      col("o_id").isin(seeds.toSeq: _*)).count()
+    assert(isin.count() == expected, "isin path must describe only non-null seeds")
+    assert(fallback.count() == expected)
+    assert(isin.exceptAll(fallback).isEmpty && fallback.exceptAll(isin).isEmpty,
+      "null-seed handling must not diverge between the two DESCRIBE plans")
+  }
+
   test("kg_sparql_nitems: wikibase:statements meta-predicate = per-item statement census") {
     val st = graft.kg.Triples.statements(spark, sf)
     val got = Sparql.kgSparqlNitems(spark, sf).collect()

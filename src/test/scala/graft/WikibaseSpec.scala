@@ -199,4 +199,10 @@ class WikibaseSpec extends SparkSpec {
       assert(lbl == rows.map(_._3).min)
     }
   }
+
+  test("no silent codegen fallback fired in any suite run before this point") {
+    // this suite sorts near the end of the run, so the JVM-wide janino
+    // error counter has seen (almost) every composed plan by now
+    SparkSpec.assertNoCodegenFallback("WikibaseSpec")
+  }
 }
