@@ -451,6 +451,21 @@ object Rdf {
   def kgImportNt(spark: SparkSession, dir: String): DataFrame =
     parseNt(memoLines(spark, dir, "nt", kgExportNt(spark, dir)))
 
+  /** PRODUCTION-path imports: lines come from shipped files
+    * (`spark.read.text` — a leaf scan with nothing to collapse, so no
+    * memo/checkpoint is needed or taken). This is the contract the
+    * memoized render-round-trip imports above stand in for when the
+    * store must prove `parse(render(x)) = x` self-contained; a real
+    * deployment reading `.nt`/`.ttl` dumps calls THESE. RdfSpec
+    * round-trips export → [[graft.sources.Ingest.writeText]] → file
+    * import and asserts multiset equality with the in-session path;
+    * tools/ABTime benches the two paths separately (SURVEY §5). */
+  def kgImportNtFile(spark: SparkSession, path: String): DataFrame =
+    parseNt(spark.read.text(path).withColumnRenamed("value", "nt"))
+
+  def kgImportTtlFile(spark: SparkSession, path: String): DataFrame =
+    parseTtl(spark.read.text(path).withColumnRenamed("value", "ttl"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_export_nt"     -> (kgExportNt _),
     "kg_export_ttl"    -> (kgExportTtl _),

@@ -602,31 +602,57 @@ object Sparql {
     * first step, round 10) the SPARQL 1.1 path surface is complete
     * except negated sets with inverse arms and nested path
     * alternation — those still throw, never a silently wrong plan. */
-  private[kg] def parsePath(raw: String): Seq[PathStep] = {
-    def stripParens(s0: String): String = {
-      var s = s0.trim
-      var go = true
-      while (go && s.startsWith("(") && s.endsWith(")")) {
-        // strip only if the outer parens match EACH OTHER
-        var d = 0; var outer = true
-        s.zipWithIndex.foreach { case (c, i) =>
-          if (c == '(') d += 1
-          else if (c == ')') { d -= 1; if (d == 0 && i < s.length - 1) outer = false }
-        }
-        if (outer && d == 0) s = s.drop(1).dropRight(1).trim else go = false
+  private def stripParens(s0: String): String = {
+    var s = s0.trim
+    var go = true
+    while (go && s.startsWith("(") && s.endsWith(")")) {
+      // strip only if the outer parens match EACH OTHER
+      var d = 0; var outer = true
+      s.zipWithIndex.foreach { case (c, i) =>
+        if (c == '(') d += 1
+        else if (c == ')') { d -= 1; if (d == 0 && i < s.length - 1) outer = false }
       }
-      s
+      if (outer && d == 0) s = s.drop(1).dropRight(1).trim else go = false
     }
-    val t = stripParens(raw)
+    s
+  }
+
+  /** Split on `sep` at paren depth 0. */
+  private def splitTop(t: String, sep: Char): Seq[String] = {
     val segs = scala.collection.mutable.ListBuffer[String]()
     val sb = new StringBuilder; var d = 0
     t.foreach { c =>
       if (c == '(') { d += 1; sb += c }
       else if (c == ')') { d -= 1; sb += c }
-      else if (c == '/' && d == 0) { segs += sb.toString; sb.clear() }
+      else if (c == sep && d == 0) { segs += sb.toString; sb.clear() }
       else sb += c
     }
     segs += sb.toString
+    segs.toList
+  }
+
+  /** Top-level path ALTERNATION. SPARQL gives `|` LOWER precedence
+    * than `/` (PathAlternative over PathSequence), so `p/q|r` is
+    * (p/q)|r — each top-level arm is a full sequence path and the
+    * result is the BAG UNION of the arm frames. A bare alternation of
+    * plain/inverse names keeps the single-step per-arm plan (the
+    * kg_path_alt shape: one filtered scan, no union of closures).
+    * Before round 11 a mixed `p/q|r` silently compiled with the WRONG
+    * precedence (p/(q|r), the '/'-first split); now it routes here. */
+  private[kg] def parsePathUnion(raw: String): Seq[Seq[PathStep]] = {
+    val t = stripParens(raw)
+    val arms = splitTop(t, '|').map(_.trim)
+    def simpleArm(a0: String): Boolean = {
+      val a = if (a0.startsWith("^")) a0.drop(1).trim else a0
+      PrefixedRe.matches(a) || a.matches("\\w+")
+    }
+    if (arms.length > 1 && !arms.forall(simpleArm)) arms.map(parsePath)
+    else Seq(parsePath(t))
+  }
+
+  private[kg] def parsePath(raw: String): Seq[PathStep] = {
+    val t = stripParens(raw)
+    val segs = splitTop(t, '/').to(scala.collection.mutable.ListBuffer)
     segs.toList.map { s0 =>
       var s = stripParens(s0)
       var star = false; var plus = false; var opt = false
@@ -1041,7 +1067,7 @@ object Sparql {
       * sized, one distinct over two statement projections, then the
       * same bounded kg_property_path fixpoint. */
     def pathFrame(p0: Pattern): DataFrame = {
-      val steps = parsePath(p0.p)
+      val armSeqs = parsePathUnion(p0.p)
       def edgesOf(stp: PathStep): DataFrame = {
         val arms = stp.alts.map { case (name, inv) =>
           val pr = pred(name)
@@ -1076,56 +1102,62 @@ object Sparql {
             .distinct()
             .select(col("n").as("a"), col("n").as("b"))
       }
-      // first step: one mandatory traversal (also `+`'s "one") — or,
-      // for `*`/`?`, the zero-step identity union
-      val headEdges = {
-        val e = edgesOf(steps.head)
-        subjConst.fold(e)(v => e.filter(col("a") === v))
-      }
       // ZeroOrOnePath is the SET identity ∪ distinct(edges); self-loop
       // edges coincide with identity, so R = identity ∪ distinct
       // non-self-loop edges — and composing a bag with R preserves the
       // bag's multiplicity (acc⋈R = acc ∪ advance(acc, R∖identity))
       def zeroOrOne(e: DataFrame): DataFrame =
         e.distinct().filter(col("a") =!= col("b"))
-      // Closure-FIRST with a variable subject: when a PLAIN step
-      // follows (p*/q), only closure rows landing on q's subjects feed
-      // the join — so run the closure REVERSED, seeded by the identity
-      // over q's (usually small) subject set, and flip: a →p*→ x ⟺
-      // x →(^p)*→ a. Same set, frontier bounded by |subjects(q)|
-      // instead of the node census (measured: the star_first gated
-      // branch 5.0 s → 0.6 s warm at sf0.1). The census-identity seed
-      // remains the general fallback (bare `?a p* ?b`).
-      def starHead(): DataFrame = subjConst match {
-        case Some(_) =>
-          TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs()))
-        case None if steps.tail.headOption.exists(s2 => !s2.star && !s2.plus && !s2.opt) =>
-          val nextSubj = edgesOf(steps.tail.head).select(col("a")).distinct()
-          val rev = edgesOf(steps.head).select(col("b").as("a"), col("a").as("b"))
-          TripleStore.fixpoint(rev,
-              seed = Some(nextSubj.select(col("a"), col("a").as("b"))))
-            .select(col("b").as("a"), col("a").as("b"))
-        case None =>
-          TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs()))
+      // one SEQUENCE arm compiled to its (a, b) pair frame; top-level
+      // alternation ([[parsePathUnion]]) is the bag union of the arms
+      def compileSeq(steps: Seq[PathStep]): DataFrame = {
+        // first step: one mandatory traversal (also `+`'s "one") — or,
+        // for `*`/`?`, the zero-step identity union
+        val headEdges = {
+          val e = edgesOf(steps.head)
+          subjConst.fold(e)(v => e.filter(col("a") === v))
+        }
+        // Closure-FIRST with a variable subject: when a PLAIN step
+        // follows (p*/q), only closure rows landing on q's subjects feed
+        // the join — so run the closure REVERSED, seeded by the identity
+        // over q's (usually small) subject set, and flip: a →p*→ x ⟺
+        // x →(^p)*→ a. Same set, frontier bounded by |subjects(q)|
+        // instead of the node census (measured: the star_first gated
+        // branch 5.0 s → 0.6 s warm at sf0.1). The census-identity seed
+        // remains the general fallback (bare `?a p* ?b`).
+        def starHead(): DataFrame = subjConst match {
+          case Some(_) =>
+            TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs()))
+          case None if steps.tail.headOption.exists(s2 => !s2.star && !s2.plus && !s2.opt) =>
+            val nextSubj = edgesOf(steps.tail.head).select(col("a")).distinct()
+            val rev = edgesOf(steps.head).select(col("b").as("a"), col("a").as("b"))
+            TripleStore.fixpoint(rev,
+                seed = Some(nextSubj.select(col("a"), col("a").as("b"))))
+              .select(col("b").as("a"), col("a").as("b"))
+          case None =>
+            TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs()))
+        }
+        var acc =
+          if (steps.head.star) starHead()
+          else if (steps.head.opt) identityPairs().unionAll(zeroOrOne(headEdges))
+          else if (steps.head.plus) TripleStore.fixpoint(edgesOf(steps.head), seed = Some(headEdges))
+          else headEdges
+        steps.tail.foreach { stp =>
+          val e = edgesOf(stp)
+          acc =
+            if (stp.star) TripleStore.fixpoint(e, seed = Some(acc))
+            // p+ = p/p*: one mandatory step, then the closure over the
+            // reached frontier (excludes the zero-step pairs * keeps)
+            else if (stp.plus) TripleStore.fixpoint(e, seed = Some(advance(acc, e)))
+            // p? = identity-or-one-step: acc ⋈ (identity ∪ distinct
+            // edges) = acc ∪ advance(acc, distinct non-self-loop edges)
+            // — acc's bag multiplicity preserved, per ZeroOrOnePath
+            else if (stp.opt) acc.unionAll(advance(acc, zeroOrOne(e)))
+            else advance(acc, e)
+        }
+        acc
       }
-      var acc =
-        if (steps.head.star) starHead()
-        else if (steps.head.opt) identityPairs().unionAll(zeroOrOne(headEdges))
-        else if (steps.head.plus) TripleStore.fixpoint(edgesOf(steps.head), seed = Some(headEdges))
-        else headEdges
-      steps.tail.foreach { stp =>
-        val e = edgesOf(stp)
-        acc =
-          if (stp.star) TripleStore.fixpoint(e, seed = Some(acc))
-          // p+ = p/p*: one mandatory step, then the closure over the
-          // reached frontier (excludes the zero-step pairs * keeps)
-          else if (stp.plus) TripleStore.fixpoint(e, seed = Some(advance(acc, e)))
-          // p? = identity-or-one-step: acc ⋈ (identity ∪ distinct
-          // edges) = acc ∪ advance(acc, distinct non-self-loop edges)
-          // — acc's bag multiplicity preserved, per ZeroOrOnePath
-          else if (stp.opt) acc.unionAll(advance(acc, zeroOrOne(e)))
-          else advance(acc, e)
-      }
+      var acc = armSeqs.map(compileSeq).reduce(_ unionAll _)
       val cols = scala.collection.mutable.ListBuffer[Column]()
       p0.s match { case V(n) => cols += col("a").as(n); case _ => }
       resolve(p0.o) match {
@@ -1173,20 +1205,33 @@ object Sparql {
       df.select(cols.toSeq: _*)
     }
 
-    /** Negated property set `!(p|q)` / `!p` (the kg_path_alt negated
-      * arm in text): all statements whose predicate is NOT in the
-      * resolved set. The predicate is anonymous (binds nothing);
+    /** Negated property set `!(p|q)` / `!p` / `!(p|^q)` (SPARQL 1.1
+      * PathNegatedPropertySet, both directions): forward arms match
+      * any statement whose predicate is NOT in the forward subset;
+      * INVERSE arms (`^q`) traverse statements BACKWARDS — (x,y)
+      * matches when some y→x edge carries a predicate outside the
+      * inverse subset. A direction with no arms in the set is not
+      * traversed at all (per spec: `!p` never yields reverse edges).
+      * Reversed edges bind entity⇄entity only (a literal is never a
+      * subject), so a literal-typed object var naturally gets no
+      * inverse rows. The predicate is anonymous (binds nothing);
       * object typing follows the varPredFrame rule — from the var's
-      * OTHER binding sites, a site-free object rejects loudly. An
-      * inverse arm inside a negated set stays out of the subset. */
+      * OTHER binding sites, a site-free object rejects loudly. */
     def negSetFrame(p0: Pattern): DataFrame = {
       val inner = p0.p.drop(1).stripPrefix("(").stripSuffix(")")
-      val excluded = inner.split('|').toSeq.map(_.trim).map { a =>
-        require(!a.startsWith("^"),
-          s"inverse arm '$a' inside a negated property set is unsupported")
-        pred(a)
-      }
-      var df = st.filter(!col("p").isin(excluded: _*))
+      val (invArms0, fwdArms) = inner.split('|').toSeq.map(_.trim).partition(_.startsWith("^"))
+      val invArms = invArms0.map(a => pred(a.drop(1).trim))
+      val fwdExcluded = fwdArms.map(pred)
+      val fwd =
+        if (fwdArms.isEmpty && invArms.nonEmpty) None
+        else Some(st.filter(!col("p").isin(fwdExcluded: _*))
+          .select(col("s"), col("o_id"), col("o_val")))
+      val inv =
+        if (invArms.isEmpty) None
+        else Some(st.filter(col("o_id").isNotNull && !col("p").isin(invArms: _*))
+          .select(col("o_id").as("s"), col("s").as("o_id"),
+            lit(null).cast("string").as("o_val")))
+      var df = (fwd.toSeq ++ inv.toSeq).reduce(_ unionAll _)
       val cols = scala.collection.mutable.ListBuffer[Column]()
       resolve(p0.s) match {
         case V(n)   => cols += col("s").as(n)
@@ -2445,6 +2490,32 @@ object Sparql {
         "fgt:P189" -> "has_part", "fgt:P203" -> "supplied_by",
         "fgt:P2" -> "in_nation"))
 
+  /** The round-11 closing path forms — the last two documented loud
+    * rejects of the path compiler:
+    *   - branch `nest`: TOP-LEVEL alternation whose arm is itself a
+    *     sequence (`(p/q)|r` — PathAlternative over PathSequence; the
+    *     arms compile separately and bag-union, and SPARQL's `|`-binds-
+    *     looser precedence now holds where the old '/'-first split
+    *     would have silently compiled p/(q|r));
+    *   - branch `neginv`: a negated property set with an INVERSE arm
+    *     (`!(p|^q)` — forward edges outside {p} ∪ REVERSED edges
+    *     outside {q}, each direction traversed only when it has arms
+    *     in the set). */
+  val pathNestText: String =
+    """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+      |SELECT ?a ?x ?form WHERE {
+      |  { ?a fgt:P10 "BUILDING" . ?a ((fgt:P2/fgt:P3)|fgt:P2) ?x . BIND("nest" AS ?form) }
+      |  UNION
+      |  { ?a !(fgt:P189|^fgt:P2) ?x . ?x fgt:P3 ?r2 . BIND("neginv" AS ?form) }
+      |}""".stripMargin
+
+  /** kg_sparql_path_nest — [[pathNestText]] under the hash gate. */
+  def kgSparqlPathNest(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, pathNestText,
+      predAliases = Map(
+        "fgt:P2" -> "in_nation", "fgt:P3" -> "in_region",
+        "fgt:P10" -> "mktsegment", "fgt:P189" -> "has_part"))
+
   /** CONSTRUCT text — rule materialization from query text (the
     * kg_construct inference written as a .rq a reference user would
     * run): compose located_in over the nation hop and carry the
@@ -3625,7 +3696,8 @@ object Sparql {
     "kg_sparql_path_plus"   -> (kgSparqlPathPlus _),
     "kg_sparql_path_opt"    -> (kgSparqlPathOpt _),
     "kg_sparql_nitems"      -> (kgSparqlNitems _),
-    "kg_sparql_path_neg"    -> (kgSparqlPathNeg _))
+    "kg_sparql_path_neg"    -> (kgSparqlPathNeg _),
+    "kg_sparql_path_nest"   -> (kgSparqlPathNest _))
 
   /** Shared oracle pieces for the network-* files: the directClaim
     * dictionary as inline VALUES, the best-label window (de-preferred,
@@ -4426,6 +4498,27 @@ object Sparql {
          |FROM triples t
          |JOIN triples cn ON cn.s = t.o_id AND cn.p = 'in_nation'
          |WHERE t.p NOT IN ('has_part', 'supplied_by') AND t.o_id IS NOT NULL""".stripMargin,
+    "kg_sparql_path_nest" ->
+      s"""$T,
+         |anch AS (SELECT s FROM triples WHERE p = 'mktsegment' AND o_val = 'BUILDING'),
+         |nest AS (
+         |  SELECT n.s AS a, r.o_id AS x FROM triples n
+         |  JOIN triples r ON r.s = n.o_id AND r.p = 'in_region'
+         |  WHERE n.p = 'in_nation'
+         |  UNION ALL
+         |  SELECT s, o_id FROM triples WHERE p = 'in_nation'),
+         |b1 AS (SELECT anch.s AS a, nest.x, 'nest' AS form
+         |       FROM anch JOIN nest ON nest.a = anch.s),
+         |negs AS (
+         |  SELECT s AS a, o_id AS x FROM triples
+         |  WHERE p <> 'has_part' AND o_id IS NOT NULL
+         |  UNION ALL
+         |  SELECT o_id AS a, s AS x FROM triples
+         |  WHERE p <> 'in_nation' AND o_id IS NOT NULL),
+         |b2 AS (SELECT negs.a, negs.x, 'neginv' AS form
+         |       FROM negs JOIN triples reg ON reg.s = negs.x AND reg.p = 'in_region')
+         |SELECT a, x, form FROM b1
+         |UNION ALL SELECT a, x, form FROM b2""".stripMargin,
     "kg_sparql_path_opt" ->
       s"""$T,
          |nodes AS (SELECT DISTINCT n FROM (

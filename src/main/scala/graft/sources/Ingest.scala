@@ -74,4 +74,11 @@ object Ingest {
   /** CSV sink (quickstatements-style exports in the reference). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Text sink: one line per row over a single string column — the
+    * shipped `.nt`/`.ttl` serialization shape the RDF exports publish
+    * (create-rdf.py's file output). The round trip back is [[text]] →
+    * [[graft.kg.Rdf.parseNt]]/[[graft.kg.Rdf.parseTtl]]. */
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
 }

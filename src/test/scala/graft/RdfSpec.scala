@@ -165,6 +165,27 @@ class RdfSpec extends SparkSpec {
     }
   }
 
+  test("production path: export to files, re-import via spark.read.text, identical statements") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rdf_files").toString
+    graft.sources.Ingest.writeText(Rdf.kgExportNt(spark, sf), s"$dir/nt")
+    graft.sources.Ingest.writeText(Rdf.kgExportTtl(spark, sf), s"$dir/ttl")
+    val ntFile = Rdf.kgImportNtFile(spark, s"$dir/nt")
+    val ttlFile = Rdf.kgImportTtlFile(spark, s"$dir/ttl")
+    val inSession = Rdf.kgImportNt(spark, sf)
+    assert(ntFile.exceptAll(inSession).count() == 0 &&
+      inSession.exceptAll(ntFile).count() == 0,
+      "file-read NT import must equal the in-session render round trip")
+    assert(ttlFile.exceptAll(inSession).count() == 0 &&
+      inSession.exceptAll(ttlFile).count() == 0,
+      "file-read TTL import must equal the in-session render round trip")
+    // and the production plan really is a leaf file scan — no render,
+    // no checkpointed RDD scan under the parse
+    val plan = ntFile.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan text"), s"expected a text file scan, got:\n$plan")
+    assert(!plan.contains("Scan ExistingRDD"),
+      "production import must not read a checkpoint/render RDD")
+  }
+
   test("no silent codegen fallback fired anywhere in this suite's compositions") {
     // the round-10 blind spot: the per-query gate can't see plans that
     // only exist inside specs (render→parse→exceptAll compositions);

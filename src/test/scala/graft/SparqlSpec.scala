@@ -757,6 +757,54 @@ class SparqlSpec extends SparkSpec {
       "null-seed handling must not diverge between the two DESCRIBE plans")
   }
 
+  test("path alternation binds looser than sequence: p/q|r is (p/q)|r, never p/(q|r)") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    import org.apache.spark.sql.functions._
+    // unparenthesized mixed path — SPARQL precedence: (in_nation/in_region)|in_region
+    val got = Sparql.run(spark, sf,
+      """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+        |SELECT ?a ?x WHERE { ?a fgt:P2/fgt:P3|fgt:P3 ?x . }""".stripMargin,
+      predAliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region"))
+    val nat = st.filter(col("p") === "in_nation").select(col("s").as("a"), col("o_id").as("m"))
+    val reg = st.filter(col("p") === "in_region").select(col("s").as("m"), col("o_id").as("x"))
+    val correct = nat.join(reg, "m").select("a", "x")
+      .unionAll(st.filter(col("p") === "in_region").select(col("s").as("a"), col("o_id").as("x")))
+    assert(got.exceptAll(correct).count() == 0 && correct.exceptAll(got).count() == 0,
+      "must compile with SPARQL precedence ((p/q)|r)")
+    // and the WRONG precedence really is a different answer on this data
+    val wrong = nat.join(
+      reg.unionAll(st.filter(col("p") === "in_region")
+        .select(col("s").as("m"), col("o_id").as("x"))), "m").select("a", "x")
+    assert(got.exceptAll(wrong).count() > 0 || wrong.exceptAll(got).count() > 0,
+      "test data must distinguish the two precedences")
+  }
+
+  test("negated set with inverse arm: each direction traversed only where it has arms") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    import org.apache.spark.sql.functions._
+    val got = Sparql.run(spark, sf,
+      """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+        |SELECT ?a ?x WHERE { ?a !(fgt:P189|^fgt:P2) ?x . ?x fgt:P3 ?r . }""".stripMargin,
+      predAliases = Map("fgt:P189" -> "has_part", "fgt:P2" -> "in_nation",
+        "fgt:P3" -> "in_region"))
+    val fwd = st.filter(col("p") =!= "has_part" && col("o_id").isNotNull)
+      .select(col("s").as("a"), col("o_id").as("x"))
+    val inv = st.filter(col("p") =!= "in_nation" && col("o_id").isNotNull)
+      .select(col("o_id").as("a"), col("s").as("x"))
+    val regiony = st.filter(col("p") === "in_region").select(col("s").as("x"))
+    val expected = fwd.unionAll(inv).join(regiony, "x").select("a", "x")
+    assert(got.count() == expected.count() && got.count() > 0)
+    assert(got.exceptAll(expected).count() == 0 && expected.exceptAll(got).count() == 0)
+    // a PURE-forward set must not sprout reverse edges (per spec)
+    val fwdOnly = Sparql.run(spark, sf,
+      """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+        |SELECT ?a ?x WHERE { ?a !fgt:P189 ?x . ?x fgt:P3 ?r . }""".stripMargin,
+      predAliases = Map("fgt:P189" -> "has_part", "fgt:P3" -> "in_region"))
+    val fwdExpected = fwd.join(regiony, "x").select("a", "x")
+    assert(fwdOnly.exceptAll(fwdExpected).count() == 0 &&
+      fwdExpected.exceptAll(fwdOnly).count() == 0)
+  }
+
   test("kg_sparql_nitems: wikibase:statements meta-predicate = per-item statement census") {
     val st = graft.kg.Triples.statements(spark, sf)
     val got = Sparql.kgSparqlNitems(spark, sf).collect()

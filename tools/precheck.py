@@ -94,7 +94,11 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata ships single files; ScaleUp's sf1 tables are
+        # Spark directories (x.parquet/part-*.parquet) — glob either
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     # Verify writes a manifest of the queries it actually dumped this
     # run; restrict to it so stale parquet from a prior run in a reused
