@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""sf1 correctness spot-oracle (round 11): replays the driver's DuckDB
+gate per query over the 10x scaledata/sf1 dataset with a wall-clock cap
+per oracle. Several oracles are deliberately exhaustive replays
+(recursive reachability over the full match graph, 128-hash minhash
+over every document) whose DUCKDB cost explodes at sf1 even though the
+Spark dump finished in seconds — a capped oracle is an oracle-cost
+statement, not an engine failure, and is recorded as such.
+
+Usage (after `sbt "runMain graft.Verify /root/repo/scaledata/sf1 <out> q1 q2..."`):
+    python3 tools/sf1_oracle.py <out> [per-query-cap-seconds]
+Writes CORRECTNESS_sf1.json at the repo root.
+"""
+import json, os, shutil, subprocess, sys, time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF = os.path.join(REPO, "scaledata", "sf1")
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1out"
+CAP = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+
+sel_path = os.path.join(OUT, "selected.json")
+queries = sorted(json.load(open(sel_path)))
+results = {}
+try:
+    for q in queries:
+        json.dump([q], open(sel_path, "w"))
+        t0 = time.time()
+        p = subprocess.run(
+            ["timeout", str(CAP), "python3", "tools/precheck.py", SF, OUT],
+            capture_output=True, text=True, cwd=REPO)
+        took = round(time.time() - t0, 1)
+        lines = [l for l in p.stdout.splitlines() if l.split(":")[0].strip().endswith(q)]
+        if p.returncode == 124:
+            results[q] = {"status": "oracle_timeout", "secs": took,
+                          "note": f"DuckDB oracle exceeded {CAP}s at sf1 "
+                                  "(oracle replay cost; the Spark dump completed)"}
+        elif any(l.startswith("PASS") for l in lines):
+            results[q] = {"status": "pass", "secs": took,
+                          "detail": lines[0].strip()}
+        else:
+            detail = (lines[0].strip() if lines
+                      else (p.stdout.strip() + p.stderr.strip())[-300:])
+            results[q] = {"status": "fail", "secs": took, "detail": detail}
+        # DuckDB spills its temp storage under <cwd>/.tmp — reclaim
+        # between queries so a heavy oracle can't fill the disk
+        shutil.rmtree(os.path.join(REPO, ".tmp"), ignore_errors=True)
+        print(q, results[q]["status"], took, flush=True)
+finally:
+    json.dump(queries, open(sel_path, "w"))
+
+summary = {
+    "sf": "sf1 (10x sf0.1, graft.tools.ScaleUp)",
+    "per_query_cap_secs": CAP,
+    "pass": sum(1 for r in results.values() if r["status"] == "pass"),
+    "fail": sum(1 for r in results.values() if r["status"] == "fail"),
+    "oracle_timeout": sum(1 for r in results.values() if r["status"] == "oracle_timeout"),
+    "queries": results,
+}
+with open(os.path.join(REPO, "CORRECTNESS_sf1.json"), "w") as f:
+    json.dump(summary, f, indent=1)
+print(json.dumps({k: summary[k] for k in ("pass", "fail", "oracle_timeout")}))
