@@ -796,12 +796,12 @@ object Dedup {
     val bandArms = (0 until 32).map(j =>
       s"SELECT doc_id, $j AS band, md5('$j|'||m${2 * j}::VARCHAR||'|'||m${2 * j + 1}::VARCHAR) AS key FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""sh AS (SELECT doc_id, s FROM $shinglesSql sh0),
+    s"""sh AS MATERIALIZED (SELECT doc_id, s FROM $shinglesSql sh0),
        |h AS (SELECT doc_id, ${hi32Sql("s")} AS h1, ${lo32Sql("s")} AS h2 FROM sh),
-       |sig AS (SELECT doc_id,
+       |sig AS MATERIALIZED (SELECT doc_id,
        |  $sigCols
        |FROM h GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  $bandArms)""".stripMargin
   }
 
@@ -962,7 +962,7 @@ object Dedup {
          |LEFT JOIN near USING (doc_id)""".stripMargin,
     "dedup_clusters" ->
       s"""WITH $minhashCtes,
-         |cand AS (
+         |cand AS MATERIALIZED (
          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
          |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -979,7 +979,7 @@ object Dedup {
          |  SELECT common.a, common.b
          |  FROM common JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
          |  WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8),
-         |e AS (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
+         |e AS MATERIALIZED (SELECT a, b FROM ver UNION ALL SELECT b, a FROM ver),
          |reach AS (
          |  WITH RECURSIVE r(src, node) AS (
          |    SELECT doc_id, doc_id FROM documents

@@ -1329,14 +1329,14 @@ object ER {
     "er_confirmed_merges" ->
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
          |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),
-         |m AS (SELECT a.id AS id_a, x.id AS id_b
+         |m AS MATERIALIZED (SELECT a.id AS id_a, x.id AS id_b
          |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          |      WHERE levenshtein(a.norm, x.norm) <= 2),
          |em AS (SELECT DISTINCT id_a, id_b FROM (
          |  SELECT id_a, id_b FROM m WHERE (id_a + id_b) % 13 <> 0
          |  UNION ALL
          |  SELECT a.id, a.id + 1 FROM p a JOIN p x ON x.id = a.id + 1 WHERE a.id % 17 = 0)),
-         |e AS (SELECT id_a AS a, id_b AS b FROM em UNION ALL SELECT id_b, id_a FROM em),
+         |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM em UNION ALL SELECT id_b, id_a FROM em),
          |reach AS (
          |  WITH RECURSIVE r(src, node) AS (
          |    SELECT id, id FROM p
@@ -1422,10 +1422,10 @@ object ER {
     "er_survivorship" ->
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm, p_name, p_brand FROM part),
          |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),
-         |m AS (SELECT a.id AS id_a, x.id AS id_b
+         |m AS MATERIALIZED (SELECT a.id AS id_a, x.id AS id_b
          |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          |      WHERE levenshtein(a.norm, x.norm) <= 2),
-         |e AS (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
+         |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
          |reach AS (
          |  WITH RECURSIVE r(src, node) AS (
          |    SELECT id, id FROM p
@@ -1497,10 +1497,10 @@ object ER {
       s"""${graft.kg.Triples.sqlCte},
          |p AS (SELECT p_partkey AS id, $N AS norm FROM part),
          |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),
-         |m AS (SELECT a.id AS id_a, x.id AS id_b
+         |m AS MATERIALIZED (SELECT a.id AS id_a, x.id AS id_b
          |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          |      WHERE levenshtein(a.norm, x.norm) <= 2),
-         |e AS (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
+         |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
          |reach AS (
          |  WITH RECURSIVE r(src, node) AS (
          |    SELECT id, id FROM p
@@ -1532,10 +1532,10 @@ object ER {
     "er_connected_components" ->
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
          |b AS (SELECT id, norm, string_split(norm, ' ')[1] AS blk FROM p),
-         |m AS (SELECT a.id AS id_a, x.id AS id_b
+         |m AS MATERIALIZED (SELECT a.id AS id_a, x.id AS id_b
          |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          |      WHERE levenshtein(a.norm, x.norm) <= 2),
-         |e AS (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
+         |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
          |reach AS (
          |  WITH RECURSIVE r(src, node) AS (
          |    SELECT id, id FROM p
