@@ -77,9 +77,15 @@ object Sparql {
   /** One `/`-separated step of a sequence path: a set of predicate
     * ALTERNATIVES (`p|q`, each optionally INVERSE `^p` — the
     * kg_path_alt forms), with an optional modifier — `*`
-    * (zero-or-more), `+` (one-or-more), or `?` (zero-or-one). */
+    * (zero-or-more), `+` (one-or-more), or `?` (zero-or-one).
+    * `subs` carries arms that are themselves SEQUENCE PATHS (the
+    * inner-nested alternation `((p/q)|r)/s`, round 11): each compiles
+    * to its own (a, b) pair relation and bag-unions with the plain
+    * arms' edges; a starred nested step closes over the composite
+    * relation (ZeroOrMorePath over a path expression). */
   final case class PathStep(alts: Seq[(String, Boolean)], star: Boolean,
-      plus: Boolean = false, opt: Boolean = false) {
+      plus: Boolean = false, opt: Boolean = false,
+      subs: Seq[Seq[PathStep]] = Nil) {
     def pred: String = alts.head._1 // first alternative (doc/messages)
   }
   sealed trait Filt
@@ -659,17 +665,38 @@ object Sparql {
       if (s.endsWith("*")) { star = true; s = stripParens(s.dropRight(1).trim) }
       else if (s.endsWith("+")) { plus = true; s = stripParens(s.dropRight(1).trim) }
       else if (s.endsWith("?")) { opt = true; s = stripParens(s.dropRight(1).trim) }
-      // per-step alternation: split on '|' at depth 0, each arm an
-      // optionally-inverse plain/prefixed name
-      val alts = s.split('|').toSeq.map(stripParens).map { a0 =>
-        val inv = a0.startsWith("^")
-        val a = if (inv) a0.drop(1).trim else a0
-        require(a.nonEmpty && (PrefixedRe.matches(a) || a.matches("\\w+")),
-          s"unsupported path segment '$s0' in '$raw' " +
-            "(supported: p, ^p, p|q, p*, p+, p/q, parenthesized)")
-        (a, inv)
+      // per-step alternation: split on '|' at PAREN DEPTH 0 of the
+      // step; a plain/prefixed (optionally inverse) arm is a scan
+      // alternative, anything else — a parenthesized sequence, an arm
+      // with its own modifier — recurses as a SUB-PATH whose (a, b)
+      // relation unions with the plain arms' edges
+      val armsSplit = splitTop(s, '|').map(_.trim)
+      val (plainArms, subArms) = armsSplit.partition { a0 =>
+        val a1 = stripParens(a0)
+        val a = if (a1.startsWith("^")) a1.drop(1).trim else a1
+        PrefixedRe.matches(a) || a.matches("\\w+")
       }
-      PathStep(alts, star, plus, opt)
+      val alts = plainArms.map(stripParens).map { a0 =>
+        val inv = a0.startsWith("^")
+        (if (inv) a0.drop(1).trim else a0, inv)
+      }
+      val subs = subArms.map { a0 =>
+        val sub = stripParens(a0)
+        // termination guard: recurse only when parsePath will strictly
+        // DECOMPOSE the arm (outer parens stripped, a depth-0 '/' or
+        // '|' to split on, or a trailing modifier) — anything else is
+        // a malformed segment and must reject loudly, never loop
+        val decomposes = sub != a0.trim ||
+          splitTop(sub, '/').length > 1 || splitTop(sub, '|').length > 1 ||
+          sub.endsWith("*") || sub.endsWith("+") || sub.endsWith("?")
+        require(decomposes,
+          s"unsupported path segment '$s0' in '$raw' " +
+            "(supported: p, ^p, p|q, p*, p+, p/q, nested parenthesized paths; " +
+            "inverse applies to names, not sequences)")
+        parsePath(sub)
+      }
+      require(alts.nonEmpty || subs.nonEmpty, s"empty path step '$s0' in '$raw'")
+      PathStep(alts, star, plus, opt, subs)
     }
   }
 
@@ -1068,6 +1095,15 @@ object Sparql {
       * same bounded kg_property_path fixpoint. */
     def pathFrame(p0: Pattern): DataFrame = {
       val armSeqs = parsePathUnion(p0.p)
+      val subjConst: Option[Long] = resolve(p0.s) match {
+        case Num(v) => Some(v)
+        case V(_)   => None
+        case Lit(v) => throw new IllegalArgumentException(s"literal subject '$v' unsupported")
+      }
+      // a step's relation: plain (optionally inverse) predicate scans
+      // bag-unioned with any nested SUB-PATH arms' (a, b) relations —
+      // nested arms compile with NO subject constant (the constant
+      // seeds only the OUTER path's first step)
       def edgesOf(stp: PathStep): DataFrame = {
         val arms = stp.alts.map { case (name, inv) =>
           val pr = pred(name)
@@ -1078,22 +1114,17 @@ object Sparql {
           if (inv) e.select(col("o_id").as("a"), col("s").as("b"))
           else e.select(col("s").as("a"), col("o_id").as("b"))
         }
-        arms.reduce(_ unionAll _)
+        (arms ++ stp.subs.map(sub => compileSeq(sub, None))).reduce(_ unionAll _)
       }
       def advance(acc0: DataFrame, e: DataFrame): DataFrame =
         acc0.join(
             e.withColumnRenamed("a", "_mid").withColumnRenamed("b", "_b2"),
             col("b") === col("_mid"))
           .select(col("a"), col("_b2").as("b"))
-      val subjConst: Option[Long] = resolve(p0.s) match {
-        case Num(v) => Some(v)
-        case V(_)   => None
-        case Lit(v) => throw new IllegalArgumentException(s"literal subject '$v' unsupported")
-      }
       // zero-step pairs for a closure-first/`?`-first step: the
       // constant subject reaches itself, or — variable subject — every
       // graph node does (node-set sized, never edge-pair sized)
-      def identityPairs(): DataFrame = subjConst match {
+      def identityPairs(sc: Option[Long]): DataFrame = sc match {
         case Some(v) =>
           st.sparkSession.range(1).select(lit(v).as("a"), lit(v).as("b"))
         case None =>
@@ -1109,13 +1140,15 @@ object Sparql {
       def zeroOrOne(e: DataFrame): DataFrame =
         e.distinct().filter(col("a") =!= col("b"))
       // one SEQUENCE arm compiled to its (a, b) pair frame; top-level
-      // alternation ([[parsePathUnion]]) is the bag union of the arms
-      def compileSeq(steps: Seq[PathStep]): DataFrame = {
+      // alternation ([[parsePathUnion]]) is the bag union of the arms.
+      // `sc` = the subject constant, Some only for the OUTER path
+      // (nested sub-path arms pass None — their subjects are interior)
+      def compileSeq(steps: Seq[PathStep], sc: Option[Long]): DataFrame = {
         // first step: one mandatory traversal (also `+`'s "one") — or,
         // for `*`/`?`, the zero-step identity union
         val headEdges = {
           val e = edgesOf(steps.head)
-          subjConst.fold(e)(v => e.filter(col("a") === v))
+          sc.fold(e)(v => e.filter(col("a") === v))
         }
         // Closure-FIRST with a variable subject: when a PLAIN step
         // follows (p*/q), only closure rows landing on q's subjects feed
@@ -1125,9 +1158,9 @@ object Sparql {
         // instead of the node census (measured: the star_first gated
         // branch 5.0 s → 0.6 s warm at sf0.1). The census-identity seed
         // remains the general fallback (bare `?a p* ?b`).
-        def starHead(): DataFrame = subjConst match {
+        def starHead(): DataFrame = sc match {
           case Some(_) =>
-            TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs()))
+            TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs(sc)))
           case None if steps.tail.headOption.exists(s2 => !s2.star && !s2.plus && !s2.opt) =>
             val nextSubj = edgesOf(steps.tail.head).select(col("a")).distinct()
             val rev = edgesOf(steps.head).select(col("b").as("a"), col("a").as("b"))
@@ -1135,11 +1168,11 @@ object Sparql {
                 seed = Some(nextSubj.select(col("a"), col("a").as("b"))))
               .select(col("b").as("a"), col("a").as("b"))
           case None =>
-            TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs()))
+            TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs(sc)))
         }
         var acc =
           if (steps.head.star) starHead()
-          else if (steps.head.opt) identityPairs().unionAll(zeroOrOne(headEdges))
+          else if (steps.head.opt) identityPairs(sc).unionAll(zeroOrOne(headEdges))
           else if (steps.head.plus) TripleStore.fixpoint(edgesOf(steps.head), seed = Some(headEdges))
           else headEdges
         steps.tail.foreach { stp =>
@@ -1157,7 +1190,7 @@ object Sparql {
         }
         acc
       }
-      var acc = armSeqs.map(compileSeq).reduce(_ unionAll _)
+      var acc = armSeqs.map(compileSeq(_, subjConst)).reduce(_ unionAll _)
       val cols = scala.collection.mutable.ListBuffer[Column]()
       p0.s match { case V(n) => cols += col("a").as(n); case _ => }
       resolve(p0.o) match {

@@ -779,6 +779,44 @@ class SparqlSpec extends SparkSpec {
       "test data must distinguish the two precedences")
   }
 
+  test("inner-nested alternation: a step arm that is itself a sequence, incl. starred") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    import org.apache.spark.sql.functions._
+    val fgt = "PREFIX fgt: <https://database.factgrid.de/prop/direct/>\n"
+    val aliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region")
+    val nat = st.filter(col("p") === "in_nation").select(col("s").as("a"), col("o_id").as("m"))
+    val reg = st.filter(col("p") === "in_region").select(col("s").as("m"), col("o_id").as("x"))
+    // ((p/q)|q)/^q — the nested arm inside ONE step of a longer sequence
+    val got = Sparql.run(spark, sf,
+      fgt + "SELECT ?a ?x WHERE { ?a ((fgt:P2/fgt:P3)|fgt:P3)/^fgt:P3 ?x . }",
+      predAliases = aliases)
+    val step1 = nat.join(reg, "m").select("a", "x")
+      .unionAll(st.filter(col("p") === "in_region").select(col("s").as("a"), col("o_id").as("x")))
+    val step2 = st.filter(col("p") === "in_region")
+      .select(col("o_id").as("x"), col("s").as("x2")) // reversed in_region
+    val expected = step1.join(step2, "x").select(col("a"), col("x2").as("x"))
+    assert(got.count() > 0 && got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0)
+    // a STARRED nested sequence: ((p/q))* = identity ∪ (p∘q) here,
+    // because the composed relation lands on region nodes, which have
+    // no outgoing in_nation edge — closure converges after one step
+    val star = Sparql.run(spark, sf,
+      fgt + "SELECT ?a ?x WHERE { ?a ((fgt:P2/fgt:P3))* ?x . }",
+      predAliases = aliases)
+    val nodes = st.select(col("s").as("n"))
+      .unionAll(st.filter(col("o_id").isNotNull).select(col("o_id").as("n"))).distinct()
+    val starExpected = nodes.select(col("n").as("a"), col("n").as("x"))
+      .unionAll(nat.join(reg, "m").select("a", "x").distinct())
+    assert(star.exceptAll(starExpected).count() == 0 &&
+      starExpected.exceptAll(star).count() == 0,
+      "starred nested sequence must be the closure of the composed relation")
+    // malformed arms still reject loudly, never loop or mis-plan
+    val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
+      fgt + "SELECT ?a ?x WHERE { ?a (fgt:P2|^(fgt:P2/fgt:P3)) ?x . }",
+      predAliases = aliases))
+    assert(e.getMessage.contains("unsupported path segment"), e.getMessage)
+  }
+
   test("negated set with inverse arm: each direction traversed only where it has arms") {
     val st = graft.kg.Triples.statements(spark, sf)
     import org.apache.spark.sql.functions._
