@@ -1029,8 +1029,14 @@ object ER {
     * human tables are review-queue-sized, far below the machine edge
     * count, so the added cost is one broadcast-or-hash anti-join. */
   def erConfirmedMerges(spark: SparkSession, dir: String): DataFrame = {
+    // EAGER (the linkCascade contract): the machine edge set fans out
+    // into the human-veto anti-join AND the rejected stand-in derived
+    // from it — unmaterialized, Catalyst evaluates the salted blocked
+    // pair generation + levenshtein TWICE (no CSE across branches;
+    // bench r11: the suite's most expensive warm ER entry at 6.0 s)
     val machine = erFuzzyMatch(spark, dir)
       .select(col("id_a").as("a"), col("id_b").as("b"))
+      .localCheckpoint()
     val rejected = machine.filter((col("a") + col("b")) % 13 === 0)
     val p = Tables.part(spark, dir).select(col("p_partkey").as("id"))
     val confirmed = p.select(col("id").as("a"), (col("id") + 1).as("b"))
