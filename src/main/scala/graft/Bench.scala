@@ -89,8 +89,12 @@ object Bench {
       s"""  "$name": {"cold": $cold, "warm_reps": ${arr(warms)}}"""
     }.mkString(s"""{\n "sf": "$sfDir", "reps": $reps, "cpus": $cpus,\n "queries": {\n""",
       ",\n", "\n }\n}\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+    // never let the artifact write take down the stdout contract line
+    try java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       fullJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $fullPath: ${e.getMessage}")
+    }
     detailed.toSeq.sortBy(-_._2._1).take(20).foreach { case (name, (cold, warms)) =>
       System.err.println(f"[bench] $name%-28s cold $cold%8.2f  warm_reps ${arr(warms)}")
     }
