@@ -1101,6 +1101,35 @@ object ER {
 
   private val N = normSql("p_name")
 
+  /** Unrolled MIN-LABEL PROPAGATION for the CC oracles, replacing the
+    * recursive reachability replay (which enumerates src × component
+    * and died at sf1: 105 M match edges, > 2400 s): round k assigns
+    * every node min(own comp, neighbors' comps) — one edge-sized join
+    * + group-by per round. The round cap is a MEASURED graph property
+    * (tools/CcRounds, the kg_shortest_path capped-recursion
+    * precedent): propagation converges after 1 round at
+    * sf0.001/0.01/0.1 and 3 rounds at sf1; the cap is 8 (2.7× the
+    * worst measured). Monotone + idempotent at fixpoint, so
+    * over-provisioning never changes the result, and an
+    * under-provisioned cap yields non-converged labels that FAIL the
+    * hash compare loudly — never a silently wrong oracle. */
+  private val CcOracleRounds = 8
+
+  /** The propagation CTE chain over edge CTE `e` seeded from id table
+    * `seed`; the final labels are `c$CcOracleRounds(id, comp)`. */
+  private def ccPropagationCtes(seed: String): String = {
+    val c0 = s"c0 AS MATERIALIZED (SELECT id, id AS comp FROM $seed)"
+    val rounds = (1 to CcOracleRounds).map { k =>
+      s"c$k AS MATERIALIZED (SELECT id, min(comp) AS comp FROM (\n" +
+        s"  SELECT id, comp FROM c${k - 1}\n" +
+        s"  UNION ALL SELECT e.b AS id, c.comp FROM c${k - 1} c JOIN e ON e.a = c.id)\n" +
+        s"  GROUP BY id)"
+    }
+    (c0 +: rounds).mkString(",\n")
+  }
+
+  private val ccFinal = s"c$CcOracleRounds"
+
   /** er_survivorship — the golden record per duplicate cluster:
     * after matching (fuzzy edges) and clustering (CC), each cluster
     * fuses ONE surviving attribute set by rule — name = longest
@@ -1507,15 +1536,9 @@ object ER {
          |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          |      WHERE levenshtein(a.norm, x.norm) <= 2),
          |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
-         |reach AS (
-         |  WITH RECURSIVE r(src, node) AS (
-         |    SELECT id, id FROM p
-         |    UNION
-         |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
-         |  SELECT src, node FROM r),
-         |comp AS (SELECT src AS id, min(node) AS comp FROM reach GROUP BY src)
+         |${ccPropagationCtes("p")}
          |SELECT DISTINCT t.s, t.p, $P0 + c.comp AS o_id
-         |FROM triples t JOIN comp c ON t.o_id = $P0 + c.id
+         |FROM triples t JOIN $ccFinal c ON t.o_id = $P0 + c.id
          |WHERE t.p = 'has_part'""".stripMargin
     },
     "er_normalize" ->
@@ -1542,13 +1565,8 @@ object ER {
          |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          |      WHERE levenshtein(a.norm, x.norm) <= 2),
          |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
-         |reach AS (
-         |  WITH RECURSIVE r(src, node) AS (
-         |    SELECT id, id FROM p
-         |    UNION
-         |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
-         |  SELECT src, node FROM r)
-         |SELECT src AS id, min(node) AS comp FROM reach GROUP BY src""".stripMargin,
+         |${ccPropagationCtes("p")}
+         |SELECT id, comp FROM $ccFinal""".stripMargin,
     "er_linking" ->
       s"""WITH p AS (SELECT p_partkey AS id, $N AS norm FROM part),
          |c AS (SELECT string_split(norm, ' ')[2] AS concept, min(id) AS concept_id
