@@ -1378,6 +1378,12 @@ object ER {
          |    UNION
          |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
          |  SELECT src, node FROM r)
+         |-- stays the EXACT recursive form: the human-confirmed
+         |-- consecutive-id edges weave long chains ACROSS levenshtein
+         |-- clusters (ids of near-identical names are spread over the
+         |-- whole key range), so the edited graph's distance-to-min
+         |-- exceeds the machine graph's measured propagation cap —
+         |-- the capped oracle failed loudly here, exactly as designed
          |SELECT src AS id, min(node) AS comp FROM reach GROUP BY src""".stripMargin,
     "er_viaf_link" ->
       s"""WITH authors AS (SELECT CAST(p_partkey AS BIGINT) AS id,
@@ -1461,13 +1467,8 @@ object ER {
          |      FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
          |      WHERE levenshtein(a.norm, x.norm) <= 2),
          |e AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM m UNION ALL SELECT id_b, id_a FROM m),
-         |reach AS (
-         |  WITH RECURSIVE r(src, node) AS (
-         |    SELECT id, id FROM p
-         |    UNION
-         |    SELECT r.src, e.b FROM r JOIN e ON e.a = r.node)
-         |  SELECT src, node FROM r),
-         |comp AS (SELECT src AS id, min(node) AS comp FROM reach GROUP BY src),
+         |${ccPropagationCtes("p")},
+         |comp AS (SELECT id, comp FROM $ccFinal),
          |j AS (SELECT c.comp, p.id, p.p_name, p.p_brand FROM comp c JOIN p ON p.id = c.id),
          |names AS (
          |  SELECT comp, p_name AS name FROM j
