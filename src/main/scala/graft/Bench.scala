@@ -84,9 +84,11 @@ object Bench {
     // heaviest queries per-rep on stderr (stdout stays the driver's
     // one-line contract).
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-    def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
+    // Double.toString on NaN/Infinity is not valid JSON — emit null
+    def num(d: Double): String = if (java.lang.Double.isFinite(d)) d.toString else "null"
+    def arr(xs: Seq[Double]): String = xs.map(num).mkString("[", ",", "]")
     val fullJson = detailed.toSeq.sortBy(-_._2._1).map { case (name, (cold, warms)) =>
-      s"""  "$name": {"cold": $cold, "warm_reps": ${arr(warms)}}"""
+      s"""  "$name": {"cold": ${num(cold)}, "warm_reps": ${arr(warms)}}"""
     }.mkString(s"""{\n "sf": "$sfDir", "reps": $reps, "cpus": $cpus,\n "queries": {\n""",
       ",\n", "\n }\n}\n")
     // never let the artifact write take down the stdout contract line
@@ -100,11 +102,11 @@ object Bench {
     }
 
     def json(sel: ((Double, Double)) => Double): String =
-      results.map { case (k, v) => "\"" + k + "\":" + sel(v) }.mkString("{", ",", "}")
+      results.map { case (k, v) => "\"" + k + "\":" + num(sel(v)) }.mkString("{", ",", "}")
     val totalCold = results.values.map(_._1).sum
     val totalWarm = results.values.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$totalCold,"unit":"sec","queries":${json(_._1)},"queries_warm":${json(_._2)},"total_warm":$totalWarm,"failed":$failedJson,"reps":$reps,"sf":"$sfDir","full":"$fullPath"}""")
+    println(s"""{"metric":"total","value":${num(totalCold)},"unit":"sec","queries":${json(_._1)},"queries_warm":${json(_._2)},"total_warm":${num(totalWarm)},"failed":$failedJson,"reps":$reps,"sf":"$sfDir","full":"$fullPath"}""")
     spark.stop()
   }
 }

@@ -99,7 +99,16 @@ object ER {
     * other — fingerprint-clusterable ONLY if ö folds to oe (the old
     * delete-non-ASCII norm mapped "müller" → "mller", which can never
     * collide with "mueller"). The oracle VALUES clause renders from
-    * the same constants (build.sbt pins -encoding UTF-8). */
+    * the same constants (build.sbt pins -encoding UTF-8).
+    *
+    * CONTRACT NOTE: these eight fixture entities (ids
+    * 9000001–9000008, sources "books"/"posters") are part of the
+    * DECLARED output of er_fingerprint and er_ngram_merge — the
+    * registry and DuckDB oracle both include them so the
+    * transliteration path stays hash-gated. A consumer who wants
+    * purely dataset-derived output calls
+    * [[erFingerprint]]/[[erNgramMerge]] with `probeRows = false`
+    * (spec-covered in ERSpec). */
   private[graft] val UmlautRows: Seq[(String, Long, String)] = Seq(
     ("books", 9000001L, "Kurt Gödel"),
     ("posters", 9000002L, "Goedel, Kurt"),
@@ -493,14 +502,15 @@ object ER {
     * UDF); clustering is ONE map-side-partial groupBy on the
     * fingerprint key. Key skew mirrors duplicate mass itself, the
     * same boundedness argument as er_exact_dups. */
-  def erFingerprint(spark: SparkSession, dir: String): DataFrame = {
+  def erFingerprint(spark: SparkSession, dir: String, probeRows: Boolean = true): DataFrame = {
     val p = Tables.part(spark, dir)
     val books = p.select(lit("books").as("src"),
       col("p_partkey").cast("long").as("id"), col("p_name").as("label"))
     val posters = p.select(lit("posters").as("src"),
       (col("p_partkey") + lit(1000000L)).as("id"),
       concat_ws(", ", reverse(split(col("p_name"), " "))).as("label"))
-    val pool = books.unionAll(posters).unionAll(umlautPool(spark))
+    val base = books.unionAll(posters)
+    val pool = if (probeRows) base.unionAll(umlautPool(spark)) else base
     pool
       .withColumn("fingerprint", array_join(array_sort(array_distinct(
         filter(split(norm(col("label")), " "), x => x =!= lit("")))), " "))
@@ -856,7 +866,7 @@ object ER {
     * distinct-value domain; skew mirrors duplicate mass itself, the
     * er_exact_dups boundedness argument. All fingerprints are
     * codegen'd array expressions — no UDFs, no explode. */
-  def erNgramMerge(spark: SparkSession, dir: String): DataFrame = {
+  def erNgramMerge(spark: SparkSession, dir: String, probeRows: Boolean = true): DataFrame = {
     val p = Tables.part(spark, dir)
     val books = p.select(lit("books").as("src"),
       col("p_partkey").cast("long").as("id"), col("p_name").as("label"))
@@ -867,7 +877,8 @@ object ER {
       .select(lit("typos").as("src"), (col("p_partkey") + lit(2000000L)).as("id"),
         concat(substring(col("p_name"), 1, 2),
           col("p_name").substr(lit(2), length(col("p_name")))).as("label"))
-    val pool = books.unionAll(posters).unionAll(typos).unionAll(umlautPool(spark))
+    val base0 = books.unionAll(posters).unionAll(typos)
+    val pool = if (probeRows) base0.unionAll(umlautPool(spark)) else base0
 
     // pass 1: token-fingerprint key collision with the ignore list
     val t1 = pool.withColumn("fp1",
@@ -914,6 +925,24 @@ object ER {
     * synthesized matches table (see scaladoc there). */
   private val DisStride = 37L
   private val DisDomain = 2000L
+
+  /** [[erDisambiguate]]'s lastname plausibility check, reference-
+    * faithful to disambiguate-entities.Rmd:98–103: the Rmd runs
+    * `str_detect(name, lastname)` — the extracted lastname is a REGEX
+    * PATTERN, not a literal substring (stringr's default), so a
+    * surname carrying regex metacharacters ("M.ller", "O'Brien
+    * (Hrsg.)") matches by regex semantics; round 11 shipped literal
+    * `contains`, divergent exactly there (spec-pinned in ERSpec).
+    * A comma-less person label extracts '' (the Rmd's str_extract
+    * yields NA there and maps to not_passed; both contains(name, '')
+    * and regexp on '' are vacuously true, so the empty case must
+    * short-circuit first). Oracle twin: DuckDB `regexp_matches`,
+    * partial-match like Java's RLike find(). */
+  private[graft] def lastnameCheck(isPerson: Column, name: Column, lastname: Column): Column =
+    when(!isPerson, "not_relevant")
+      .when(lastname === "", "not_passed")
+      .when(regexp_like(name, lastname), "passed")
+      .otherwise("not_passed")
 
   /** er_disambiguate — the lobid ambiguity-triage flow
     * (data-linking/lobid/disambiguate-entities.Rmd:74–191). The Rmd
@@ -991,15 +1020,8 @@ object ER {
       .withColumn("max_sim", max(col("similarity")).over(wId))
     sims.filter(col("similarity") === col("max_sim"))
       .withColumn("lastname", when(col("is_person"), regexp_extract(col("a_label"), "^(.+),", 1)))
-      // a comma-less person label extracts '' (the Rmd's str_extract
-      // yields NA there and maps to not_passed; contains(name, '') is
-      // vacuously true, so the empty case must short-circuit first —
-      // disambiguate-entities.Rmd:98–103)
       .withColumn("lastname_check",
-        when(!col("is_person"), "not_relevant")
-          .when(col("lastname") === "", "not_passed")
-          .when(col("name").contains(col("lastname")), "passed")
-          .otherwise("not_passed"))
+        lastnameCheck(col("is_person"), col("name"), col("lastname")))
       .filter(col("lastname_check") =!= "not_passed")
       .select(col("id"), col("name"), col("auth_id"), col("a_label"), col("source"),
         col("hierarchy"),
@@ -1029,14 +1051,18 @@ object ER {
     * human tables are review-queue-sized, far below the machine edge
     * count, so the added cost is one broadcast-or-hash anti-join. */
   def erConfirmedMerges(spark: SparkSession, dir: String): DataFrame = {
-    // EAGER (the linkCascade contract): the machine edge set fans out
-    // into the human-veto anti-join AND the rejected stand-in derived
-    // from it — unmaterialized, Catalyst evaluates the salted blocked
-    // pair generation + levenshtein TWICE (no CSE across branches;
-    // bench r11: the suite's most expensive warm ER entry at 6.0 s)
+    // LAZY checkpoint: the machine edge set fans out into the
+    // human-veto anti-join AND the rejected stand-in derived from it —
+    // unmaterialized, Catalyst evaluates the salted blocked pair
+    // generation + levenshtein TWICE (no CSE across branches; bench
+    // r11: the suite's most expensive warm ER entry at 6.0 s). eager =
+    // false so plan-only callers (plan hygiene iteration, .explain)
+    // don't pay the ~6 s fuzzy-match materialization at DataFrame
+    // CONSTRUCTION time; the first action checkpoints it once and both
+    // consuming branches read the persisted blocks
     val machine = erFuzzyMatch(spark, dir)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val rejected = machine.filter((col("a") + col("b")) % 13 === 0)
     val p = Tables.part(spark, dir).select(col("p_partkey").as("id"))
     val confirmed = p.select(col("id").as("a"), (col("id") + 1).as("b"))
@@ -1081,13 +1107,13 @@ object ER {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er_viaf_link"            -> (erViafLink _),
     "er_id_chain"             -> (erIdChain _),
-    "er_ngram_merge"          -> (erNgramMerge _),
+    "er_ngram_merge"          -> ((s: SparkSession, d: String) => erNgramMerge(s, d)),
     "er_disambiguate"         -> (erDisambiguate _),
     "er_confirmed_merges"     -> (erConfirmedMerges _),
     "er_link_report"          -> (erLinkReport _),
     "er_link_cascade"         -> (erLinkCascade _),
     "er_isbn"                 -> (erIsbn _),
-    "er_fingerprint"          -> (erFingerprint _),
+    "er_fingerprint"          -> ((s: SparkSession, d: String) => erFingerprint(s, d)),
     "er_survivorship"         -> (erSurvivorship _),
     "er_fs_score"             -> (erFsScore _),
     "er_incremental"          -> (erIncremental _),
@@ -1352,7 +1378,7 @@ object ER {
          |chk AS (SELECT *,
          |    CASE WHEN NOT is_person THEN 'not_relevant'
          |         WHEN regexp_extract(a_label, '^(.+),', 1) = '' THEN 'not_passed'
-         |         WHEN contains(name, regexp_extract(a_label, '^(.+),', 1)) THEN 'passed'
+         |         WHEN regexp_matches(name, regexp_extract(a_label, '^(.+),', 1)) THEN 'passed'
          |         ELSE 'not_passed' END AS lastname_check
          |  FROM atmax WHERE similarity = max_sim)
          |SELECT id, name, auth_id, a_label, source, hierarchy,

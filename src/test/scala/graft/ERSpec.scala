@@ -155,6 +155,20 @@ class ERSpec extends SparkSpec {
       "books + posters + umlaut-probe ids must all fall into some collision cluster")
   }
 
+  test("fingerprint/ngram_merge: probeRows = false yields purely dataset-derived output") {
+    // the opt-out documented in the UmlautRows contract note: no
+    // fixture ids (9000001–9000008) anywhere in the result
+    val fp = graft.er.ER.erFingerprint(spark, sf, probeRows = false).collect()
+    assert(fp.nonEmpty)
+    assert(fp.forall(_.getLong(3) < 9000000L), "no probe canonical ids")
+    val nParts = graft.sources.Tables.part(spark, sf).count()
+    assert(fp.map(_.getLong(1)).sum == 2 * nParts, "mass = books + posters only")
+    val nm = graft.er.ER.erNgramMerge(spark, sf, probeRows = false).collect()
+    assert(nm.nonEmpty)
+    val idIdx = nm.head.schema.fieldNames.indexOf("id")
+    assert(idIdx >= 0 && nm.forall(_.getLong(idIdx) < 9000000L), "no probe member ids")
+  }
+
   test("translit: de-ASCII digraphs + Latin-ASCII fold, reference-faithful") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -338,6 +352,31 @@ class ERSpec extends SparkSpec {
       s"pass 2 must merge most typo rows onto their clean twin's value ($merged/${typos.length})")
     // and pass 2 changes SOMETHING pass 1 left alone
     assert(rows.exists(r => r.getAs[String]("ngram") != r.getAs[String]("key_coll")))
+  }
+
+  test("disambiguate lastname check is str_detect regex semantics, not literal contains") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // each row pins a direction where regex and literal substring
+    // DIVERGE (plus one where they agree), so a regression to either
+    // semantics fails loudly:
+    //  1. pattern metachar dot bridges a different char: regex passes,
+    //     contains would not
+    //  2. group parens are regex syntax, stripped from the match:
+    //     contains would pass (verbatim substring), regex must NOT
+    //  3. plain surname: both semantics agree
+    //  4. empty lastname short-circuits to not_passed (Rmd NA case)
+    //  5. non-person is not_relevant regardless
+    val rows = Seq(
+      (true, "Karl MXller", "M.ller"),
+      (true, "Jaq O'Brien (Hrsg.)", "O'Brien (Hrsg.)"),
+      (true, "Heiner Mueller", "Mueller"),
+      (true, "Anyone", ""),
+      (false, "Acme Verlag", "Verlag")
+    ).toDF("is_person", "name", "lastname")
+      .select(graft.er.ER.lastnameCheck(col("is_person"), col("name"), col("lastname")).as("c"))
+      .as[String].collect()
+    assert(rows.sameElements(Array("passed", "not_passed", "passed", "not_passed", "not_relevant")))
   }
 
   test("er_disambiguate: keep filters honored, verdict matches the count, no not_passed survives") {

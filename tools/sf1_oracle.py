@@ -19,7 +19,8 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1out"
 CAP = int(sys.argv[2]) if len(sys.argv) > 2 else 600
 
 sel_path = os.path.join(OUT, "selected.json")
-queries = sorted(json.load(open(sel_path)))
+original_selected = open(sel_path, "rb").read()  # restore EXACT bytes, not a re-serialization
+queries = sorted(json.loads(original_selected))
 results = {}
 try:
     for q in queries:
@@ -29,7 +30,10 @@ try:
             ["timeout", str(CAP), "python3", "tools/precheck.py", SF, OUT],
             capture_output=True, text=True, cwd=REPO)
         took = round(time.time() - t0, 1)
-        lines = [l for l in p.stdout.splitlines() if l.split(":")[0].strip().endswith(q)]
+        # exact-name match on the "STATUS  <query>: ..." line (endswith
+        # would mis-attribute when one selected name suffixes another)
+        lines = [l for l in p.stdout.splitlines()
+                 if l.split(":")[0].strip().split()[-1:] == [q]]
         if p.returncode == 124:
             results[q] = {"status": "oracle_timeout", "secs": took,
                           "note": f"DuckDB oracle exceeded {CAP}s at sf1 "
@@ -46,7 +50,7 @@ try:
         shutil.rmtree(os.path.join(REPO, ".tmp"), ignore_errors=True)
         print(q, results[q]["status"], took, flush=True)
 finally:
-    json.dump(queries, open(sel_path, "w"))
+    open(sel_path, "wb").write(original_selected)
 
 summary = {
     "sf": "sf1 (10x sf0.1, graft.tools.ScaleUp)",
