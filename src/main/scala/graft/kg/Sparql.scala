@@ -604,10 +604,12 @@ object Sparql {
   /** Parse a sequence property path — `p/q`, `p/q*`, `p/q+`, `p?/q`
     * (zero-or-one), `(p/(q*))`-style nesting one predicate deep,
     * per-step alternation `(p|q)` with inverse arms `^p` (the
-    * kg_path_alt forms). With `?` and closure-FIRST forms (a starred
-    * first step, round 10) the SPARQL 1.1 path surface is complete
-    * except negated sets with inverse arms and nested path
-    * alternation — those still throw, never a silently wrong plan. */
+    * kg_path_alt forms). With `?` and closure-FIRST forms (round 10),
+    * negated sets with inverse arms + nested alternation (round 11)
+    * and inverse-of-sequence `^(p/q)` via [[invertPathText]]'s
+    * parse-time rewrite (round 12), the SPARQL 1.1 path surface is
+    * closed; malformed segments still throw, never a silently wrong
+    * plan. */
   private def stripParens(s0: String): String = {
     var s = s0.trim
     var go = true
@@ -637,6 +639,78 @@ object Sparql {
     segs.toList
   }
 
+  /** Textual inverse of a path expression — the SPARQL 1.1 rewrite
+    * `^(p₁/…/pₙ) = ^pₙ/…/^p₁` (inverse distributes over sequence in
+    * REVERSE order), `^(p|q) = ^p|^q`, `^(p*) = (^p)*` (inverse
+    * commutes with closure: a p-chain read backwards is a ^p-chain),
+    * `^^p = p`, and `^!(p|^q) = !(^p|q)` (each set arm's direction
+    * flips). Produces plain path text re-parsed by [[parsePath]], so
+    * inverse-of-sequence SPLICES into the outer sequence (the
+    * constant-subject seed still pipelines through the advance joins
+    * instead of materializing an unseeded sub-relation). */
+  private[kg] def invertPathText(raw: String): String = {
+    val t = stripParens(raw)
+    val arms = splitTop(t, '|')
+    if (arms.length > 1) return arms.map(a => invertPathText(a.trim)).mkString("|")
+    val segs = splitTop(t, '/')
+    if (segs.length > 1) return segs.reverse.map { s =>
+      val inv = invertPathText(s.trim)
+      // an alternation segment must keep its parens inside the
+      // rebuilt sequence ('|' binds looser than '/')
+      if (splitTop(inv, '|').length > 1) "(" + inv + ")" else inv
+    }.mkString("/")
+    val s = t.trim
+    if (s.endsWith("*")) "(" + invertPathText(s.dropRight(1).trim) + ")*"
+    else if (s.endsWith("+")) "(" + invertPathText(s.dropRight(1).trim) + ")+"
+    else if (s.endsWith("?") && !s.startsWith("?")) "(" + invertPathText(s.dropRight(1).trim) + ")?"
+    else if (s.startsWith("^")) stripParens(s.drop(1).trim) // ^^p = p
+    else if (s.startsWith("!")) {
+      val set = splitTop(stripParens(s.drop(1).trim), '|').map(_.trim).map { a =>
+        if (a.startsWith("^")) a.drop(1).trim else "^" + a
+      }
+      "!(" + set.mkString("|") + ")"
+    }
+    else {
+      require(PrefixedRe.matches(s) || s.matches("\\w+"),
+        s"cannot invert path segment '$s' in '$raw'")
+      "^" + s
+    }
+  }
+
+  /** Replace every depth-0 `^( … )` group with its [[invertPathText]]
+    * rewrite, so inverse-of-sequence/alternation/closure paths reach
+    * [[parsePath]] as ordinary forward text. */
+  private def desugarInverseGroups(t: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < t.length) {
+      if (t.charAt(i) == '^' && i + 1 < t.length && t.charAt(i + 1) == '(') {
+        var d = 0; var j = i + 1
+        while (j < t.length && (d != 0 || j == i + 1)) {
+          if (t.charAt(j) == '(') d += 1 else if (t.charAt(j) == ')') d -= 1
+          if (d != 0) j += 1
+        }
+        require(j < t.length, s"unbalanced parens in path '$t'")
+        val inv = invertPathText(t.substring(i + 2, j))
+        // a modifier after the group binds tighter than '^' in the
+        // SPARQL grammar ('^' PathElt, PathElt = primary + modifier):
+        // ^(p/q)* = ^((p/q)*) = (^q/^p)* — inverse commutes with the
+        // closure, which needs the parens kept
+        val mod = if (j + 1 < t.length && "*+?".contains(t.charAt(j + 1))) {
+          i = j + 2; t.charAt(j + 1).toString
+        } else { i = j + 1; "" }
+        // splice sequences raw ('/' is associative — keeps the outer
+        // constant-subject seed pipelining through the advance joins);
+        // parenthesize a top-level alternation ('|' binds lower) or a
+        // modified group
+        if (mod.nonEmpty || splitTop(inv, '|').length > 1)
+          sb.append("(").append(inv).append(")").append(mod)
+        else sb.append(inv)
+      } else { sb.append(t.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Top-level path ALTERNATION. SPARQL gives `|` LOWER precedence
     * than `/` (PathAlternative over PathSequence), so `p/q|r` is
     * (p/q)|r — each top-level arm is a full sequence path and the
@@ -646,7 +720,7 @@ object Sparql {
     * Before round 11 a mixed `p/q|r` silently compiled with the WRONG
     * precedence (p/(q|r), the '/'-first split); now it routes here. */
   private[kg] def parsePathUnion(raw: String): Seq[Seq[PathStep]] = {
-    val t = stripParens(raw)
+    val t = desugarInverseGroups(stripParens(raw))
     val arms = splitTop(t, '|').map(_.trim)
     def simpleArm(a0: String): Boolean = {
       val a = if (a0.startsWith("^")) a0.drop(1).trim else a0
@@ -657,7 +731,7 @@ object Sparql {
   }
 
   private[kg] def parsePath(raw: String): Seq[PathStep] = {
-    val t = stripParens(raw)
+    val t = desugarInverseGroups(stripParens(raw))
     val segs = splitTop(t, '/').to(scala.collection.mutable.ListBuffer)
     segs.toList.map { s0 =>
       var s = stripParens(s0)
@@ -691,8 +765,7 @@ object Sparql {
           sub.endsWith("*") || sub.endsWith("+") || sub.endsWith("?")
         require(decomposes,
           s"unsupported path segment '$s0' in '$raw' " +
-            "(supported: p, ^p, p|q, p*, p+, p/q, nested parenthesized paths; " +
-            "inverse applies to names, not sequences)")
+            "(supported: p, ^p, ^(p/q), p|q, p*, p+, p/q, nested parenthesized paths)")
         parsePath(sub)
       }
       require(alts.nonEmpty || subs.nonEmpty, s"empty path step '$s0' in '$raw'")
@@ -1287,7 +1360,11 @@ object Sparql {
       df.select(cols.toSeq: _*)
     }
 
-    def frame(p0: Pattern): DataFrame = {
+    def frame(p1: Pattern): DataFrame = {
+      // desugar whole-predicate inverse groups BEFORE dispatch: an
+      // inverted negated set `^(!(p|^q))` rewrites to `!(^p|q)`,
+      // which must route to negSetFrame, not the path parser
+      val p0 = if (p1.p.contains("^(")) p1.copy(p = desugarInverseGroups(p1.p)) else p1
       if (p0.p.startsWith("!")) return negSetFrame(p0)
       if (isPath(p0.p)) return pathFrame(p0)
       if (isVarPred(p0.p)) return varPredFrame(p0)
@@ -2549,6 +2626,40 @@ object Sparql {
         "fgt:P2" -> "in_nation", "fgt:P3" -> "in_region",
         "fgt:P10" -> "mktsegment", "fgt:P189" -> "has_part"))
 
+  /** Inverse-of-sequence path text — the compiler's LAST loud reject
+    * (rounds ≤11: "inverse applies to names, not sequences"), closed
+    * by [[invertPathText]]'s parse-time rewrite
+    * `^(p₁/…/pₙ) = ^pₙ/…/^p₁`:
+    *   - `invseq`: `^(fgt:P2/fgt:P3)` — plain inverse-of-sequence,
+    *     desugars to `^fgt:P3/^fgt:P2` (region ← nation ← member);
+    *   - `invstar`: `^(fgt:P2/fgt:P3*)` — STARRED inner step: inverse
+    *     commutes with the closure, `(^fgt:P3)* / ^fgt:P2` (spliced
+    *     without the spaces), compiled by the existing closure-FIRST
+    *     machinery (variable subject + following plain step → the
+    *     reversed nation-seeded fixpoint, never the node-census
+    *     identity);
+    *   - `invalt`: `^((fgt:P184|fgt:P203)/fgt:P2)` — an ALTERNATION
+    *     element inside the inverted sequence, which must re-
+    *     parenthesize when spliced (`^fgt:P2/(^fgt:P184|^fgt:P203)`;
+    *     unparenthesized it would re-associate under '|''s looser
+    *     precedence). */
+  val pathInvText: String =
+    """PREFIX fgt: <https://database.factgrid.de/prop/direct/>
+      |SELECT ?x ?c ?form WHERE {
+      |  { ?x ^(fgt:P2/fgt:P3) ?c . BIND("invseq" AS ?form) }
+      |  UNION
+      |  { ?x ^(fgt:P2/fgt:P3*) ?c . BIND("invstar" AS ?form) }
+      |  UNION
+      |  { ?x ^((fgt:P184|fgt:P203)/fgt:P2) ?c . BIND("invalt" AS ?form) }
+      |}""".stripMargin
+
+  /** kg_sparql_path_inv — [[pathInvText]] under the hash gate. */
+  def kgSparqlPathInv(spark: SparkSession, dir: String): DataFrame =
+    run(spark, dir, pathInvText,
+      predAliases = Map(
+        "fgt:P2" -> "in_nation", "fgt:P3" -> "in_region",
+        "fgt:P184" -> "placed_by", "fgt:P203" -> "supplied_by"))
+
   /** CONSTRUCT text — rule materialization from query text (the
     * kg_construct inference written as a .rq a reference user would
     * run): compose located_in over the nation hop and carry the
@@ -3730,7 +3841,8 @@ object Sparql {
     "kg_sparql_path_opt"    -> (kgSparqlPathOpt _),
     "kg_sparql_nitems"      -> (kgSparqlNitems _),
     "kg_sparql_path_neg"    -> (kgSparqlPathNeg _),
-    "kg_sparql_path_nest"   -> (kgSparqlPathNest _))
+    "kg_sparql_path_nest"   -> (kgSparqlPathNest _),
+    "kg_sparql_path_inv"    -> (kgSparqlPathInv _))
 
   /** Shared oracle pieces for the network-* files: the directClaim
     * dictionary as inline VALUES, the best-label window (de-preferred,
@@ -4552,6 +4664,27 @@ object Sparql {
          |       FROM negs JOIN triples reg ON reg.s = negs.x AND reg.p = 'in_region')
          |SELECT a, x, form FROM b1
          |UNION ALL SELECT a, x, form FROM b2""".stripMargin,
+    "kg_sparql_path_inv" ->
+      s"""$T,
+         |nat AS (SELECT s AS c, o_id AS n FROM triples WHERE p = 'in_nation'),
+         |reg AS (SELECT s AS a, o_id AS b FROM triples WHERE p = 'in_region'),
+         |invseq AS (
+         |  SELECT reg.b AS x, nat.c FROM nat JOIN reg ON reg.a = nat.n),
+         |clo AS (
+         |  WITH RECURSIVE cl(a, b) AS (
+         |    SELECT o_id, o_id FROM triples WHERE p = 'in_nation'
+         |    UNION
+         |    SELECT cl.a, reg.b FROM cl JOIN reg ON reg.a = cl.b)
+         |  SELECT a, b FROM cl),
+         |invstar AS (
+         |  SELECT clo.b AS x, nat.c FROM nat JOIN clo ON clo.a = nat.n),
+         |invalt AS (
+         |  SELECT cs.o_id AS x, e.s AS c FROM triples e
+         |  JOIN triples cs ON cs.s = e.o_id AND cs.p = 'in_nation'
+         |  WHERE e.p IN ('placed_by', 'supplied_by') AND e.o_id IS NOT NULL)
+         |SELECT x, c, 'invseq' AS form FROM invseq
+         |UNION ALL SELECT x, c, 'invstar' FROM invstar
+         |UNION ALL SELECT x, c, 'invalt' FROM invalt""".stripMargin,
     "kg_sparql_path_opt" ->
       s"""$T,
          |nodes AS (SELECT DISTINCT n FROM (

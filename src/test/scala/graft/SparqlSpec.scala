@@ -812,9 +812,58 @@ class SparqlSpec extends SparkSpec {
       "starred nested sequence must be the closure of the composed relation")
     // malformed arms still reject loudly, never loop or mis-plan
     val e = intercept[IllegalArgumentException](Sparql.run(spark, sf,
-      fgt + "SELECT ?a ?x WHERE { ?a (fgt:P2|^(fgt:P2/fgt:P3)) ?x . }",
+      fgt + "SELECT ?a ?x WHERE { ?a (fgt:P2|<>) ?x . }",
       predAliases = aliases))
     assert(e.getMessage.contains("unsupported path segment"), e.getMessage)
+  }
+
+  test("inverse-of-sequence ^(p/q) desugars to ^q/^p, incl. closures, modifiers, set arms") {
+    val st = graft.kg.Triples.statements(spark, sf)
+    import org.apache.spark.sql.functions._
+    val fgt = "PREFIX fgt: <https://database.factgrid.de/prop/direct/>\n"
+    val aliases = Map("fgt:P2" -> "in_nation", "fgt:P3" -> "in_region")
+    val nat = st.filter(col("p") === "in_nation").select(col("s").as("a"), col("o_id").as("m"))
+    val reg = st.filter(col("p") === "in_region").select(col("s").as("m"), col("o_id").as("x"))
+    val comp = nat.join(reg, "m").select("a", "x") // a (P2/P3) x
+    // 1. plain inverse-of-sequence: ^(p/q) ≡ the flipped composition
+    val invseq = Sparql.run(spark, sf,
+      fgt + "SELECT ?r ?c WHERE { ?r ^(fgt:P2/fgt:P3) ?c . }", predAliases = aliases)
+    val flipped = comp.select(col("x").as("r"), col("a").as("c"))
+    assert(invseq.count() > 0 && invseq.exceptAll(flipped).count() == 0 &&
+      flipped.exceptAll(invseq).count() == 0, "^(p/q) must equal flipped p∘q")
+    // 2. an inverse arm INSIDE a step alternation now compiles too
+    //    (the round-11 loud reject): P3 ∪ flipped(p∘q)
+    val altArm = Sparql.run(spark, sf,
+      fgt + "SELECT ?a ?x WHERE { ?a (fgt:P3|^(fgt:P2/fgt:P3)) ?x . }", predAliases = aliases)
+    val altExp = st.filter(col("p") === "in_region").select(col("s").as("a"), col("o_id").as("x"))
+      .unionAll(flipped.toDF("a", "x"))
+    assert(altArm.exceptAll(altExp).count() == 0 && altExp.exceptAll(altArm).count() == 0)
+    // 3. modifier binds TIGHTER than '^': ^(p/q)* = (^(p/q))* =
+    //    identity ∪ flipped(p∘q) — the flipped composite lands on
+    //    customer/supplier nodes with no further flipped-composite
+    //    edge, so the closure converges after one step
+    val modAfter = Sparql.run(spark, sf,
+      fgt + "SELECT ?a ?x WHERE { ?a ^(fgt:P2/fgt:P3)* ?x . }", predAliases = aliases)
+    val nodes = st.select(col("s").as("n"))
+      .unionAll(st.filter(col("o_id").isNotNull).select(col("o_id").as("n"))).distinct()
+    val modExp = nodes.select(col("n").as("a"), col("n").as("x"))
+      .unionAll(flipped.toDF("a", "x").distinct())
+    assert(modAfter.exceptAll(modExp).count() == 0 && modExp.exceptAll(modAfter).count() == 0,
+      "^(p/q)* must be the closure of the flipped composite")
+    // 4. double inverse cancels: ^(^(p/q)) ≡ p/q
+    val dbl = Sparql.run(spark, sf,
+      fgt + "SELECT ?a ?x WHERE { ?a ^(^(fgt:P2/fgt:P3)) ?x . }", predAliases = aliases)
+    assert(dbl.exceptAll(comp).count() == 0 && comp.exceptAll(dbl).count() == 0)
+    // 5. inverse of a negated set flips each arm's direction:
+    //    ^(!(p|^q)) ≡ !(^p|q)
+    val negInv = Sparql.run(spark, sf,
+      fgt + "SELECT ?a ?x WHERE { ?a ^(!(fgt:P2|^fgt:P3)) ?x . ?x fgt:P2 ?n . }",
+      predAliases = aliases)
+    val negExp = Sparql.run(spark, sf,
+      fgt + "SELECT ?a ?x WHERE { ?a !(^fgt:P2|fgt:P3) ?x . ?x fgt:P2 ?n . }",
+      predAliases = aliases)
+    assert(negInv.count() > 0 && negInv.exceptAll(negExp).count() == 0 &&
+      negExp.exceptAll(negInv).count() == 0)
   }
 
   test("negated set with inverse arm: each direction traversed only where it has arms") {
