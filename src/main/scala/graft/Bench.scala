@@ -29,6 +29,7 @@ object Bench {
     def sweep(): Unit = {
       graft.er.ER.resetMemo()
       graft.kg.GraphMetrics.resetMemo()
+      graft.kg.Graphs.resetMemo()
       graft.kg.Rdf.resetMemo()
       graft.dedup.Dedup.resetStores()
       graft.queries.Incremental.resetStores()

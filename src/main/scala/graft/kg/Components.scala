@@ -108,7 +108,8 @@ object Components {
     * loop pays a shuffle pair + checkpoint per iteration. Offered as
     * the pure-DataFrame alternative (no RDD/GraphX dependency);
     * kg_pagerank itself stays on [[Graphs.staticPageRank]]. */
-  def staticPageRank(edges: DataFrame, numIter: Int, resetProb: Double = 0.15): DataFrame = {
+  def staticPageRank(edges: DataFrame, numIter: Int, resetProb: Double = 0.15,
+      normalize: Boolean = true): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .localCheckpoint(eager = true)
     val vertices = e.select(col("src").as("id"))
@@ -134,7 +135,12 @@ object Components {
     }
     // GraphX (Spark 3+) normalizes the final rank sum to the vertex
     // count, restoring the mass lost through dangling vertices —
-    // mirror it so scores are interchangeable (avg rank = 1.0)
+    // mirror it so scores are interchangeable (avg rank = 1.0).
+    // normalize = false yields the RAW iterated ranks, the comparison
+    // frame for the integer fixed-point twin
+    // ([[Graphs.integerPageRankMemo]]), which cannot normalize
+    // without reintroducing an IEEE global sum.
+    if (!normalize) return ranks
     val stats = ranks.agg(sum(col("rank")), count(lit(1))).head()
     val correction = stats.getLong(1).toDouble / stats.getDouble(0)
     ranks.select(col("id"), (col("rank") * lit(correction)).as("rank"))

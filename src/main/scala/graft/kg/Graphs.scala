@@ -50,6 +50,31 @@ object Graphs {
     Graph.fromEdges(edges, ())
   }
 
+  /** Statements-graph memo — the [[graft.er.ER]] ccMemo pattern for
+    * GraphX: the statements→`Graph.fromEdges` build (scan + round-
+    * robin repartition + Edge conversion + GraphX's internal edge-
+    * partition materialization) was re-paid by EVERY GraphX entry in
+    * a session — kg_pagerank and kg_shortest_path, the suite's #1/#2
+    * warm costs in round 11, each rebuilt it per run. Keyed by
+    * (session, dir); the memo OWNS the graph's cached RDDs —
+    * memo-serving entry points unpersist only their DERIVED graphs
+    * (ranks, BFS states), never the base, and the bench/scale
+    * harness sweeps call [[resetMemo]] before cold timings. GraphX
+    * caches lineage-backed RDDs (MEMORY_ONLY), so an external
+    * unpersist degrades to recompute, never wrong results. */
+  private val graphMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Graph[Unit, String]]
+
+  def statementsGraph(spark: SparkSession, dir: String): Graph[Unit, String] =
+    graphMemo.getOrElseUpdate((spark, dir),
+      fromStatements(Triples.statements(spark, dir)))
+
+  /** Drop memoized statement graphs and free their cached RDDs. */
+  def resetMemo(): Unit = {
+    graphMemo.values.foreach(_.unpersist(blocking = false))
+    graphMemo.clear()
+  }
+
   /** Pin a frame to EXACTLY n partitions before the RDD handoff.
     * `coalesce` alone only shrinks — when the upstream plan ends in a
     * broadcast join (or AQE-coalesced exchange) the edge frame can
@@ -104,6 +129,94 @@ object Graphs {
     extracting(rg, g) { rg.vertices.toDF("id", "rank") }
   }
 
+  /** [[staticPageRank]] over the MEMOIZED statements graph (the
+    * former kg_pagerank entry, kept as the float scale path): only
+    * the derived rank graph is freed; the base graph stays cached
+    * for the session's other GraphX entries. */
+  def staticPageRankMemo(spark: SparkSession, dir: String, numIter: Int = 10): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val rg = statementsGraph(spark, dir).staticPageRank(numIter)
+    extracting(rg) { rg.vertices.toDF("id", "rank") }
+  }
+
+  /** Fixed-point scale for [[integerPageRankMemo]]: rank 1.0 = 10¹².
+    * Headroom bound: unnormalized PageRank mass is conserved-or-lost,
+    * so every intermediate (a rank, a message sum) is ≤ V·S; with
+    * S = 10¹² that stays inside Int64 up to V ≈ 9·10⁶ vertices —
+    * beyond that, callers pass a smaller scale (quantization ε and
+    * overflow headroom trade off through the one constant). */
+  val PrScale: Long = 1000000000000L
+
+  /** Integer fixed-point static PageRank over the MEMOIZED statements
+    * graph — the round-12 [R]→[O] conversion of kg_pagerank. The
+    * float version is rows-only forever: per-vertex rank is an IEEE
+    * SUM of incoming contributions whose addition order depends on
+    * shuffle partitioning, and hub in-degree is unbounded. This twin
+    * replaces every float op with an INTEGER one, all exactly
+    * associative/commutative and therefore order-independent:
+    *
+    *   - rank is a scaled Int64 (1.0 = [[PrScale]] = S);
+    *   - an edge contribution is `rank div outdeg` (floor division —
+    *     the quantization, ≤ 1 ulp of S per edge);
+    *   - message merge is Int64 addition (exact, any order);
+    *   - the damping update 0.15 + 0.85·m is exact rational
+    *     arithmetic: 3S/20 + 17m/20, with 17m kept in Int64 range
+    *     via the identity floor(17m/20) = 17·(m div 20) +
+    *     (17·(m mod 20)) div 20;
+    *   - dangling mass is NOT redistributed and ranks are NOT
+    *     normalized (GraphX semantics minus the final float mass
+    *     correction, which would reintroduce an IEEE global sum) —
+    *     the output carries the exact `rank_scaled` plus the display
+    *     double `rank_scaled / 1e12` (ONE division from an exact
+    *     integer — both engines round identically, the
+    *     er_disambiguate similarity precedent).
+    *
+    * Every value is deterministic bit-for-bit under any partitioning,
+    * so DuckDB replays the 10 iterations as unrolled CTEs in HUGEINT
+    * (kg_random_walk pattern) and the driver hash-gates it.
+    * Agreement with float PageRank is spec-bounded: the per-edge
+    * floor quantization propagates as err ≤ (indeg·S⁻¹)/(1−0.85),
+    * ≪ 1e-6 at spec scale (GraphsSpec). Structure mirrors GraphX's
+    * own PageRank loop (aggregateMessages + outerJoinVertices, all
+    * vertices updated every round — dangling vertices still decay),
+    * reference: org.apache.spark.graphx.lib.PageRank.runWithOptions. */
+  def integerPageRankMemo(spark: SparkSession, dir: String,
+      numIter: Int = 10, scale: Long = PrScale,
+      threshold: Long = PrScale): DataFrame = {
+    val sess = spark; import sess.implicits._
+    val g0 = statementsGraph(spark, dir)
+    // vertex state (rank_scaled, outDegree); degree 0 never divides
+    // (a dangling vertex sends no messages)
+    var rg: Graph[(Long, Int), String] = g0.outerJoinVertices(g0.outDegrees) {
+      (_, _, d) => (scale, d.getOrElse(0))
+    }.cache()
+    for (_ <- 0 until numIter) {
+      val msgs = rg.aggregateMessages[Long](
+        ctx => ctx.sendToDst(ctx.srcAttr._1 / ctx.srcAttr._2), _ + _)
+      val prev = rg
+      rg = prev.outerJoinVertices(msgs) { (_, attr, m0) =>
+        val m = m0.getOrElse(0L)
+        (3L * scale / 20L + 17L * (m / 20L) + 17L * (m % 20L) / 20L, attr._2)
+      }.cache()
+      // GraphX's own PageRank loop order (PageRank.runWithOptions):
+      // materialize the NEW graph's shipped edges, THEN free the
+      // superseded step — otherwise the next aggregateMessages
+      // recomputes through the unpersisted ancestor chain. The step
+      // graphs' RDDs are all distinct from the memoized base's, which
+      // stays cached.
+      rg.edges.foreachPartition(_ => ())
+      prev.unpersistVertices(blocking = false)
+      prev.edges.unpersist(blocking = false)
+    }
+    extracting(rg) {
+      rg.vertices.toDF("id", "state")
+        .select(col("id"), col("state._1").as("rank_scaled"))
+        .filter(col("rank_scaled") > threshold)
+        .select(col("id"), col("rank_scaled"),
+          (col("rank_scaled").cast("double") / lit(scale.toDouble)).as("rank"))
+    }
+  }
+
   /** Edge-centric BFS shortest-path distances from a (small) seed set
     * over the UNDIRECTED entity graph — the Pregel twin of
     * [[TripleStore.distances]] (result-identical, spec-checked).
@@ -118,11 +231,19 @@ object Graphs {
     * pay) while the 2-hop kg_khop stays on the DataFrame engine. Seeds are a
     * query-sized set (collected to the driver, like every seed set in
     * the suite — never data-sized). */
-  def distances(spark: SparkSession, st: DataFrame, seeds: DataFrame): DataFrame = {
+  def distances(spark: SparkSession, st: DataFrame, seeds: DataFrame): DataFrame =
+    distancesOn(spark, fromStatements(st), seeds, ownsGraph = true)
+
+  /** [[distances]] over the MEMOIZED statements graph (the
+    * kg_shortest_path entry) — base graph stays cached. */
+  def distancesMemo(spark: SparkSession, dir: String, seeds: DataFrame): DataFrame =
+    distancesOn(spark, statementsGraph(spark, dir), seeds, ownsGraph = false)
+
+  private def distancesOn(spark: SparkSession, g: Graph[Unit, String],
+      seeds: DataFrame, ownsGraph: Boolean): DataFrame = {
     val sess = spark; import sess.implicits._
     val seedIds = seeds.select(col("node").cast("long"))
       .collect().map(_.getLong(0)).toSet
-    val g = fromStatements(st)
     val init = g.mapVertices((id, _) => if (seedIds(id)) 0 else Int.MaxValue)
     val res = init.pregel(Int.MaxValue)(
       (_, attr, msg) => math.min(attr, msg),
@@ -135,7 +256,9 @@ object Graphs {
         else Iterator.empty
       },
       math.min)
-    extracting(res, g, init) {
+    val freed: Seq[Graph[_, _]] =
+      if (ownsGraph) Seq(res, g, init) else Seq(res, init)
+    extracting(freed: _*) {
       val reached = res.vertices.filter(_._2 != Int.MaxValue).toDF("node", "dist")
       // Graph.fromEdges materializes only edge ENDPOINTS: a seed with
       // no entity edge (literal-only node) never becomes a vertex, but

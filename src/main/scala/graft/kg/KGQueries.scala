@@ -339,7 +339,7 @@ object KGQueries {
     val seeds = pat(st, "label").filter(col("o_val") === "ASIA")
       .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
       .select(col("s").as("node"))
-    Graphs.distances(spark, st, seeds)
+    Graphs.distancesMemo(spark, dir, seeds)
   }
 
   /** kg_group_concat — SPARQL GROUP_CONCAT aggregation: per customer,
@@ -496,33 +496,33 @@ object KGQueries {
       .agg(count(lit(1)).as("degree"))
   }
 
-  /** kg_pagerank — PageRank over the entity graph, fixed 10 iterations.
+  /** kg_pagerank — PageRank over the entity graph, fixed 10
+    * iterations, round-12 [R]→[O] conversion: INTEGER fixed-point
+    * arithmetic ([[Graphs.integerPageRankMemo]], rank 1.0 = 10¹²)
+    * makes every per-vertex accumulation an Int64 sum — exactly
+    * associative/commutative, so the result is bit-identical under
+    * any shuffle partitioning and DuckDB replays the ten iterations
+    * as unrolled HUGEINT CTEs under the hash gate.
     *
-    * Why this stays [R] when sim_ann_ivf/kg_sp_census converted: the
-    * per-vertex rank is a SUM of incoming float contributions whose
-    * ADDITION ORDER depends on shuffle partitioning — hub vertices
-    * here have unbounded in-degree (type/region nodes aggregate
-    * hundreds of thousands of edges at sf0.1), and IEEE addition is
-    * not associative, so Spark's partial aggregation and any SQL
-    * engine's scan order produce last-ulp-different sums; ten
-    * iterations then amplify the divergence. Forcing a deterministic
-    * order (sort_array(collect_list(...)) + ordered fold per vertex,
-    * plus a single-partition ordered fold for the final
-    * mass-normalization sum) would make the hot path collect
-    * hub-in-degree arrays per row — the exact anti-pattern this repo
-    * bans at 100 TB. The exactness gate is instead the 1e-6
-    * cross-implementation spec: GraphX Pregel vs the independent
-    * DataFrame loop ([[Components.staticPageRank]]) agree on every
-    * vertex. GraphX
-    * `staticPageRank`, kept after MEASURING the DataFrame alternative
-    * ([[Components.staticPageRank]], result-identical within 1e-6):
-    * 13 s vs 23 s at sf0.1 — ten fixed iterations over the full
-    * 1.2M-edge graph favor Pregel's cached specialized joins over 40
-    * DataFrame shuffles, the opposite of the few-round CC case
-    * (SURVEY §5 records both numbers). */
+    * History: rounds ≤11 ran GraphX float `staticPageRank` and stayed
+    * [R] — per-vertex rank was an IEEE sum over unbounded hub
+    * in-degree, order-dependent by construction; forcing an order
+    * would mean collecting hub-in-degree arrays per row, the banned
+    * anti-pattern. The fixed-point twin sidesteps IEEE instead of
+    * ordering it: the only quantization is one floor-division per
+    * edge contribution (≤ 10⁻¹² each), spec-bounded against the float
+    * engines at 1e-6 (GraphsSpec; the GraphX-vs-DataFrame float spec
+    * stays too). Engine shape is unchanged — the same GraphX
+    * aggregateMessages loop over the MEMOIZED statements graph
+    * (iterations favor Pregel: 13 s vs 23 s DataFrame at sf0.1,
+    * SURVEY §5), with per-step edge materialization mirroring
+    * PageRank.runWithOptions' unpersist cadence. Contract change vs
+    * GraphX: ranks are UNNORMALIZED (the final mass correction is a
+    * global float division — reintroducing it would re-break
+    * determinism); the hub filter is the exact integer
+    * rank_scaled > 10¹². */
   def kgPagerank(spark: SparkSession, dir: String): DataFrame =
-    Graphs.staticPageRank(spark, Triples.statements(spark, dir), numIter = 10)
-      .filter(col("rank") > 1.0)
+    Graphs.integerPageRankMemo(spark, dir, numIter = 10)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kg_degree"        -> (kgDegree _),
@@ -555,7 +555,40 @@ object KGQueries {
   private val S0 = Triples.SUPPLIER * NS; private val S1 = (Triples.SUPPLIER + 1) * NS
   private val P0 = Triples.PART * NS; private val P1 = (Triples.PART + 1) * NS
 
+  /** kg_pagerank oracle — the ten integer fixed-point iterations
+    * UNROLLED (the kg_random_walk pattern), all arithmetic in
+    * HUGEINT: per iteration, message m(dst) = Σ rk(src) // deg(src)
+    * (floor division + exact integer sum = order-independent), then
+    * rk' = 3S/20 + 17·(m÷20) + (17·(m mod 20))÷20 — the Int64-safe
+    * decomposition of floor(17m/20) the engine uses
+    * ([[Graphs.integerPageRankMemo]]). e/deg/v and the per-iteration
+    * frames are MATERIALIZED so the 10-deep chain is evaluated once
+    * per level, never re-inlined. */
+  private val pagerankSql: String = {
+    val S = Graphs.PrScale
+    val iters = (1 to 10).map { k =>
+      s"""m$k AS MATERIALIZED (
+         |  SELECT e.dst AS id, SUM(r${k - 1}.rk // deg.dg) AS m
+         |  FROM e JOIN deg ON deg.id = e.src JOIN r${k - 1} ON r${k - 1}.id = e.src
+         |  GROUP BY 1),
+         |r$k AS MATERIALIZED (
+         |  SELECT v.id, ${3L * S / 20L} + 17 * (COALESCE(m.m, 0) // 20)
+         |       + (17 * (COALESCE(m.m, 0) % 20)) // 20 AS rk
+         |  FROM v LEFT JOIN m$k m ON m.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""$T,
+       |e AS MATERIALIZED (SELECT s AS src, o_id AS dst FROM triples WHERE o_id IS NOT NULL),
+       |deg AS MATERIALIZED (SELECT src AS id, count(*) AS dg FROM e GROUP BY 1),
+       |v AS MATERIALIZED (SELECT DISTINCT id FROM (
+       |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+       |r0 AS (SELECT id, CAST($S AS HUGEINT) AS rk FROM v),
+       |$iters
+       |SELECT id, CAST(rk AS BIGINT) AS rank_scaled, CAST(rk AS DOUBLE) / 1e12 AS rank
+       |FROM r10 WHERE rk > $S""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "kg_pagerank" -> pagerankSql,
     "kg_degree" ->
       s"""$T, ends AS (
          |  SELECT s AS id FROM triples WHERE o_id IS NOT NULL

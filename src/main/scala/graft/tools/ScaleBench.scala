@@ -25,6 +25,7 @@ object ScaleBench {
     def sweep(): Unit = {
       graft.er.ER.resetMemo()
       graft.kg.GraphMetrics.resetMemo()
+      graft.kg.Graphs.resetMemo()
       graft.kg.Rdf.resetMemo()
       graft.dedup.Dedup.resetStores()
       graft.queries.Incremental.resetStores()
