@@ -208,6 +208,19 @@ object Graphs {
       prev.unpersistVertices(blocking = false)
       prev.edges.unpersist(blocking = false)
     }
+    // Overflow invariant, checked LOUDLY: without wraparound every
+    // rank is ≥ the reset floor 3S/20 (rank' = 3S/20 + a nonnegative
+    // term, and 17·(m div 20) cannot wrap when m itself didn't — it
+    // is ≤ 0.85·Int64.Max by construction); a wrapped message sum
+    // goes negative and the floor violation survives to the final
+    // iteration. Total mass is bounded by V·S, so headroom is sized
+    // by the one `scale` knob — at V ≈ 10⁸ vertices pass 10¹⁰.
+    val floorScaled = 3L * scale / 20L
+    val minRank = rg.vertices.map(_._2._1).fold(Long.MaxValue)(math.min)
+    require(minRank >= floorScaled,
+      s"integer PageRank overflow: min rank $minRank < reset floor $floorScaled — " +
+        s"a message sum exceeded Int64 at scale=$scale; pass a smaller scale " +
+        "(total mass is bounded by numVertices * scale)")
     extracting(rg) {
       rg.vertices.toDF("id", "state")
         .select(col("id"), col("state._1").as("rank_scaled"))
