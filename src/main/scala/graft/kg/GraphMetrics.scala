@@ -432,7 +432,19 @@ object GraphMetrics {
       col("sigma").cast("long").as("sigma"))
   }
 
-  /** kg_edge_betweenness — EXACT edge betweenness centrality of the
+  /** Fixed-point scale for [[kgEdgeBetweenness]]'s dependency sweep:
+    * δ = 1.0 is [[BwScale]] = 10⁹. Headroom bound: a per-edge
+    * contribution is σv·(S + δ'w) where δ(w) ≤ reachable-pair count
+    * ≤ V per source, so contrib ≤ σmax·V·S — with S = 10⁹ that stays
+    * inside Int64 for σmax·V up to ~9·10⁹, far beyond the
+    * analysis-class induced subgraphs this operator contracts for
+    * (the reference runs `centrality_edge_betweenness()` on ONE
+    * root-class network). Each level asserts the bound LOUDLY
+    * ([[kgEdgeBetweenness]]); larger graphs pass a smaller scale,
+    * the [[Graphs.PrScale]] convention. */
+  val BwScale: Long = 1000000000L
+
+  /** kg_edge_betweenness — edge betweenness centrality of the
     * roots-induced network, the
     * `centrality_edge_betweenness()` the reference's network analysis
     * ranks edges by (analysis/network/02-look-into-data.R:47): Brandes
@@ -443,11 +455,23 @@ object GraphMetrics {
     * the shortest-path DAG), edge score = Σ over sources of its DAG
     * contributions, halved (undirected pairs counted from both ends).
     *
-    * Determinism/verification: σ and dist are exact integers —
-    * machine-gated via [[kgSpCensus]]; δ and the final score are IEEE
-    * sums, so this entry is rows-only with the semantic spec
-    * comparing against an in-memory exact Brandes at 1e-9 (the
-    * kg_pagerank convention).
+    * Round-12 [R]→[O] conversion (the kg_pagerank pattern): the
+    * backward sweep runs in INTEGER fixed point — δ is a scaled Int64
+    * (1.0 = [[BwScale]] = S), a DAG contribution is the floor
+    * division `σv·(S + δ'w) div σw` (σ and dist are exact integers,
+    * machine-gated via [[kgSpCensus]]), and every merge is an Int64
+    * SUM — exactly associative/commutative, so the result is
+    * bit-identical under any shuffle partitioning and DuckDB replays
+    * the sweep as unrolled HUGEINT CTEs under the hash gate. The only
+    * quantization is the per-contribution floor (≤ 10⁻⁹ of a δ unit),
+    * spec-bounded against an in-memory exact float Brandes at 1e-6
+    * (GraphMetricsSpec). Output carries the exact doubled scaled
+    * score `bw_scaled_x2` (the /2 undirected halving would leave
+    * integer range) plus the display double `bw_scaled_x2 / 2S` —
+    * ONE division from an exact integer, both engines round
+    * identically (the kg_pagerank display-column precedent). Overflow
+    * cannot wrap silently: each level asserts max σv·(S + δ'w) stays
+    * under Int64 headroom and δ' ≥ 0 before its results are used.
     *
     * Scale: betweenness is inherently all-sources (O(V·E) work) — the
     * reference runs it on an ANALYSIS-CLASS-sized induced subgraph,
@@ -458,21 +482,22 @@ object GraphMetrics {
     * plan never grows with the diameter; no driver collect touches
     * per-pair state (only scalar counts + the max level). */
   def kgEdgeBetweenness(spark: SparkSession, dir: String): DataFrame = {
+    val S = BwScale
     val (und, adj, settled, d) = spForwardMemo(spark, dir)
-    // ---- shortest-path DAG edges ------------------------------------
+    // ---- shortest-path DAG edges (σ cast to exact Int64) -------------
     val sv = settled.select(col("src").as("s1"), col("node").as("v"),
-      col("dist").as("dv"), col("sigma").as("sgv"))
+      col("dist").as("dv"), col("sigma").cast("long").as("sgv"))
     val sw = settled.select(col("src").as("s2"), col("node").as("w"),
-      col("dist").as("dw"), col("sigma").as("sgw"))
+      col("dist").as("dw"), col("sigma").cast("long").as("sgw"))
     val dag = sv.join(adj, col("v") === col("a"))
       .join(sw, col("s1") === col("s2") && col("b") === col("w") &&
         col("dw") === col("dv") + 1)
       .select(col("s1").as("src"), col("v"), col("w"),
         col("dv"), col("dw"), col("sgv"), col("sgw"))
       .localCheckpoint(eager = true)
-    // ---- backward: level-by-level dependency sweep -------------------
+    // ---- backward: level-by-level integer dependency sweep -----------
     var delta = settled.filter(col("dist") === d)
-      .select(col("src"), col("node"), lit(0.0).as("delta"))
+      .select(col("src"), col("node"), lit(0L).as("delta"))
       .localCheckpoint(eager = true)
     // settled/adj/und are memo-owned (censusMemo) — not freed here
     var contribs = List.empty[DataFrame]
@@ -480,9 +505,24 @@ object GraphMetrics {
       val level = dag.filter(col("dw") === dd)
         .join(delta.select(col("src"), col("node").as("w"), col("delta")),
           Seq("src", "w"), "left_outer")
-        .withColumn("contrib",
-          col("sgv") / col("sgw") * (lit(1.0) + coalesce(col("delta"), lit(0.0))))
+        .withColumn("dl", coalesce(col("delta"), lit(0L)))
+        .withColumn("contrib", expr(s"sgv * (CAST($S AS BIGINT) + dl) div sgw"))
         .localCheckpoint(eager = true)
+      // Overflow invariant, checked LOUDLY per level (the pagerank
+      // reset-floor convention): the product σv·(S + δ') must keep
+      // Int64 headroom, and a wrapped earlier sum would surface as a
+      // negative δ'. The check is a scalar agg over an already-
+      // checkpointed analysis-class frame — d (≤ graph eccentricity)
+      // driver round trips total.
+      val guard = level.agg(
+        max(col("sgv").cast("double") * (lit(S.toDouble) + col("dl").cast("double"))),
+        min(col("dl"))).first()
+      val maxProd = Option(guard.get(0)).fold(0.0)(_ => guard.getDouble(0))
+      val minDl = Option(guard.get(1)).fold(0L)(_ => guard.getLong(1))
+      require(maxProd < 4.5e18 && minDl >= 0L,
+        s"integer betweenness overflow risk at level $dd: max sigma*(S+delta) = " +
+          s"$maxProd, min delta = $minDl at scale=$S — pass a smaller BwScale " +
+          "(contrib is bounded by sigma_max * V * scale)")
       contribs ::= level.select(col("v"), col("w"), col("contrib"))
       val prevDelta = delta
       delta = level.groupBy(col("src"), col("v")).agg(sum(col("contrib")).as("delta"))
@@ -496,7 +536,8 @@ object GraphMetrics {
         // the empty-graph result derives only from (memo-owned) und
         graft.util.Checkpoints.free(dag)
         graft.util.Checkpoints.free(delta)
-        return und.select(col("a"), col("b"), lit(0.0).as("betweenness"))
+        return und.select(col("a"), col("b"), lit(0L).as("bw_scaled_x2"),
+          lit(0.0).as("betweenness"))
       case xs  => xs.reduce(_ unionByName _)
     }
     // the result reads only the per-level contrib checkpoints (dag and
@@ -507,7 +548,9 @@ object GraphMetrics {
       .select(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"),
         col("contrib"))
       .groupBy(col("a"), col("b"))
-      .agg((sum(col("contrib")) / 2.0).as("betweenness"))
+      .agg(sum(col("contrib")).as("bw_scaled_x2"))
+      .select(col("a"), col("b"), col("bw_scaled_x2"),
+        (col("bw_scaled_x2").cast("double") / lit(2.0 * S)).as("betweenness"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -669,9 +712,76 @@ object GraphMetrics {
        |SELECT src, node, CAST(len AS INTEGER) AS dist, count(*) AS sigma
        |FROM walks GROUP BY src, node, len""".stripMargin
 
+  /** kg_edge_betweenness oracle — the integer fixed-point backward
+    * sweep UNROLLED (the kg_pagerank pattern) on top of the
+    * [[spCensusSql]] census CTEs, all arithmetic in HUGEINT: per
+    * level k (from [[SpCensusCap]] down to 1 — levels above the
+    * graph's true eccentricity have an empty DAG slice, so the extra
+    * unrolled CTEs are no-ops, exactly like the engine's δ = 0
+    * initialization at the deepest level), contrib = σv·(S + δ'w) //
+    * σw (floor division + exact integer sums = order-independent),
+    * then δ' per (src, v) = Σ contrib. Edge score = Σ contrib over
+    * all levels grouped by undirected pair; the display double is
+    * the ONE division score/2S from the exact integer. The census
+    * and dag frames are MATERIALIZED so the 12-deep chain never
+    * re-inlines the walk enumeration. */
+  private val edgeBetweennessSql: String = {
+    val S = BwScale
+    val cap = SpCensusCap
+    val lvls = (cap to 1 by -1).map { k =>
+      s"""lvl$k AS MATERIALIZED (
+         |  SELECT g.src, g.v, g.w,
+         |    (g.sgv * (CAST($S AS HUGEINT) + COALESCE(d.delta, CAST(0 AS HUGEINT)))) // g.sgw AS contrib
+         |  FROM dag g LEFT JOIN dlt${k + 1} d ON d.src = g.src AND d.node = g.w
+         |  WHERE g.dw = $k),
+         |dlt$k AS MATERIALIZED (
+         |  SELECT src, v AS node, SUM(contrib) AS delta FROM lvl$k GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (cap to 1 by -1)
+      .map(k => s"SELECT v, w, contrib FROM lvl$k").mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE $withinCtes,
+       |und AS (SELECT DISTINCT least(root, item1) AS a, greatest(root, item1) AS b FROM w),
+       |e AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+       |nodes AS (SELECT DISTINCT a AS node FROM e),
+       |dmin AS (
+       |  SELECT src, node, min(dist) AS dist FROM (
+       |    WITH RECURSIVE r(src, node, dist) AS (
+       |      SELECT node, node, 0 FROM nodes
+       |      UNION
+       |      SELECT r.src, e.b, r.dist + 1 FROM r JOIN e ON e.a = r.node
+       |      WHERE r.dist < $cap)
+       |    SELECT src, node, dist FROM r)
+       |  GROUP BY src, node),
+       |walks(src, node, len) AS (
+       |  SELECT node, node, 0 FROM nodes
+       |  UNION ALL
+       |  SELECT wk.src, e.b, wk.len + 1
+       |  FROM walks wk JOIN e ON e.a = wk.node
+       |  JOIN dmin dm ON dm.src = wk.src AND dm.node = e.b AND dm.dist = wk.len + 1),
+       |census AS MATERIALIZED (
+       |  SELECT src, node, len AS dist, CAST(count(*) AS HUGEINT) AS sigma
+       |  FROM walks GROUP BY src, node, len),
+       |dag AS MATERIALIZED (
+       |  SELECT cv.src, cv.node AS v, cw.node AS w, cw.dist AS dw,
+       |         cv.sigma AS sgv, cw.sigma AS sgw
+       |  FROM census cv JOIN e ON e.a = cv.node
+       |  JOIN census cw ON cw.src = cv.src AND cw.node = e.b AND cw.dist = cv.dist + 1),
+       |dlt${cap + 1} AS (
+       |  SELECT CAST(NULL AS BIGINT) AS src, CAST(NULL AS BIGINT) AS node,
+       |         CAST(NULL AS HUGEINT) AS delta WHERE FALSE),
+       |$lvls
+       |SELECT a, b, CAST(s2 AS BIGINT) AS bw_scaled_x2,
+       |  CAST(s2 AS DOUBLE) / ${2.0 * S} AS betweenness
+       |FROM (
+       |  SELECT least(v, w) AS a, greatest(v, w) AS b, SUM(contrib) AS s2
+       |  FROM ($unionAll)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "kg_within_relations" -> withinSql,
     "kg_sp_census"        -> spCensusSql,
+    "kg_edge_betweenness" -> edgeBetweennessSql,
     "kg_kcore" -> kcoreSql,
     "kg_communities" -> s"$T, $E,\n$lpaSql",
     "kg_void_stats" ->

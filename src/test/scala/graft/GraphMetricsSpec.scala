@@ -7,14 +7,10 @@ import graft.kg.GraphMetrics
 class GraphMetricsSpec extends SparkSpec {
 
   test("every graph-metric query runs, has rows, and a matching oracle") {
-    // declared rows-only entries (float results DuckDB cannot replay
-    // bit-for-bit) — each carries its own exact semantic spec below
-    val rowsOnly = Set("kg_edge_betweenness")
     GraphMetrics.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
       assert(df.count() > 0, s"$name returned no rows")
-      assert(GraphMetrics.oracles.contains(name) || rowsOnly(name),
-        s"$name missing oracle SQL")
+      assert(GraphMetrics.oracles.contains(name), s"$name missing oracle SQL")
     }
   }
 
@@ -144,8 +140,18 @@ class GraphMetricsSpec extends SparkSpec {
   }
 
   test("edge betweenness matches in-memory exact Brandes at 1e-6") {
-    val got = graft.kg.GraphMetrics.kgEdgeBetweenness(spark, sf).collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val raw = graft.kg.GraphMetrics.kgEdgeBetweenness(spark, sf).collect()
+    // the display double is exactly the integer score over 2S — ONE
+    // IEEE division from an exact Int64 (the kg_pagerank convention)
+    raw.foreach { r =>
+      val s2 = r.getAs[Long]("bw_scaled_x2")
+      assert(r.getAs[Double]("betweenness") ==
+        s2.toDouble / (2.0 * graft.kg.GraphMetrics.BwScale),
+        s"display column drifted from the exact integer at $s2")
+    }
+    val got = raw
+      .map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")),
+        r.getAs[Double]("betweenness"))).toMap
     val w = graft.kg.GraphMetrics.kgWithinRelations(spark, sf)
       .select("root", "item1").collect().map(r => (r.getLong(0), r.getLong(1)))
     val und = w.map { case (x, y) => (math.min(x, y), math.max(x, y)) }.distinct
