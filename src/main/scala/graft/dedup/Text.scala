@@ -86,15 +86,20 @@ object Text {
     * Winnowing is DOC-LOCAL, so the whole computation stays inside one
     * row: the gram-hash array is projected once per document, the
     * per-window minima and the per-doc dedup run as array expressions
-    * over it, and only the final fingerprints explode. ZERO shuffle —
-    * the earlier posexplode → window-per-doc → distinct plan paid two
-    * exchanges (gram rows, then dedup) for the same values; this is
-    * one codegen'd scan pass, the shape that streams through 100 TB
-    * at scan speed. */
+    * over it, and only the final fingerprints explode. ZERO data-sized
+    * shuffle — the earlier posexplode → window-per-doc → distinct plan
+    * paid two exchanges (gram rows, then dedup) for the same values;
+    * this is one codegen'd pass over the documents, the shape that
+    * streams through 100 TB at scan speed. [[graft.util.Scale.fanScan]]
+    * fans the (doc_id, text) projection out of a single-file scan
+    * first: the per-character md5 battery is the most compute-dense
+    * per-row op in the suite, and on the one-row-group test layout it
+    * otherwise runs on ONE core (measured 3.0 s single-task at sf0.1;
+    * no-op on any layout whose scan splits ≥ cores). */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark) // md5_p60
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
+    graft.util.Scale.fanScan(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), expr(
         "transform(sequence(1, length(text)-7), i -> md5_p60(substring(text, i, 8)))")

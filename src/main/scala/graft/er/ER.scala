@@ -126,7 +126,10 @@ object ER {
     UmlautRows.map { case (s, i, l) => s"('$s', CAST($i AS BIGINT), '$l')" }
       .mkString("(VALUES ", ", ", ")")
 
-  /** Mention pool: entity labels from three sources. */
+  /** Mention pool: entity labels from three sources. Fanned out of the
+    * single-file test scans ([[Scale.fanScan]]) because every consumer
+    * immediately runs the [[norm]] battery (replace chain + translate +
+    * two regexes) over it — compute-dense per row, serial otherwise. */
   private def mentions(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
       .select(lit("customer").as("src"), col("c_custkey").as("id"), col("c_name").as("label"))
@@ -134,7 +137,7 @@ object ER {
       .select(lit("supplier").as("src"), col("s_suppkey").as("id"), col("s_name").as("label"))
     val p = Tables.part(spark, dir)
       .select(lit("part").as("src"), col("p_partkey").as("id"), col("p_name").as("label"))
-    c.unionAll(s).unionAll(p)
+    Scale.fanScan(c.unionAll(s).unionAll(p))
   }
 
   private val mentionsSql =
@@ -155,11 +158,25 @@ object ER {
       .agg(count(lit(1)).as("n_dups"), min(col("id")).as("canonical_id"))
       .filter(col("n_dups") >= 2)
 
-  /** Normalized parts with their block key (first token). */
+  /** Normalized parts with their block key (first token). The scan is
+    * fanned out ([[Scale.fanScan]]) BEFORE the [[norm]] projection so
+    * the transliterate/regex battery — and the broadcast-probe stages
+    * of every downstream blocking/fuzzy/expansion join rooted here —
+    * runs at session parallelism instead of the single-file scan's one
+    * task (the er_confirmed_merges profile showed three sequential
+    * ~1.3 s single-task stages rooted at this scan). */
   private def blockedParts(spark: SparkSession, dir: String): DataFrame =
-    Tables.part(spark, dir)
+    Scale.fanScan(Tables.part(spark, dir).select(col("p_partkey"), col("p_name")))
       .select(col("p_partkey").as("id"), norm(col("p_name")).as("norm"))
       .withColumn("blk", split(col("norm"), " ").getItem(0))
+      // LAZY checkpoint: every consumer fans this frame into several
+      // join legs (a/b sides of the blocked self-join, the id-expansion
+      // left/right) and Catalyst does not CSE a sub-plan across
+      // branches — unmaterialized, the scan + norm battery ran up to
+      // THREE times per fuzzy query (two identical 1.8 s stages in the
+      // er_fuzzy_match profile). eager = false so plan-only callers pay
+      // nothing; the first action materializes once.
+      .localCheckpoint(eager = false)
 
   /** Salt fan-out for the blocked self-join: enough sub-keys to spread
     * a ~20-value block key over every core of a 32-way stage. */
@@ -982,7 +999,10 @@ object ER {
     * high-cardinality entity id. Nothing pairs entities against the
     * full authority set. */
   def erDisambiguate(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.part(spark, dir)
+    // fanned out of the single-file scan: both frames derived here run
+    // the norm battery / tokenization per row (see blockedParts note)
+    val p = Scale.fanScan(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name")))
     val ent = p.select(col("p_partkey").cast("long").as("id"), col("p_name").as("name"))
       .withColumn("e_toks", array_sort(array_distinct(
         filter(split(norm(col("name")), " "), x => x =!= lit("")))))

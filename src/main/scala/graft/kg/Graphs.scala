@@ -22,7 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Entity graph from the o_id statements (edge attr = predicate).
+  /** Entity graph from the o_id statements (attr-free edges — see the
+    * narrowing note in the body).
     * `numPartitions` sizes the Pregel shuffles: per-superstep overhead
     * scales with partition count, so size it to edge volume on a
     * cluster (∝ edge bytes / 128 MB). Default (`0`) = clamp the
@@ -40,13 +41,21 @@ object Graphs {
   private def clampPartitions(sc: org.apache.spark.SparkContext): Int =
     math.min(64, math.max(8, sc.defaultParallelism))
 
-  def fromStatements(st: DataFrame, numPartitions: Int = 0): Graph[Unit, String] = {
+  def fromStatements(st: DataFrame, numPartitions: Int = 0): Graph[Unit, Unit] = {
     val n =
       if (numPartitions > 0) numPartitions
       else clampPartitions(st.sparkSession.sparkContext)
+    // Edge attr is Unit, NOT the predicate string: no algorithm here
+    // (CC, PageRank, BFS) reads it, and carrying it would put one
+    // Java String per edge into the cached edge partitions — measured
+    // at sf0.1, every Pregel superstep re-read ~250 MB of cached edges
+    // where the attr-free graph holds ~60 MB (guide §2.3: narrower
+    // types — cache and shuffle fewer bytes). Predicate-conditioned
+    // traversals filter the statements FRAME first and build their own
+    // graph; none needs a per-edge attr after construction.
     val edges = exactlyN(st.filter(col("o_id").isNotNull)
-      .select(col("s"), col("o_id"), col("p")), n)
-      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), r.getString(2)))
+      .select(col("s"), col("o_id")), n)
+      .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     Graph.fromEdges(edges, ())
   }
 
@@ -63,9 +72,9 @@ object Graphs {
     * caches lineage-backed RDDs (MEMORY_ONLY), so an external
     * unpersist degrades to recompute, never wrong results. */
   private val graphMemo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Graph[Unit, String]]
+    .empty[(SparkSession, String), Graph[Unit, Unit]]
 
-  def statementsGraph(spark: SparkSession, dir: String): Graph[Unit, String] =
+  def statementsGraph(spark: SparkSession, dir: String): Graph[Unit, Unit] =
     graphMemo.getOrElseUpdate((spark, dir),
       fromStatements(Triples.statements(spark, dir)))
 
@@ -187,7 +196,7 @@ object Graphs {
     val g0 = statementsGraph(spark, dir)
     // vertex state (rank_scaled, outDegree); degree 0 never divides
     // (a dangling vertex sends no messages)
-    var rg: Graph[(Long, Int), String] = g0.outerJoinVertices(g0.outDegrees) {
+    var rg: Graph[(Long, Int), Unit] = g0.outerJoinVertices(g0.outDegrees) {
       (_, _, d) => (scale, d.getOrElse(0))
     }.cache()
     for (_ <- 0 until numIter) {
@@ -252,7 +261,7 @@ object Graphs {
   def distancesMemo(spark: SparkSession, dir: String, seeds: DataFrame): DataFrame =
     distancesOn(spark, statementsGraph(spark, dir), seeds, ownsGraph = false)
 
-  private def distancesOn(spark: SparkSession, g: Graph[Unit, String],
+  private def distancesOn(spark: SparkSession, g: Graph[Unit, Unit],
       seeds: DataFrame, ownsGraph: Boolean): DataFrame = {
     val sess = spark; import sess.implicits._
     val seedIds = seeds.select(col("node").cast("long"))

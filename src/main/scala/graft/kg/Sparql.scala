@@ -935,6 +935,43 @@ object Sparql {
     * relations (sitelink reification, a second graph, a filtered
     * view) runs the same query text; `entityValued` is that store's
     * typing dictionary (which predicates bind `o_id`). */
+  /** Pattern sites that will scan the OUTER store in a compiled body:
+    * triple patterns, MINUS groups' patterns, the label service, all
+    * recursively through OPTIONAL/UNION nesting. SERVICE bodies scan
+    * their own [[ServiceGraph]] store inside their own recursive
+    * compile, so they are not counted here. */
+  private def outerStoreSites(b: Body): Int =
+    b.patterns.size + b.minuses.map(_.patterns.size).sum +
+      (if (b.labelLangs.isDefined) 1 else 0) +
+      (b.optionals ++ b.unions.flatten).map(outerStoreSites).sum
+
+  /** Site-count switch for materializing the PREDICATE-PRUNED store
+    * once per compiled query (LAZY localCheckpoint). Every fixed-
+    * predicate pattern site compiles to its own scan of the statements
+    * frame, and on a DERIVED store (the projection+union mapping,
+    * reified sitelinks, synthetic service twins) Catalyst re-executes
+    * that whole sub-plan per site — the byte-for-byte reference
+    * queries have 10–40 sites, so the store union ran dozens of times
+    * per query, and the embedded sub-plan copies made driver-side
+    * planning itself a measured 1.7–3.3 s per query (kg_sparql_orgs:
+    * wall 4.4 s vs stage-sum 2.8 s; kg_within_relations: wall 5.2 s
+    * vs 1.9 s). Above the threshold, the store FILTERED TO THE
+    * QUERY'S CONSTANT PREDICATES materializes once (first action —
+    * the union's constant-folding prunes it to exactly the needed
+    * branches, so the materialization is bounded by those branches,
+    * not the store) and every fixed-predicate site filters the small
+    * checkpointed blocks; the plan shrinks from sites × store-plan to
+    * sites × leaf. Free-predicate scans, negated sets, paths and the
+    * wikibase:statements census keep the raw lazy store — routing is
+    * fail-safe (a predicate MISSED by collection just keeps the raw
+    * store; results cannot change). A first cut materialized the FULL
+    * store instead: task count exploded 74 → 1154 on kg_sparql_orgs
+    * because every site then read all ~1.9 M rows — pruning must
+    * survive materialization, hence the predicate filter. Below the
+    * threshold, small queries keep the lazy scans and their parquet
+    * predicate pushdown. */
+  private val StoreMaterializeSites = 6
+
   def compileOn(spark: SparkSession, statements: DataFrame, q: Query,
       predAliases: Map[String, String] = Map.empty,
       entityAliases: Map[String, Long] = Map.empty,
@@ -1152,6 +1189,42 @@ object Sparql {
     def langFilter(df: DataFrame, v: String): DataFrame =
       langOf.get(v).map(l => df.filter(col("lang") === l)).getOrElse(df)
 
+    // ---- predicate-pruned store materialization (see
+    // [[StoreMaterializeSites]] scaladoc for the measured rationale) --
+    // Constant predicates actually scanned by fixed-predicate sites:
+    // allGroups already carries BIND-substituted patterns across every
+    // nesting level (services excluded — they compile against their
+    // own store), so collection here sees exactly what frame() will
+    // scan. Collection is fail-safe by construction: frame() routes a
+    // scan to the pruned store ONLY when its predicate is in this set,
+    // so a missed predicate keeps the raw store and results cannot
+    // change.
+    def hasLabelBlock(b: Body): Boolean =
+      b.labelLangs.isDefined || (b.optionals ++ b.unions.flatten).exists(hasLabelBlock)
+    val constPreds: Set[String] = (allGroups.flatten.flatMap { p0 =>
+      if (p0.p.startsWith("!") || isPath(p0.p) || p0.p == "wikibase:statements") Nil
+      else if (isVarPred(p0.p)) predValues.getOrElse(p0.p.drop(1), Nil)
+      else Seq(pred(p0.p)) // throws the same loud error compile would
+    } ++ (if (hasLabelBlock(q.body)) Seq("label") else Nil)).toSet
+    val prunedStore: Option[DataFrame] =
+      if (outerStoreSites(q.body) >= StoreMaterializeSites && constPreds.nonEmpty)
+        Some(st.filter(col("p").isin(constPreds.toSeq: _*))
+          .localCheckpoint(eager = false))
+      else None
+    /** The frame a fixed-predicate scan of `p` should filter. */
+    def storeFor(p: String): DataFrame =
+      prunedStore.filter(_ => constPreds.contains(p)).getOrElse(st)
+
+    // NOT shared/checkpointed: the service stores. A measured attempt
+    // wrapped each endpoint's raw store in one lazy checkpoint per
+    // top-level compile (to stop free-predicate service scans from
+    // re-deriving the union per scan) — but fixed-predicate and path
+    // scans inside the service blocks then read the FULL checkpointed
+    // relation instead of their branch-pruned derivations, and the
+    // task count doubled (kg_sparql_companions 548 → 1163 tasks).
+    // Branch pruning beats sub-plan sharing here; each service
+    // sub-compile does its own pruned routing instead.
+
     /** A sequence-path pattern compiled to the step+closure plans:
       * non-star steps are equi-joins (BGP expansion — bag semantics,
       * per the SPARQL fixed-length-path rule), a starred step is the
@@ -1284,7 +1357,15 @@ object Sparql {
       * a site-free object is ambiguous and rejected loudly. */
     def varPredFrame(p0: Pattern): DataFrame = {
       val pv = p0.p.drop(1)
-      var df = st
+      // VALUES-restricted predicate vars scan the pruned store when
+      // every listed predicate is materialized there (they are — the
+      // collection includes VALUES lists); unrestricted scans keep the
+      // raw store, that IS their semantics
+      var df = predValues.get(pv) match {
+        case Some(preds) if preds.forall(constPreds.contains) && prunedStore.isDefined =>
+          prunedStore.get
+        case _ => st
+      }
       predValues.get(pv).foreach(preds => df = df.filter(col("p").isin(preds: _*)))
       val cols = scala.collection.mutable.ListBuffer[Column]()
       resolve(p0.s) match {
@@ -1385,7 +1466,7 @@ object Sparql {
           .select(col("s").as(iv), col(cv))
       }
       val p = Pattern(resolve(p0.s), pred(p0.p), resolve(p0.o))
-      var df = st.filter(col("p") === p.p)
+      var df = storeFor(p.p).filter(col("p") === p.p)
       val cols = scala.collection.mutable.ListBuffer[Column]()
       p.s match {
         case V(n)   => cols += col("s").as(n)
@@ -1812,7 +1893,7 @@ object Sparql {
           case (e, (l, i)) => when(col("lang") === l, i).otherwise(e)
         }
         val w = Window.partitionBy(col("s")).orderBy(rank, col("lang"))
-        val b = st.filter(col("p") === "label" && col("lang").isin(langs: _*))
+        val b = storeFor("label").filter(col("p") === "label" && col("lang").isin(langs: _*))
           .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
           .select(col("s").as("_lbl_s"), col("o_val").as("_lbl_v"))
         if (want.count(v => !v.endsWith("AltLabel")) > 1) b.localCheckpoint(false) else b

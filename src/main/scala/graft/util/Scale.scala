@@ -22,6 +22,42 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Fan a COMPUTE-DENSE frame out to the session's parallelism when
+    * its file scan cannot provide it (optimization guide §2.5, input
+    * skew: "one huge unsplittable file … repartition immediately after
+    * the read"). The test corpus ships each table as ONE parquet file
+    * with ONE row group, so every scan is effectively single-task no
+    * matter the core count — and an expensive per-row projection
+    * sitting directly on the scan (per-character winnowing hashes,
+    * NT/TTL rendering, regex batteries) runs serial while the other 31
+    * cores idle (measured: text_contamination's fingerprint stage,
+    * 3.0 s in ONE task at sf0.1 local[32]).
+    *
+    * Scale-adaptive, not a constant: the decision reads only catalog
+    * metadata (`inputFiles` — nothing executes). A production layout
+    * whose scan already carries ≥ core-count file splits returns the
+    * frame UNCHANGED — zero cost at 100 TB, where the repartition
+    * would otherwise be a full-input shuffle. Apply it only where
+    * per-row compute dominates a narrow projected shuffle; never to a
+    * plain filter/join pattern scan (those are shuffle-bound already).
+    * Row multiset is untouched (round-robin repartition), so oracle
+    * hashes are unaffected. */
+  def fanScan(df: DataFrame): DataFrame = fanScan(df, Nil)
+
+  /** [[fanScan]] with explicit distribution keys: when `keys` is
+    * non-empty the fan-out hashes on them (deterministic, and skips
+    * round-robin's sort-before-repartition safety sort — SPARK-23207 —
+    * which would run inside the single scan task this helper exists to
+    * unburden). Pass keys that spread well (a high-cardinality column
+    * or pair); keyless calls use round-robin. */
+  def fanScan(df: DataFrame, keys: Seq[Column]): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    val files = try df.inputFiles.length catch { case _: Exception => Int.MaxValue }
+    if (files >= cores) df
+    else if (keys.nonEmpty) df.repartition(cores, keys: _*)
+    else df.repartition(cores)
+  }
+
   /** Write `df` as a bucketed+sorted managed table (parquet).
     *
     * Self-healing against stale locations: `mode("overwrite")` only
