@@ -63,7 +63,7 @@ object Bpe {
       .filter(col("w").rlike("^[a-z]+$"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(regexp_replace(col("w"), "(.)", "<$1>").as("rep"), col("cnt"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
 
     var reps = census
     val owned = scala.collection.mutable.ListBuffer[DataFrame](census)
@@ -74,16 +74,16 @@ object Bpe {
         .groupBy(col("pair")).agg(sum(col("cnt")).as("freq"))
       val best = pairs.orderBy(col("freq").desc, col("pair")).limit(1)
         .select(col("pair").as("bp"), col("freq").as("bf"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       owned += best
       reps = reps.crossJoin(broadcast(best))
         .select(expr("replace(rep, bp, replace(bp, '><', ''))").as("rep"), col("cnt"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       owned += reps
       best.select(lit(step).as("step"), col("bp").as("pair"),
         expr("replace(bp, '><', '')").as("merged"), col("bf").as("freq"))
     }
-    val out = merges.reduce(_ union _).localCheckpoint(eager = true)
+    val out = merges.reduce(_ union _).transform(graft.util.Checkpoints.compact(_, eager = true))
     owned.foreach(graft.util.Checkpoints.free)
     out
   }

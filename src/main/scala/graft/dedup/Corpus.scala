@@ -304,7 +304,7 @@ object Corpus {
         sum(col("toks")).as("n_ws_tokens"),
         sum(col("chars")).as("n_chars"),
         countDistinct(col("h")).as("n_unique_texts"))
-      .localCheckpoint()
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val total = cell.agg(sum(col("n_ws_tokens")).as("tot_tokens"))
     cell.crossJoin(broadcast(total))
       .withColumn("token_share",

@@ -67,8 +67,8 @@ object Dedup {
     * DuckDB list indexing are both 1-based; the generated shingle
     * strings are identical. */
   private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    graft.util.Scale.fanScan(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t")))
       .select(col("doc_id"),
         explode(when(size(col("t")) >= 3,
           expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
@@ -118,13 +118,16 @@ object Dedup {
     * `maxDf = None` (the declared query) is exact and oracle-checked. */
   def ngramJaccard(spark: SparkSession, dir: String, maxDf: Option[Long]): DataFrame = {
     val sh0 = shingles(spark, dir)
-    val sh = maxDf match {
+    // sh fans into THREE legs below (sizes, a-side, b-side of the
+    // inverted-index join) — lazily checkpointed so the shingle
+    // explode+distinct runs once, not three times
+    val sh = graft.util.Checkpoints.compact(maxDf match {
       case None => sh0
       case Some(cap) =>
         val df = sh0.groupBy(col("s")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") <= cap).select(col("s"))
         sh0.join(df, Seq("s"))
-    }
+    }, eager = false)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.select(col("doc_id").as("a"), col("s"))
       .join(sh.select(col("doc_id").as("b"), col("s")), Seq("s"))
@@ -169,7 +172,9 @@ object Dedup {
     * shared by [[dedupMinhashLsh]] (lazy shingles) and
     * [[dedupClusters]] (checkpointed shingles reused across stages). */
   private def minhashPairs(sh0: DataFrame): DataFrame = {
-    val exploded = bandKeys(sh0)
+    // both sides of the bucket self-join — lazily checkpointed so the
+    // signature aggregation runs once, not twice
+    val exploded = graft.util.Checkpoints.compact(bandKeys(sh0), eager = false)
     exploded.select(col("band"), col("key"), col("doc_id").as("a"))
       .join(exploded.select(col("band"), col("key"), col("doc_id").as("b")), Seq("band", "key"))
       .filter(col("a") < col("b"))
@@ -204,7 +209,8 @@ object Dedup {
     * rows for bucket size along the same pigeonhole curve. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
-    val words = Tables.documents(spark, dir)
+    val words = graft.util.Scale.fanScan(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
       .withColumn("ha", hi32(col("w")))
@@ -267,7 +273,7 @@ object Dedup {
     * consumer, the knob trades storage for read amplification. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
-    val sh = shingles(spark, dir).localCheckpoint(eager = true)
+    val sh = shingles(spark, dir).transform(graft.util.Checkpoints.compact(_, eager = true))
     val cand = minhashPairs(sh).select(col("a"), col("b"))
     // CANDIDATE-DRIVEN verify: expand only the candidate pairs to
     // their shingle sets and count the intersection — cost ∝
@@ -374,7 +380,7 @@ object Dedup {
     val exact = docs.filter(isBatch)
       .join(spark.table(hashT).hint("merge").select(col("h"), col("doc_id").as("hd")), Seq("h"))
       .groupBy(col("doc_id")).agg(min(col("hd")).as("exact_dup_of"))
-    val sh = shingles(spark, dir).localCheckpoint(eager = true)
+    val sh = shingles(spark, dir).transform(graft.util.Checkpoints.compact(_, eager = true))
     val cand = incrementalCandidates(spark, dir, sh.filter(isBatch))
       .select(col("b"), col("hd")).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -393,7 +399,7 @@ object Dedup {
       .join(exact, Seq("doc_id"), "left_outer")
       .join(near, Seq("doc_id"), "left_outer")
       .withColumn("is_new", col("exact_dup_of").isNull && col("near_dup_of").isNull)
-      .localCheckpoint(eager = true) // one row per batch doc — small
+      .transform(graft.util.Checkpoints.compact(_, eager = true)) // one row per batch doc — small
     graft.util.Checkpoints.free(sh)
     out
   }
@@ -640,7 +646,7 @@ object Dedup {
       else {
         // materialized once: the fit iterates maxIter times over it
         val t = feat.sample(withReplacement = false, trainFraction, seed = 11L)
-          .localCheckpoint(eager = true)
+          .transform(graft.util.Checkpoints.compact(_, eager = true))
         if (t.count() >= 4L * k) t else { graft.util.Checkpoints.free(t); feat }
       }
     val model = new KMeans().setK(k).setSeed(42L).setMaxIter(8).fit(train)
@@ -699,8 +705,8 @@ object Dedup {
     * is the production guard. Span id is the md5 hex of the span text,
     * so the DuckDB oracle replays the pipeline exactly. */
   def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    graft.util.Scale.fanScan(Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t")))
       .select(col("doc_id"),
         explode(when(size(col("t")) >= 8,
           expr("transform(sequence(1, size(t)-7), i -> md5(concat_ws(' ', slice(t, i, 8))))"))
@@ -740,7 +746,7 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id").cast("long").as("id"),
         col("embedding").cast("array<double>").as("v"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val nVec = e.count()
     def topK(cand: DataFrame): DataFrame = {
       val scored = cand
@@ -757,7 +763,7 @@ object Dedup {
       .select(col("id"),
         when(col("h") === col("id"), (col("h") + 1) % nVec).otherwise(col("h")).as("nbr"))
       .distinct()
-    var cur = topK(init).localCheckpoint(eager = true)
+    var cur = topK(init).transform(graft.util.Checkpoints.compact(_, eager = true))
     for (_ <- 1 to KnnRounds) {
       val fwd = cur.select(col("id"), col("nbr"))
       val rev = cur.select(col("nbr").as("id"), col("id").as("nbr"))
@@ -766,7 +772,7 @@ object Dedup {
       val cand = fwd.unionByName(rev).unionByName(nn)
         .filter(col("id") =!= col("nbr")).distinct()
       val prev = cur
-      cur = topK(cand).localCheckpoint(eager = true)
+      cur = topK(cand).transform(graft.util.Checkpoints.compact(_, eager = true))
       graft.util.Checkpoints.free(prev)
     }
     graft.util.Checkpoints.free(e)

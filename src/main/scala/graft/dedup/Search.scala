@@ -91,14 +91,14 @@ object Search {
     // is materialized.
     val counts = toks.groupBy(col("term"))
       .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("df"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val total = counts.agg(sum(col("n")).as("n_total"))
     val top = counts.orderBy(col("n").desc, col("term")).limit(100)
     val out = top.crossJoin(broadcast(total))
       .withColumn("rank", row_number().over(Window.orderBy(col("n").desc, col("term"))))
       .withColumn("share", col("n").cast("double") / col("n_total").cast("double"))
       .select(col("term"), col("n"), col("df"), col("rank"), col("share"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     graft.util.Checkpoints.free(counts)
     out
   }
@@ -150,7 +150,7 @@ object Search {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(eager = true) // fans into the df census + the join
+      .transform(graft.util.Checkpoints.compact(_, eager = true)) // fans into the df census + the join
     val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs"))
     val score = col("tf").cast("double") *
@@ -161,7 +161,7 @@ object Search {
         Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     graft.util.Checkpoints.free(tf)
     out
   }

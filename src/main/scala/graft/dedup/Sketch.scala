@@ -130,7 +130,7 @@ object Sketch {
       // census fans out into counters AND the probe top-k — checkpoint
       // the vocabulary-sized frame so the corpus explode runs once
       // (no cross-branch CSE; SURVEY §5 rule), freed before return
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     def positions(df: DataFrame): DataFrame = cmsPositions(df)
     val counters = positions(census)
       .groupBy(col("j"), col("pos")).agg(sum(col("n")).as("c"))
@@ -141,7 +141,7 @@ object Sketch {
       .agg(min(col("c")).as("cms_est"))
       .select(col("term"), col("n").as("n_exact"), col("cms_est"),
         (col("cms_est") - col("n")).as("overcount"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     graft.util.Checkpoints.free(census)
     out
   }

@@ -151,7 +151,7 @@ object Text {
     * via localCheckpoint and freed after the (tiny) flagged-pair
     * result is computed: one corpus pass, not three. */
   def textContamination(spark: SparkSession, dir: String): DataFrame = {
-    val fp = textFingerprint(spark, dir).localCheckpoint(eager = true)
+    val fp = textFingerprint(spark, dir).transform(graft.util.Checkpoints.compact(_, eager = true))
     val evalFp = fp.filter(col("doc_id") < 25)
       .select(col("doc_id").as("eval_id"), col("fp"))
     val evalSizes = evalFp.groupBy(col("eval_id")).agg(count(lit(1)).as("ne"))
@@ -163,7 +163,7 @@ object Text {
       .withColumn("containment", col("n_shared").cast("double") / col("ne").cast("double"))
       .filter(col("containment") >= 0.5)
       .select(col("doc_id"), col("eval_id"), col("n_shared"), col("containment"))
-      .localCheckpoint(eager = true) // flagged pairs only — tiny
+      .transform(graft.util.Checkpoints.compact(_, eager = true)) // flagged pairs only — tiny
     graft.util.Checkpoints.free(fp)
     flagged
   }

@@ -176,7 +176,7 @@ object ER {
       // THREE times per fuzzy query (two identical 1.8 s stages in the
       // er_fuzzy_match profile). eager = false so plan-only callers pay
       // nothing; the first action materializes once.
-      .localCheckpoint(eager = false)
+      .transform(graft.util.Checkpoints.compact(_, eager = false))
 
   /** Salt fan-out for the blocked self-join: enough sub-keys to spread
     * a ~20-value block key over every core of a 32-way stage. */
@@ -610,7 +610,7 @@ object ER {
         .filter(col("rk") === 1)
         .select(col("id"), lit(name).as("strategy"), lit(k + 1).as("priority"),
           col("auth_id"), col("score"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       val ids = top.select(col("id"))
       matchedIds = Some(matchedIds.fold(ids)(_.unionAll(ids)))
       top
@@ -688,7 +688,7 @@ object ER {
       .withColumn("tok1", split(col("norm"), " ").getItem(0))
       .withColumn("tok2", split(col("norm"), " ").getItem(1))
       .join(erIsbn(spark, dir).select(col("id"), col("isbn13")), Seq("id"), "left_outer")
-      .localCheckpoint()
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val auth = Tables.part(spark, dir)
       .select((col("p_partkey") + lit(AuthBase)).cast("long").as("auth_id"),
         (col("p_partkey") % 4).cast("int").as("section"),
@@ -696,7 +696,7 @@ object ER {
         norm(col("p_name")).as("a_norm"), col("p_brand").as("a_brand"))
       .withColumn("a_tok1", split(col("a_norm"), " ").getItem(0))
       .withColumn("a_tok2", split(col("a_norm"), " ").getItem(1))
-      .localCheckpoint()
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val lev = (a: Column, b: Column) => levenshtein(a, b).cast("int")
     // Capped two-sided blocking: union books-side and registry-side
     // rows under one (blk, id, norm) shape, let blockedPairs/capBlocks
@@ -895,11 +895,17 @@ object ER {
         concat(substring(col("p_name"), 1, 2),
           col("p_name").substr(lit(2), length(col("p_name")))).as("label"))
     val base0 = books.unionAll(posters).unionAll(typos)
-    val pool = if (probeRows) base0.unionAll(umlautPool(spark)) else base0
+    // fanned out of the single-file scan: both passes below run
+    // norm + n-gram batteries per row (see blockedParts note)
+    val pool = Scale.fanScan(
+      if (probeRows) base0.unionAll(umlautPool(spark)) else base0)
 
-    // pass 1: token-fingerprint key collision with the ignore list
+    // pass 1: token-fingerprint key collision with the ignore list.
+    // t1 fans into the canonical-pick aggregate AND the join back —
+    // lazily checkpointed so the norm battery runs once, not twice
     val t1 = pool.withColumn("fp1",
       array_join(array_sort(array_distinct(dropIgnored(split(norm(col("label")), " ")))), " "))
+      .transform(graft.util.Checkpoints.compact(_, eager = false))
     val w1 = Window.partitionBy(col("fp1")).orderBy(col("n").desc, col("label"))
     val can1 = t1.filter(col("fp1") =!= "")
       .groupBy(col("fp1"), col("label")).agg(count(lit(1)).as("n"))
@@ -917,9 +923,12 @@ object ER {
           transform(sequence(lit(1), length(src) - lit(n - 1)),
             i => src.substr(i, lit(n))))), ""))
       .otherwise(lit(""))
+    // g fans into the canonical-pick aggregate AND the final join —
+    // lazily checkpointed so the gram battery runs once, not twice
     val g = s1.withColumn("base", base)
       .withColumn("fp2", grams(col("base"), 2))
       .withColumn("fp1c", grams(col("base"), 1))
+      .transform(graft.util.Checkpoints.compact(_, eager = false))
     val w2 = Window.partitionBy(col("fp1c")).orderBy(col("n").desc, col("key_coll"))
     val can2 = g.filter(col("fp1c") =!= "")
       .groupBy(col("fp1c"), col("key_coll"), col("fp2")).agg(count(lit(1)).as("n"))
@@ -1082,7 +1091,7 @@ object ER {
     // consuming branches read the persisted blocks
     val machine = erFuzzyMatch(spark, dir)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-      .localCheckpoint(eager = false)
+      .transform(graft.util.Checkpoints.compact(_, eager = false))
     val rejected = machine.filter((col("a") + col("b")) % 13 === 0)
     val p = Tables.part(spark, dir).select(col("p_partkey").as("id"))
     val confirmed = p.select(col("id").as("a"), (col("id") + 1).as("b"))

@@ -37,7 +37,11 @@ object Components {
     nbrs.join(m, "a").filter(col("b") > col("a"))
       .select(col("b").as("a"), col("m").as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+    // no intermediate distinct: [[smallStar]]'s terminal distinct
+    // dedups the round's edge set anyway (groupBy/min are unaffected
+    // by duplicate inputs), so deduping here bought nothing but one
+    // extra exchange per round — the per-round edge SET, and with it
+    // the convergence checksum, is unchanged
   }
 
   /** small-star(u): for the neighbors not larger than u, link them all
@@ -73,11 +77,11 @@ object Components {
     var e = edges.select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     var prev = checksum(e)
     var converged = prev._1 == 0L
     while (!converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      val next = smallStar(largeStar(e)).transform(graft.util.Checkpoints.compact(_, eager = true))
       val cur = checksum(next)
       converged = cur == prev
       prev = cur
@@ -111,15 +115,15 @@ object Components {
   def staticPageRank(edges: DataFrame, numIter: Int, resetProb: Double = 0.15,
       normalize: Boolean = true): DataFrame = {
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val vertices = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val weighted = e.join(outDeg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     var ranks = vertices.withColumn("rank", lit(1.0))
     for (_ <- 0 until numIter) {
       val msgs = weighted.join(ranks, col("src") === col("id"))
@@ -127,7 +131,7 @@ object Components {
       val stepped = vertices.join(msgs, col("id") === col("dst"), "left_outer")
         .select(col("id"),
           (lit(resetProb) + lit(1 - resetProb) * coalesce(col("msg"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       // free the superseded iteration (no-op on the initial derived
       // frame — Checkpoints.free only touches bare checkpoint roots)
       graft.util.Checkpoints.free(ranks)

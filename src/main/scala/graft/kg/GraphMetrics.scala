@@ -62,7 +62,7 @@ object GraphMetrics {
     * both metrics fan it into several join legs. */
   private def edges(spark: SparkSession, dir: String): DataFrame =
     KGQueries.kgCooccur(spark, dir).select(col("p1"), col("p2"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
 
   /** kg_clustering_coeff — local clustering coefficient per node of
     * the co-occurrence network, as the exact rational
@@ -80,7 +80,7 @@ object GraphMetrics {
         col("degree"))
       .withColumn("coeff_num", lit(2L) * col("n_triangles"))
       .withColumn("coeff_den", col("degree") * (col("degree") - lit(1L)))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     graft.util.Checkpoints.free(e)
     out
   }
@@ -108,7 +108,7 @@ object GraphMetrics {
       .limit(100)
       .select(col("a"), col("b"), col("common"), col("deg_a"), col("deg_b"),
         col("union_size"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     graft.util.Checkpoints.free(e)
     out
   }
@@ -176,11 +176,11 @@ object GraphMetrics {
       .union(e.select(col("p2").as("node"), col("p1").as("nbr")))
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("node")).orderBy(col("nbr"))))
-      .localCheckpoint(eager = true) // feeds every step's join + the degree census
+      .transform(graft.util.Checkpoints.compact(_, eager = true)) // feeds every step's join + the degree census
     val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
     var frontier = adj.select(col("node").as("start")).distinct()
       .withColumn("cur", col("start"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val owned = scala.collection.mutable.ListBuffer[DataFrame](adj, e, frontier)
     val rows = Seq.newBuilder[DataFrame]
     rows += frontier.select(col("start"), lit(0).as("step"), col("cur").as("node"))
@@ -194,11 +194,11 @@ object GraphMetrics {
         .withColumn("rank", idx.cast("int"))
         .join(adj.select(col("node").as("cur"), col("rank"), col("nbr")), Seq("cur", "rank"))
         .select(col("start"), col("nbr").as("cur"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       owned += frontier
       rows += frontier.select(col("start"), lit(k).as("step"), col("cur").as("node"))
     }
-    val out = rows.result().reduce(_ union _).localCheckpoint(eager = true)
+    val out = rows.result().reduce(_ union _).transform(graft.util.Checkpoints.compact(_, eager = true))
     owned.foreach(graft.util.Checkpoints.free)
     out
   }
@@ -228,7 +228,7 @@ object GraphMetrics {
     val e = edges(spark, dir)
     val adj = e.select(col("p1").as("node"), col("p2").as("nbr"))
       .union(e.select(col("p2").as("node"), col("p1").as("nbr")))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val owned = scala.collection.mutable.ListBuffer[DataFrame](e, adj)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("cnt").desc, col("lbl").asc)
@@ -239,13 +239,13 @@ object GraphMetrics {
         .groupBy(col("node"), col("lbl")).agg(count(lit(1)).as("cnt"))
         .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
         .select(col("node"), col("lbl"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       owned += labels
     }
     val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     val out = labels.join(sizes, Seq("lbl"))
       .select(col("node"), col("lbl").as("community"), col("community_size"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     owned.foreach(graft.util.Checkpoints.free)
     out
   }
@@ -274,10 +274,10 @@ object GraphMetrics {
     val e0 = edges(spark, dir)
     val allNodes = e0.select(col("p1").as("node"))
       .union(e0.select(col("p2").as("node"))).distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     var adj = e0.select(col("p1").as("a"), col("p2").as("b"))
       .union(e0.select(col("p2").as("a"), col("p1").as("b")))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     graft.util.Checkpoints.free(e0)
     var before = adj.count()
     var changed = before > 0
@@ -288,7 +288,7 @@ object GraphMetrics {
         .join(keep.withColumnRenamed("k", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("k", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       val after = next.count()
       graft.util.Checkpoints.free(adj)
       adj = next
@@ -298,7 +298,7 @@ object GraphMetrics {
     val core = adj.select(col("a").as("node")).distinct().withColumn("inc", lit(true))
     val out = allNodes.join(core, Seq("node"), "left_outer")
       .select(col("node"), coalesce(col("inc"), lit(false)).as("in_core"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     graft.util.Checkpoints.free(adj)
     graft.util.Checkpoints.free(allNodes)
     out
@@ -319,7 +319,18 @@ object GraphMetrics {
     * store. */
   def kgWithinRelations(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The family store's plan embeds one join per family kind plus the
+    // whole sitelink/statements union; three pattern scans below meant
+    // three full plan copies — driver-side planning alone measured
+    // ~3.3 s (wall 5.2 s vs stage-sum 1.9 s at sf0.1). Filter to the
+    // three predicate families ONCE (constant folding prunes the union
+    // to exactly those branches) and lazily checkpoint; the scans below
+    // then filter the small checkpointed frame (the compileOn
+    // pruned-store pattern, hand-applied to this non-compiled query).
     val st = Sparql.familyStatements(spark, dir)
+      .filter(col("p") === "in_region" || col("p") === "in_nation" ||
+        col("p").startsWith("family_"))
+      .transform(graft.util.Checkpoints.compact(_, eager = false))
     // root class = members located in region 1 (a class wide enough
     // that members actually interlink — the nation-level set induces
     // an almost-empty subgraph)
@@ -352,13 +363,13 @@ object GraphMetrics {
     val wRel = kgWithinRelations(spark, dir)
     val und = wRel.select(least(col("root"), col("item1")).as("a"),
         greatest(col("root"), col("item1")).as("b")).distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val adj = und.select(col("a"), col("b"))
       .union(und.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val nodes = adj.select(col("a").as("node")).distinct()
     var settled = nodes.select(col("node").as("src"), col("node"),
-      lit(0).as("dist"), lit(1.0).as("sigma")).localCheckpoint(eager = true)
+      lit(0).as("dist"), lit(1.0).as("sigma")).transform(graft.util.Checkpoints.compact(_, eager = true))
     var frontier = settled
     var d = 0
     var go = true
@@ -370,11 +381,11 @@ object GraphMetrics {
         .groupBy(col("src"), col("node")).agg(sum(col("sigma")).as("sigma"))
         .withColumn("dist", lit(d + 1))
         .select(col("src"), col("node"), col("dist"), col("sigma"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       if (nxt.isEmpty) { graft.util.Checkpoints.free(nxt); go = false }
       else {
         val prev = settled
-        settled = settled.unionByName(nxt).localCheckpoint(eager = true)
+        settled = settled.unionByName(nxt).transform(graft.util.Checkpoints.compact(_, eager = true))
         graft.util.Checkpoints.free(prev)
         graft.util.Checkpoints.free(frontier)
         frontier = nxt
@@ -494,11 +505,11 @@ object GraphMetrics {
         col("dw") === col("dv") + 1)
       .select(col("s1").as("src"), col("v"), col("w"),
         col("dv"), col("dw"), col("sgv"), col("sgw"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     // ---- backward: level-by-level integer dependency sweep -----------
     var delta = settled.filter(col("dist") === d)
       .select(col("src"), col("node"), lit(0L).as("delta"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     // settled/adj/und are memo-owned (censusMemo) — not freed here
     var contribs = List.empty[DataFrame]
     for (dd <- d to 1 by -1) {
@@ -507,7 +518,7 @@ object GraphMetrics {
           Seq("src", "w"), "left_outer")
         .withColumn("dl", coalesce(col("delta"), lit(0L)))
         .withColumn("contrib", expr(s"sgv * (CAST($S AS BIGINT) + dl) div sgw"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       // Overflow invariant, checked LOUDLY per level (the pagerank
       // reset-floor convention): the product σv·(S + δ') must keep
       // Int64 headroom, and a wrapped earlier sum would surface as a
@@ -527,7 +538,7 @@ object GraphMetrics {
       val prevDelta = delta
       delta = level.groupBy(col("src"), col("v")).agg(sum(col("contrib")).as("delta"))
         .select(col("src"), col("v").as("node"), col("delta"))
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       graft.util.Checkpoints.free(prevDelta)
     }
     val all = contribs match {

@@ -103,7 +103,7 @@ object Graphs {
     * blocks. All entry points route through this so the unpersist
     * lifecycle lives in exactly one place. */
   private def extracting(gs: Graph[_, _]*)(result: => DataFrame): DataFrame = {
-    val out = result.localCheckpoint(eager = true)
+    val out = result.transform(graft.util.Checkpoints.compact(_, eager = true))
     gs.foreach(_.unpersist(blocking = false))
     out
   }

@@ -106,7 +106,7 @@ object KGQueries {
     val edges = st.filter(col("p").isin("in_nation", "in_region"))
       .select(col("s").as("a"), col("o_id").as("b"))
       .distinct()
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     var closure = edges
     var frontier = edges
     var growing = true
@@ -116,13 +116,13 @@ object KGQueries {
         .select(col("a"), col("c").as("b"))
         .distinct()
         .join(closure, Seq("a", "b"), "left_anti")
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       growing = next.count() > 0
       if (!(frontier eq closure) && !(frontier eq edges)) free(frontier)
       if (growing) {
         // next is disjoint from closure (anti-joined) and internally
         // distinct, so the union needs no re-distinct
-        val grown = closure.unionAll(next).localCheckpoint(eager = true)
+        val grown = closure.unionAll(next).transform(graft.util.Checkpoints.compact(_, eager = true))
         if (!(closure eq edges)) free(closure)
         closure = grown
         frontier = next
@@ -389,9 +389,9 @@ object KGQueries {
     // cooccur aggregation ONCE (it is itself a join + groupBy over
     // has_part) instead of letting each leg re-run that plan
     val e = kgCooccur(spark, dir).select(col("p1"), col("p2"))
-      .localCheckpoint(eager = true)
+      .transform(graft.util.Checkpoints.compact(_, eager = true))
     val out = triangleCensus(e)
-      .localCheckpoint(eager = true) // node census only — small
+      .transform(graft.util.Checkpoints.compact(_, eager = true)) // node census only — small
     graft.util.Checkpoints.free(e)
     out
   }

@@ -413,7 +413,7 @@ object Rdf {
   private def memoLines(spark: SparkSession, dir: String, fmt: String,
       render: => DataFrame): DataFrame =
     linesMemo.getOrElseUpdate((spark, dir, fmt), {
-      val cp = render.localCheckpoint(eager = true)
+      val cp = render.transform(graft.util.Checkpoints.compact(_, eager = true))
       graft.util.Checkpoints.pin(cp)
       cp
     })

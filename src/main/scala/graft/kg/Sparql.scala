@@ -1209,7 +1209,7 @@ object Sparql {
     val prunedStore: Option[DataFrame] =
       if (outerStoreSites(q.body) >= StoreMaterializeSites && constPreds.nonEmpty)
         Some(st.filter(col("p").isin(constPreds.toSeq: _*))
-          .localCheckpoint(eager = false))
+          .transform(graft.util.Checkpoints.compact(_, eager = false)))
       else None
     /** The frame a fixed-predicate scan of `p` should filter. */
     def storeFor(p: String): DataFrame =
@@ -1723,7 +1723,8 @@ object Sparql {
           val cols0 = fs.head.columns.toSeq.sorted
           joinRequired(fs.map(_.select(cols0.map(col): _*)).reduce(_ union _), "UNION block")
         } else {
-          val base = if (acc != null && branches.size > 1) acc.localCheckpoint(false) else acc
+          val base = if (acc != null && branches.size > 1)
+            graft.util.Checkpoints.compact(acc, eager = false) else acc
           val frames = branches.map { bb =>
             val f = compileBody(bb, base, binds, productOk = true)
             require(f != null, "empty UNION branch")
@@ -1896,7 +1897,8 @@ object Sparql {
         val b = storeFor("label").filter(col("p") === "label" && col("lang").isin(langs: _*))
           .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
           .select(col("s").as("_lbl_s"), col("o_val").as("_lbl_v"))
-        if (want.count(v => !v.endsWith("AltLabel")) > 1) b.localCheckpoint(false) else b
+        if (want.count(v => !v.endsWith("AltLabel")) > 1)
+          graft.util.Checkpoints.compact(b, eager = false) else b
       }
       want.foreach { lv =>
         val alt = lv.endsWith("AltLabel")
@@ -2562,7 +2564,8 @@ object Sparql {
       // row into a spurious 0L seed while the semi-join arm silently
       // never matches it (round-10 ADVICE)
       val seedFrame =
-        sel.select(dvar).filter(col(dvar).isNotNull).distinct().localCheckpoint()
+        graft.util.Checkpoints.compact(
+          sel.select(dvar).filter(col(dvar).isNotNull).distinct(), eager = true)
       val st = Triples.statements(spark, dir)
       if (seedFrame.count() <= seedCap) {
         val seeds = seedFrame.collect().map(_.getLong(0)).toSeq

@@ -86,7 +86,7 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     val basePairs = statements.filter(col("o_id").isNotNull)
       .select(col("s"), col("o_id"))
     val pairs =
-      if (k >= 2) basePairs.localCheckpoint(eager = true) else basePairs
+      if (k >= 2) basePairs.transform(graft.util.Checkpoints.compact(_, eager = true)) else basePairs
     val e = pairs.select(explode(array(
         struct(col("s").as("a"), col("o_id").as("b")),
         struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
@@ -97,7 +97,7 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
       val next = frontier.join(e, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       visited = visited.unionAll(next.withColumn("dist", lit(hop)))
       frontier = next
     }
@@ -124,9 +124,9 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     // checkpoint removes 7 full-edge exchanges. At scale the same role
     // is played by a bucketed-by-`a` edge layout
     // ([[graft.util.Scale.writeBucketed]]).
-    val e = edges.repartition(col("a")).localCheckpoint(eager = true)
+    val e = edges.repartition(col("a")).transform(graft.util.Checkpoints.compact(_, eager = true))
     var visited = seeds.select(col("node")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(eager = true)
+      .withColumn("dist", lit(0)).transform(graft.util.Checkpoints.compact(_, eager = true))
     var frontier = visited.select("node")
     var hop = 1
     var growing = true
@@ -134,12 +134,12 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
       val next = frontier.join(e, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       growing = next.count() > 0
       if (!(frontier eq visited)) free(frontier)
       if (growing) {
         val grown = visited.unionAll(next.withColumn("dist", lit(hop)))
-          .localCheckpoint(eager = true)
+          .transform(graft.util.Checkpoints.compact(_, eager = true))
         free(visited)
         visited = grown
         frontier = next
@@ -234,8 +234,8 @@ object TripleStore {
     * free the result once consumed. */
   private[kg] def fixpoint(edges: DataFrame, seed: Option[DataFrame] = None): DataFrame = {
     import graft.util.Checkpoints.free
-    val e = edges.distinct().localCheckpoint(eager = true)
-    var acc = seed.map(_.distinct().localCheckpoint(eager = true)).getOrElse(e)
+    val e = edges.distinct().transform(graft.util.Checkpoints.compact(_, eager = true))
+    var acc = seed.map(_.distinct().transform(graft.util.Checkpoints.compact(_, eager = true))).getOrElse(e)
     var frontier = acc
     var growing = true
     while (growing) {
@@ -244,12 +244,12 @@ object TripleStore {
         .select(col("a"), col("c").as("b"))
         .distinct()
         .join(acc, Seq("a", "b"), "left_anti")
-        .localCheckpoint(eager = true)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
       growing = next.count() > 0
       // the old frontier is fully consumed once `next` is materialized
       if (!(frontier eq acc) && !(frontier eq e)) free(frontier)
       if (growing) {
-        val grown = acc.unionAll(next).localCheckpoint(eager = true)
+        val grown = acc.unionAll(next).transform(graft.util.Checkpoints.compact(_, eager = true))
         if (!(acc eq e)) free(acc) // superseded closure snapshot
         acc = grown
         frontier = next

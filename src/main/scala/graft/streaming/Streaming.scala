@@ -155,14 +155,48 @@ object Streaming {
     * stateless ingest needs no max-ts aggregate, just the files). */
   private val stagedDocs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Drop all memoized staging dirs (next replay re-stages). */
+  /** Drop all memoized staging dirs (next replay re-stages). The
+    * `_sent` side dirs hold the pre-rendered sentinel part files
+    * ([[renderSentinels]]) and live/die with their staging dir. */
   def resetStaging(): Unit = {
-    stagedSrc.values.forEach(p => deleteRecursively(java.nio.file.Paths.get(p._1)))
+    stagedSrc.values.forEach { p =>
+      deleteRecursively(java.nio.file.Paths.get(p._1))
+      deleteRecursively(java.nio.file.Paths.get(p._1 + "_sent"))
+    }
     stagedSrc.clear()
     stagedDocs.values.forEach(p => deleteRecursively(java.nio.file.Paths.get(p)))
     stagedDocs.clear()
-    stagedCdcLog.values.forEach(p => deleteRecursively(java.nio.file.Paths.get(p)))
+    stagedCdcLog.values.forEach { p =>
+      deleteRecursively(java.nio.file.Paths.get(p))
+      deleteRecursively(java.nio.file.Paths.get(p + "_sent"))
+    }
     stagedCdcLog.clear()
+  }
+
+  /** Render one-row sentinel parquet part files ONCE per staging (the
+    * sentinel content is a pure function of the staged max(ts) /
+    * base-ts constant, so it can be produced at staging time): each
+    * replay previously ran TWO tiny Spark jobs (coalesce(1) parquet
+    * write + commit + move) mid-stream just to advance the watermark —
+    * pure per-replay driver overhead, ~0.2–0.4 s each on a loaded
+    * scheduler. Replays now [[Files.copy]] the pre-rendered file into
+    * staging — no job, same bytes, same watermark semantics (the file
+    * still appears AFTER the query starts, which is what advances the
+    * watermark). */
+  private def renderSentinels(sess: SparkSession, sentDir: String,
+      rows: Map[Int, DataFrame]): Unit = {
+    Files.createDirectories(java.nio.file.Paths.get(sentDir))
+    rows.foreach { case (offsetH, df) =>
+      val tmp = Files.createTempDirectory("graft_sentinel")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val partListing = Files.list(tmp)
+      val part = try partListing
+        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+      finally partListing.close()
+      Files.move(part, java.nio.file.Paths.get(sentDir, s"sentinel-$offsetH.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      deleteRecursively(tmp)
+    }
   }
 
   /** Stage the events table + run one file-source replay: write events
@@ -188,7 +222,14 @@ object Streaming {
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       events.write.mode("append").parquet(st)
       // one-row aggregate — the only thing the driver ever holds
-      (st, events.agg(max(col("ts"))).head().getTimestamp(0))
+      val mx = events.agg(max(col("ts"))).head().getTimestamp(0)
+      locally { // pre-render both sentinel waves (see renderSentinels)
+        import spark.implicits._
+        renderSentinels(spark, st + "_sent", Seq(3, 6).map(h =>
+          h -> Seq(Ev(-1L, new Timestamp(mx.getTime + h * 3600L * 1000), -1L,
+            "sentinel", 0.0)).toDF()).toMap)
+      }
+      (st, mx)
     })
     // reap the PREVIOUS replay's sentinels now, while no query is
     // running (single-replay-at-a-time constraint above): this run's
@@ -200,22 +241,14 @@ object Streaming {
         .forEach(p => Files.deleteIfExists(p))
       finally listing.close()
     }
-    /** Write the one-row sentinel as a single parquet FILE at a fixed
-      * visible name (part files from a directory write would pile up;
-      * `_`/`.`-prefixed names would be ignored by the file source). */
-    def pushSentinel(offsetH: Int): Unit = {
-      import spark.implicits._
-      val df = Seq(Ev(-1L, new Timestamp(maxTs.getTime + offsetH * 3600L * 1000), -1L, "sentinel", 0.0)).toDF()
-      val tmp = Files.createTempDirectory("graft_sentinel")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val partListing = Files.list(tmp)
-      val part = try partListing
-        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
-      finally partListing.close()
-      Files.move(part, java.nio.file.Paths.get(staging, s"sentinel-$offsetH.parquet"),
+    /** Drop the pre-rendered one-row sentinel (see [[renderSentinels]])
+      * into staging at a fixed visible name — a file COPY, not a Spark
+      * job (`_`/`.`-prefixed names would be ignored by the file
+      * source). */
+    def pushSentinel(offsetH: Int): Unit =
+      Files.copy(java.nio.file.Paths.get(staging + "_sent", s"sentinel-$offsetH.parquet"),
+        java.nio.file.Paths.get(staging, s"sentinel-$offsetH.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      deleteRecursively(tmp)
-    }
 
     import spark.implicits._
     val source = spark.readStream.schema(evSchema).parquet(staging).as[Ev]
@@ -428,6 +461,12 @@ object Streaming {
         .withColumn("ts", timestamp_micros(lit(cdcBaseUs) + col("seq") * lit(3600000000L)))
         .select("key", "name", "seq", "op", "ts")
         .write.mode("append").parquet(st)
+      locally { // pre-render both sentinel waves (see renderSentinels)
+        import sess.implicits._
+        renderSentinels(sess, st + "_sent", Seq(100, 200).map(h =>
+          h -> Seq(CdcEv(-1L, "sentinel", -1L, "S",
+            new Timestamp(cdcBaseUs / 1000L + h * 3600L * 1000L))).toDF()).toMap)
+      }
       st
     })
     locally { // reap the previous replay's sentinels (fileReplay rule)
@@ -436,20 +475,10 @@ object Streaming {
         .forEach(p => Files.deleteIfExists(p))
       finally listing.close()
     }
-    def pushSentinel(offsetH: Int): Unit = {
-      import sess.implicits._
-      val df = Seq(CdcEv(-1L, "sentinel", -1L, "S",
-        new Timestamp(cdcBaseUs / 1000L + offsetH * 3600L * 1000L))).toDF()
-      val tmp = Files.createTempDirectory("graft_sentinel")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val partListing = Files.list(tmp)
-      val part = try partListing
-        .filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
-      finally partListing.close()
-      Files.move(part, java.nio.file.Paths.get(staging, s"sentinel-$offsetH.parquet"),
+    def pushSentinel(offsetH: Int): Unit = // pre-rendered copy, no job
+      Files.copy(java.nio.file.Paths.get(staging + "_sent", s"sentinel-$offsetH.parquet"),
+        java.nio.file.Paths.get(staging, s"sentinel-$offsetH.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      deleteRecursively(tmp)
-    }
     import sess.implicits._
     val source = sess.readStream.schema(cdcSchema).parquet(staging).as[CdcEv]
     val q = source

@@ -59,6 +59,13 @@ object Profile {
       snap.sortBy(-_.ms).take(18).foreach { s =>
         println(f"  ${s.ms}%6d ms ${s.tasks}%4d tasks  in=${s.inputMB}%8.1fMB  sr=${s.shufReadMB}%8.2fMB sw=${s.shufWriteMB}%8.2fMB spill=${s.spillMB}%6.1fMB  ${s.name}")
       }
+      spark.sparkContext.getRDDStorageInfo.filter(_.memSize > 10L * 1024 * 1024)
+        .sortBy(-_.memSize).take(8).foreach { i =>
+        println(f"  RDD ${i.id}%4d mem=${i.memSize / 1e6}%8.1fMB disk=${i.diskSize / 1e6}%8.1fMB parts=${i.numCachedPartitions} ${i.name}")
+        spark.sparkContext.getPersistentRDDs.get(i.id).foreach { r =>
+          println("    " + r.toDebugString.linesIterator.take(3).mkString(" | "))
+        }
+      }
     }
     spark.stop()
   }

@@ -12,6 +12,23 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Checkpoints {
 
+  /** `localCheckpoint` with SERIALIZED storage. The default
+    * (deserialized MEMORY_AND_DISK) caches the physical UnsafeRows
+    * as-is, and rows produced by a sort/join stage point INTO their
+    * task's shared 8 MB page — caching even a 31k-row edge frame
+    * pinned 32 pages ≈ 256 MB of heap (measured: er_confirmed_merges'
+    * machine-edge checkpoint held 262 MB for ~0.5 MB of data).
+    * Serialized storage copies rows into compact buffers instead, at
+    * the cost of a deserialization on each read — the right trade for
+    * the SMALL frames the fixpoint loops and memo extracts checkpoint
+    * (loop states, edge lists, result frames), which are written once
+    * and read a handful of times. Keep the plain `localCheckpoint`
+    * for frames that are re-read many times per query (e.g. the
+    * SPARQL pruned store). */
+  def compact(df: DataFrame, eager: Boolean): DataFrame =
+    df.localCheckpoint(eager,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+
   /** RDD ids whose checkpoint blocks are owned by a MEMO (e.g.
     * [[graft.kg.Rdf]]'s rendered-lines cache): a consumer following
     * the freeAll-after-draining convention must not free them through
