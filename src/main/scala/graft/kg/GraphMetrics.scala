@@ -364,6 +364,11 @@ object GraphMetrics {
     val und = wRel.select(least(col("root"), col("item1")).as("a"),
         greatest(col("root"), col("item1")).as("b")).distinct()
       .transform(graft.util.Checkpoints.compact(_, eager = true))
+    // kgWithinRelations lazily checkpoints its pruned family store;
+    // `und` is materialized above, so that store leaf is dead weight
+    // here — free it now (the memo owns only und/adj/settled, so
+    // resetMemo would never reclaim it)
+    graft.util.Checkpoints.freeAll(wRel)
     val adj = und.select(col("a"), col("b"))
       .union(und.select(col("b").as("a"), col("a").as("b")))
       .transform(graft.util.Checkpoints.compact(_, eager = true))

@@ -69,11 +69,19 @@ class ScaleSpec extends SparkSpec {
     val plan = cand.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
     assert(plan.contains("Bucketed: true"), s"store scan must use its buckets:\n$plan")
-    // the only exchanges are the probe's own: its signature groupBy
+    // the only exchanges are the probe's own: the Scale.fanScan
+    // repartition out of the single-file test scan (round 12 — a no-op
+    // on layouts with >= core-count splits), its signature groupBy,
     // and its co-partitioning to the store's buckets — the store side
     // reads straight into the join
     val exchanges = "Exchange".r.findAllIn(plan).size
-    assert(exchanges == 2, s"store side must not shuffle (probe pays 2), got $exchanges:\n$plan")
+    assert(exchanges == 3, s"store side must not shuffle (probe pays 3), got $exchanges:\n$plan")
+    // the store scan feeds its join-side Sort directly: no Exchange may
+    // sit between the last pre-store Sort and the bucketed FileScan
+    val storeScanAt = plan.indexOf("FileScan parquet spark_catalog.default.graft_sigstore")
+    val storeSortAt = plan.lastIndexOf("Sort [key", storeScanAt)
+    assert(storeSortAt >= 0 && !plan.substring(storeSortAt, storeScanAt).contains("Exchange"),
+      s"exchange appeared on the store side:\n$plan")
     assert(cand.count() > 0)
     // the full query built on this path still answers: every batch doc
     // verdicts once
