@@ -20,18 +20,18 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE coalescing is byte-based and blind to CPU density: with the
-      // default minPartitionSize (1 MB) a compute-dense stage over a
-      // small-byte shuffle (levenshtein over salted pairs, explode fans,
-      // render batteries) coalesces to ONE task while the other cores
-      // idle — measured 1.7–1.8 s single-task stages in er_fuzzy_match
-      // at sf0.1 local[32]. 64k keeps such stages parallel (partition
-      // count stays capped by spark.sql.shuffle.partitions, so trivial
-      // stages don't explode into micro-tasks). Parameterized: at
-      // cluster scale, where shuffle bytes per stage are orders larger,
-      // the default 1m is fine and this knob is a no-op in practice.
+      // AQE coalescing is byte-based and blind to CPU density: a
+      // compute-dense stage over a small-byte shuffle can coalesce to
+      // one task. A 64k floor was MEASURED both ways at sf0.1
+      // local[32]: it parallelized the salted-levenshtein stages in
+      // profiles, but the bench's count() plans got slower overall
+      // (kg_communities 4.1 → 6.0 s warm, er_fuzzy_match 0.75 → 1.2 s
+      // — the extra micro-tasks cost more in scheduling than the
+      // parallelism returned at this data size), so the DEFAULT stays
+      // Spark's 1m and the knob is left for workloads whose
+      // small-shuffle stages are genuinely CPU-bound.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BROADCAST_BYTES", (64L * 1024 * 1024).toString))
