@@ -84,7 +84,13 @@ object Bench {
     // individual warm rep to a committed file, and surface the
     // heaviest queries per-rep on stderr (stdout stays the driver's
     // one-line contract).
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    // Default artifact name carries the CORE COUNT: the driver runs
+    // the bench twice (main cpus, then a lower count for scaling), and
+    // a fixed name let the second run overwrite the first's per-rep
+    // data — the round-12 adjudication gap (the disturbed 32-core run
+    // could not be re-examined per-rep). One artifact per core count
+    // keeps both runs inspectable.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_full_c$cpus.json")
     // Double.toString on NaN/Infinity is not valid JSON — emit null
     def num(d: Double): String = if (java.lang.Double.isFinite(d)) d.toString else "null"
     def arr(xs: Seq[Double]): String = xs.map(num).mkString("[", ",", "]")

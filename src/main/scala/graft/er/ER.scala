@@ -297,6 +297,27 @@ object ER {
   private val ccMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Machine match-graph EDGES `(a, b)` — the fuzzy-match pipeline's
+    * output pairs, memoized as an eager serialized checkpoint and
+    * shared by [[componentsOf]] and [[erConfirmedMerges]] (round 13:
+    * confirmed_merges re-ran the whole blocking→levenshtein→expansion
+    * chain on every invocation through its per-invocation lazy
+    * checkpoint — the edge set is the same frame both consumers read,
+    * so it is memoized once like the component map itself; Bench's
+    * sweep frees it before every cold measurement). Pinned so a
+    * consumer's freeAll cannot reap memo-owned blocks. */
+  private val machineEdgesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def machineEdges(spark: SparkSession, dir: String): DataFrame =
+    machineEdgesMemo.getOrElseUpdate((spark, dir), {
+      val e = erFuzzyMatch(spark, dir)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
+      graft.util.Checkpoints.pin(e)
+      e
+    })
+
   /** Drop memoized component maps AND free their storage blocks.
     * Bench calls this before every cold measurement so each query is
     * measured at its standalone cost; pipelines (and Verify) keep the
@@ -304,6 +325,11 @@ object ER {
   def resetMemo(): Unit = {
     ccMemo.values.foreach(_.unpersist(blocking = false))
     ccMemo.clear()
+    machineEdgesMemo.values.foreach { df =>
+      graft.util.Checkpoints.unpin(df)
+      graft.util.Checkpoints.free(df)
+    }
+    machineEdgesMemo.clear()
     cascadeMemo.clear() // localCheckpoint RDDs free via ContextCleaner
     regMemo.foreach { case ((spark, _), t) => spark.sql(s"DROP TABLE IF EXISTS $t") }
     regMemo.clear()
@@ -311,8 +337,7 @@ object ER {
 
   private def componentsOf(spark: SparkSession, dir: String): DataFrame =
     ccMemo.getOrElseUpdate((spark, dir), {
-      val edges = erFuzzyMatch(spark, dir)
-        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val edges = machineEdges(spark, dir)
       val vertices = Tables.part(spark, dir).select(col("p_partkey").as("id"))
       val comp = graft.kg.Components.connectedComponents(edges, vertices)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1080,18 +1105,19 @@ object ER {
     * human tables are review-queue-sized, far below the machine edge
     * count, so the added cost is one broadcast-or-hash anti-join. */
   def erConfirmedMerges(spark: SparkSession, dir: String): DataFrame = {
-    // LAZY checkpoint: the machine edge set fans out into the
-    // human-veto anti-join AND the rejected stand-in derived from it —
-    // unmaterialized, Catalyst evaluates the salted blocked pair
-    // generation + levenshtein TWICE (no CSE across branches; bench
-    // r11: the suite's most expensive warm ER entry at 6.0 s). eager =
-    // false so plan-only callers (plan hygiene iteration, .explain)
-    // don't pay the ~6 s fuzzy-match materialization at DataFrame
-    // CONSTRUCTION time; the first action checkpoints it once and both
-    // consuming branches read the persisted blocks
-    val machine = erFuzzyMatch(spark, dir)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-      .transform(graft.util.Checkpoints.compact(_, eager = false))
+    // The machine edge set fans out into the human-veto anti-join AND
+    // the rejected stand-in derived from it — it must be materialized
+    // (Catalyst does not CSE across branches; unmaterialized, the
+    // salted pair generation + levenshtein ran TWICE). Round 13: read
+    // the MEMOIZED shared checkpoint ([[machineEdges]]) instead of a
+    // per-invocation lazy one — the blocking→levenshtein chain is the
+    // same frame componentsOf reads, and re-running it per invocation
+    // was this query's largest repeated cost (the incremental-CC
+    // alternative the round-12 verdict floated is NOT sound here:
+    // rejected pairs REMOVE machine edges, and removing a bridge edge
+    // splits a machine component, so seeding the edited CC with
+    // machine components could merge what the veto split).
+    val machine = machineEdges(spark, dir)
     val rejected = machine.filter((col("a") + col("b")) % 13 === 0)
     val p = Tables.part(spark, dir).select(col("p_partkey").as("id"))
     val confirmed = p.select(col("id").as("a"), (col("id") + 1).as("b"))

@@ -226,8 +226,14 @@ object GraphMetrics {
     * DataFrame CC engine this sits beside. */
   def kgCommunities(spark: SparkSession, dir: String): DataFrame = {
     val e = edges(spark, dir)
+    // adjacency materialized PRE-PARTITIONED on the round join key
+    // `nbr` (localCheckpoint preserves the hash partitioning): every
+    // LPA round's label join then exchanges only the census-sized
+    // label frame, never the edge-sized adjacency — one
+    // adjacency-sized exchange per round removed (guide §2.4)
     val adj = e.select(col("p1").as("node"), col("p2").as("nbr"))
       .union(e.select(col("p2").as("node"), col("p1").as("nbr")))
+      .repartition(col("nbr"))
       .transform(graft.util.Checkpoints.compact(_, eager = true))
     val owned = scala.collection.mutable.ListBuffer[DataFrame](e, adj)
     val w = org.apache.spark.sql.expressions.Window

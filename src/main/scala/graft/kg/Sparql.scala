@@ -972,12 +972,134 @@ object Sparql {
     * predicate pushdown. */
   private val StoreMaterializeSites = 6
 
+  /** Site-count switch for the PER-ENDPOINT shared service stores
+    * (round-13: the remaining cost of the companions/noconst/test
+    * family was each SERVICE block re-deriving its endpoint's store
+    * union per pattern site — the sub-bodies rarely cross
+    * [[StoreMaterializeSites]] individually, so the round-12 pruned
+    * store never fired inside SERVICE compiles). At the TOP-LEVEL
+    * compile, the constant predicates of every SERVICE body are
+    * collected per endpoint THROUGH that endpoint's dialect maps, and
+    * one predicate-pruned lazy checkpoint per qualifying endpoint is
+    * threaded down to every recursive sub-compile. Collection is
+    * fail-safe like the outer store's: a predicate it misses (e.g. a
+    * BIND-substituted predicate constant) simply keeps the raw store
+    * in the sub-compile — results cannot change. The raw-store
+    * sharing attempt this replaces (round 12, rejected) doubled task
+    * counts because fixed-predicate service scans lost their branch
+    * pruning; pruning-before-materialization is what makes this one
+    * win, exactly as it did for the outer store. Threshold below the
+    * outer store's 6: the shared store amortizes across ALL of an
+    * endpoint's blocks, and the endpoint unions (full mapping store,
+    * dbpedia stand-in) are expensive enough that 4 scans already pay
+    * for one bounded materialization. */
+  private val ServiceStoreMaterializeSites = 4
+
+  /** A shared pruned materialization of one statements store, threaded
+    * through a compile: the store filtered to `preds` is what every
+    * fixed-predicate, path-step and covered-VALUES scan reads.
+    *
+    * Deliberately NO raw (unfiltered) tier for free-predicate scans —
+    * measured twice in round 13 and rejected twice: sharing the full
+    * store as a serialized checkpoint regressed kg_sparql_companions
+    * 6.0 → 7.5 s warm (write+deserialize tax), and as a plain
+    * deserialized checkpoint 6.0 → 8.2 s (the materialization computes
+    * ALL FIVE columns of every row, where each per-scan derivation
+    * reads only its column-pruned, predicate-pushed parquet slices —
+    * the union re-derivation the sharing was meant to save is cheaper
+    * than losing scan pruning). Free-predicate scans keep the derived
+    * store; that echoes the round-12 full-store rejection, now with
+    * the fixed-predicate routing ruled out as the cause. */
+  final case class SharedStore(preds: Set[String], pruned: DataFrame)
+
+  /** Predicate names of every step (and nested sub-path step) of a
+    * property-path expression — for routing path-step scans to the
+    * pruned store. Never throws: an unparseable path contributes
+    * nothing (its compile raises the loud error). */
+  private def pathStepNames(p: String): Seq[String] = {
+    def stepNames(s: PathStep): Seq[String] =
+      s.alts.map(_._1) ++ s.subs.flatten.flatMap(stepNames)
+    try parsePathUnion(p).flatten.flatMap(stepNames)
+    catch { case _: Exception => Nil }
+  }
+
+  /** Per-endpoint store-materialization plan over every SERVICE body
+    * of `body` (recursively — services inside OPTIONALs, UNION
+    * branches, and other services' bodies): collected constant
+    * predicates (through that endpoint's dialect map), total
+    * outer-store site count, and free-predicate site count.
+    * Resolution mirrors the sub-compile's `pred()` but NEVER throws:
+    * an unresolvable name is skipped (that site keeps the raw store;
+    * the sub-compile raises its own loud error if the site is
+    * actually reached). */
+  private def serviceStorePlan(body: Body, graphs: Map[String, ServiceGraph])
+      : Map[String, (Set[String], Int, Int)] = {
+    val sites = scala.collection.mutable.Map.empty[String, Int]
+    val freeSites = scala.collection.mutable.Map.empty[String, Int]
+    val preds = scala.collection.mutable.Map.empty[String, Set[String]]
+    def resolvePred(g: ServiceGraph, p: String): Option[String] =
+      if (p == "a") g.predAliases.get("a")
+      else if (PrefixedRe.matches(p) || (p.startsWith("<") && p.endsWith(">")))
+        g.predAliases.get(p)
+      else Some(p)
+    def collectPats(b: Body): Seq[Pattern] =
+      b.patterns ++ b.minuses.flatMap(_.patterns) ++
+        (b.optionals ++ b.unions.flatten).flatMap(collectPats)
+    def collectVals(b: Body): Seq[ValuesBlock] =
+      b.values ++ (b.optionals ++ b.unions.flatten).flatMap(collectVals)
+    def hasLbl(b: Body): Boolean =
+      b.labelLangs.isDefined || (b.optionals ++ b.unions.flatten).exists(hasLbl)
+    def walkService(ep: String, b: Body): Unit = {
+      graphs.get(ep).foreach { g =>
+        val pats = collectPats(b)
+        val valued = collectVals(b).collect {
+          case ValuesBlock(Seq(v), _) => v
+        }.toSet
+        val valuePreds = collectVals(b).collect {
+          case ValuesBlock(Seq(v), rows)
+            if pats.exists(p => p.p.startsWith("?") && p.p.drop(1) == v) => rows.flatMap {
+              case Seq(Lit(s)) if s.startsWith(Pfx) => g.predAliases.get(s.stripPrefix(Pfx))
+              case Seq(Lit(s)) if !s.startsWith(IriPfx) && !s.startsWith(PredName) => Some(s)
+              case _ => None
+            }
+        }.flatten
+        val fixed = pats.flatMap { p =>
+          if (p.p.startsWith("?") || p.p.startsWith("!") || p.p == "wikibase:statements") Nil
+          else if (isPath(p.p)) pathStepNames(p.p).flatMap(resolvePred(g, _))
+          else resolvePred(g, p.p).toSeq
+        }
+        val lbl = if (hasLbl(b)) Seq("label") else Nil
+        sites(ep) = sites.getOrElse(ep, 0) + outerStoreSites(b)
+        freeSites(ep) = freeSites.getOrElse(ep, 0) +
+          pats.count(p => p.p.startsWith("?") && !valued(p.p.drop(1)))
+        preds(ep) = preds.getOrElse(ep, Set.empty) ++ fixed ++ valuePreds ++ lbl
+      }
+      walkBody(b) // nested SERVICE blocks inside this body
+    }
+    def walkBody(b: Body): Unit = {
+      b.services.foreach(sv => walkService(sv.endpoint, sv.body))
+      (b.optionals ++ b.unions.flatten).foreach(walkBody)
+    }
+    walkBody(body)
+    sites.toMap.map { case (ep, n) =>
+      ep -> (preds.getOrElse(ep, Set.empty), n, freeSites.getOrElse(ep, 0))
+    }
+  }
+
   def compileOn(spark: SparkSession, statements: DataFrame, q: Query,
       predAliases: Map[String, String] = Map.empty,
       entityAliases: Map[String, Long] = Map.empty,
       autoLang: String = "de",
       entityValued: Set[String] = defaultEntityPreds,
-      graphs: Map[String, ServiceGraph] = Map.empty): DataFrame = {
+      graphs: Map[String, ServiceGraph] = Map.empty,
+      /** Per-endpoint shared stores, built once at the top-level
+        * compile and threaded through every recursive SERVICE
+        * sub-compile (see [[ServiceStoreMaterializeSites]]). */
+      svcStores: Map[String, SharedStore] = Map.empty,
+      /** The shared stores for THIS compile's own `statements` frame
+        * (set by serviceJoin when this call IS a SERVICE sub-compile
+        * whose endpoint qualified). */
+      sharedStore: Option[SharedStore] = None): DataFrame = {
     val st = statements
     val entityPreds = entityValued
     // Per-compile monotonic id for existence-marker columns: two
@@ -1202,28 +1324,51 @@ object Sparql {
     def hasLabelBlock(b: Body): Boolean =
       b.labelLangs.isDefined || (b.optionals ++ b.unions.flatten).exists(hasLabelBlock)
     val constPreds: Set[String] = (allGroups.flatten.flatMap { p0 =>
-      if (p0.p.startsWith("!") || isPath(p0.p) || p0.p == "wikibase:statements") Nil
+      if (p0.p.startsWith("!") || p0.p == "wikibase:statements") Nil
+      // path STEPS are fixed-predicate scans too (edgesOf) — routing
+      // them through the pruned store prunes each step's store union
+      else if (isPath(p0.p)) pathStepNames(p0.p).map(pred)
       else if (isVarPred(p0.p)) predValues.getOrElse(p0.p.drop(1), Nil)
       else Seq(pred(p0.p)) // throws the same loud error compile would
     } ++ (if (hasLabelBlock(q.body)) Seq("label") else Nil)).toSet
+    // predicates covered by an inherited shared store (this compile is
+    // a SERVICE sub-compile of a qualifying endpoint): those route to
+    // the shared checkpoint; only the remainder can justify a LOCAL
+    // pruned store of its own
+    val sharedCovered: Set[String] = sharedStore.map(_.preds).getOrElse(Set.empty)
+    val localPreds: Set[String] = constPreds -- sharedCovered
     val prunedStore: Option[DataFrame] =
-      if (outerStoreSites(q.body) >= StoreMaterializeSites && constPreds.nonEmpty)
-        Some(st.filter(col("p").isin(constPreds.toSeq: _*))
+      if (outerStoreSites(q.body) >= StoreMaterializeSites && localPreds.nonEmpty &&
+        sharedStore.isEmpty)
+        Some(st.filter(col("p").isin(localPreds.toSeq: _*))
           .transform(graft.util.Checkpoints.compact(_, eager = false)))
       else None
     /** The frame a fixed-predicate scan of `p` should filter. */
     def storeFor(p: String): DataFrame =
-      prunedStore.filter(_ => constPreds.contains(p)).getOrElse(st)
+      if (sharedCovered.contains(p)) sharedStore.get.pruned
+      else prunedStore.filter(_ => localPreds.contains(p)).getOrElse(st)
+    // per-endpoint shared service stores: built ONCE at the top-level
+    // compile (recursive sub-compiles arrive with svcStores already
+    // populated and skip the walk) — see [[ServiceStoreMaterializeSites]]
+    val svcShared: Map[String, SharedStore] =
+      if (svcStores.nonEmpty || graphs.isEmpty) svcStores
+      else serviceStorePlan(q.body, graphs).flatMap { case (ep, (ps, sites, _)) =>
+        if (sites >= ServiceStoreMaterializeSites && ps.nonEmpty)
+          Some(ep -> SharedStore(ps,
+            graphs(ep).statements.filter(col("p").isin(ps.toSeq: _*))
+              .transform(graft.util.Checkpoints.compact(_, eager = false))))
+        else None
+      }
 
-    // NOT shared/checkpointed: the service stores. A measured attempt
-    // wrapped each endpoint's raw store in one lazy checkpoint per
-    // top-level compile (to stop free-predicate service scans from
-    // re-deriving the union per scan) — but fixed-predicate and path
-    // scans inside the service blocks then read the FULL checkpointed
-    // relation instead of their branch-pruned derivations, and the
-    // task count doubled (kg_sparql_companions 548 → 1163 tasks).
-    // Branch pruning beats sub-plan sharing here; each service
-    // sub-compile does its own pruned routing instead.
+    // Service-store sharing history: a round-12 attempt wrapped each
+    // endpoint's raw store in one lazy checkpoint and routed EVERY
+    // service scan to it — fixed-predicate and path scans then read
+    // the FULL relation instead of their branch-pruned derivations and
+    // the task count doubled (kg_sparql_companions 548 → 1163 tasks).
+    // Round 13 shares BOTH tiers with the routing that attempt lacked:
+    // fixed/path/covered-VALUES scans read the per-endpoint PRUNED
+    // checkpoint, and only free-predicate scans (which must see every
+    // row anyway) read the shared RAW one — see [[SharedStore]].
 
     /** A sequence-path pattern compiled to the step+closure plans:
       * non-star steps are equi-joins (BGP expansion — bag semantics,
@@ -1255,7 +1400,7 @@ object Sparql {
           val pr = pred(name)
           require(entityPreds(pr),
             s"path step '$name' is not entity-valued — paths traverse entity edges")
-          val e = st.filter(col("p") === pr)
+          val e = storeFor(pr).filter(col("p") === pr)
           // an inverse arm (^p) traverses the edge object→subject
           if (inv) e.select(col("o_id").as("a"), col("s").as("b"))
           else e.select(col("s").as("a"), col("o_id").as("b"))
@@ -1316,12 +1461,27 @@ object Sparql {
           case None =>
             TripleStore.fixpoint(edgesOf(steps.head), seed = Some(identityPairs(sc)))
         }
+        var tail = steps.tail
         var acc =
           if (steps.head.star) starHead()
-          else if (steps.head.opt) identityPairs(sc).unionAll(zeroOrOne(headEdges))
+          else if (steps.head.opt) (sc, tail.headOption) match {
+            // p?/q with a VARIABLE subject and a plain next step: the
+            // zero-step identity over the full node census is only ever
+            // joined into q — fuse: (identity ∪ p≤1) ⋈ q = q ∪ (p≤1 ⋈ q)
+            // (identity holds each node exactly once, so its join
+            // contributes q verbatim with q's own bag multiplicity).
+            // The census distinct over two full-store projections never
+            // materializes — the kg_sparql_path_opt `opt` branch's
+            // single biggest stage (guide §2.4).
+            case (None, Some(s2)) if !s2.star && !s2.plus && !s2.opt =>
+              val e2 = edgesOf(s2)
+              tail = tail.tail // s2 is consumed by the fuse
+              e2.unionAll(advance(zeroOrOne(headEdges), e2))
+            case _ => identityPairs(sc).unionAll(zeroOrOne(headEdges))
+          }
           else if (steps.head.plus) TripleStore.fixpoint(edgesOf(steps.head), seed = Some(headEdges))
           else headEdges
-        steps.tail.foreach { stp =>
+        tail.foreach { stp =>
           val e = edgesOf(stp)
           acc =
             if (stp.star) TripleStore.fixpoint(e, seed = Some(acc))
@@ -1362,7 +1522,8 @@ object Sparql {
       // collection includes VALUES lists); unrestricted scans keep the
       // raw store, that IS their semantics
       var df = predValues.get(pv) match {
-        case Some(preds) if preds.forall(constPreds.contains) && prunedStore.isDefined =>
+        case Some(preds) if preds.forall(sharedCovered.contains) => sharedStore.get.pruned
+        case Some(preds) if preds.forall(localPreds.contains) && prunedStore.isDefined =>
           prunedStore.get
         case _ => st
       }
@@ -1577,7 +1738,8 @@ object Sparql {
           body = b.copy(binds = binds ++ b.binds),
           groupBy = Nil, orderKeys = Nil, limit = None)
         compileOn(spark, g.statements, subQ,
-          g.predAliases, g.entityAliases, autoLang, g.entityValued, graphs)
+          g.predAliases, g.entityAliases, autoLang, g.entityValued, graphs,
+          svcStores = svcShared, sharedStore = svcShared.get(sv.endpoint))
       }
       /** Map an outer IRI-string column to this graph's entity id
         * under the declared scheme: strip `prefix` + "Q", parse the

@@ -83,15 +83,25 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     * Recurring expansions at scale should read a bucketed-by-source
     * edge layout instead ([[graft.util.Scale.writeBucketed]]). */
   def khop(seeds: DataFrame, k: Int): DataFrame = {
-    val basePairs = statements.filter(col("o_id").isNotNull)
+    val eRaw = statements.filter(col("o_id").isNotNull)
       .select(col("s"), col("o_id"))
-    val pairs =
-      if (k >= 2) basePairs.transform(graft.util.Checkpoints.compact(_, eager = true)) else basePairs
-    val e = pairs.select(explode(array(
+      .select(explode(array(
         struct(col("s").as("a"), col("o_id").as("b")),
         struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
+    // ≥ 2 hops: materialize the undirected edges PRE-PARTITIONED on
+    // the join key `a` (the [[distances]] lesson — localCheckpoint
+    // preserves the hash partitioning), so every hop's join exchanges
+    // only the frontier side; one hop keeps the single lazy scan.
+    val e =
+      if (k >= 2) eRaw.repartition(col("a"))
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
+      else eRaw
+    // the seed frame is itself a statements scan — checkpoint it once
+    // (node-set sized) or every hop's anti-join and the final result
+    // union re-derive the whole statements sub-plan through it
     var visited = seeds.select(col("node")).distinct().withColumn("dist", lit(0))
+      .transform(graft.util.Checkpoints.compact(_, eager = k >= 2))
     var frontier = visited.select("node")
     for (hop <- 1 to k) {
       val next = frontier.join(e, col("node") === col("a"))
@@ -101,7 +111,7 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
       visited = visited.unionAll(next.withColumn("dist", lit(hop)))
       frontier = next
     }
-    graft.util.Checkpoints.free(pairs) // no-op when pairs stayed lazy
+    graft.util.Checkpoints.free(e) // no-op when e stayed lazy
     visited
   }
 

@@ -183,7 +183,7 @@ object Streaming {
     * staging — no job, same bytes, same watermark semantics (the file
     * still appears AFTER the query starts, which is what advances the
     * watermark). */
-  private def renderSentinels(sess: SparkSession, sentDir: String,
+  private def renderSentinels(sentDir: String,
       rows: Map[Int, DataFrame]): Unit = {
     Files.createDirectories(java.nio.file.Paths.get(sentDir))
     rows.foreach { case (offsetH, df) =>
@@ -210,6 +210,18 @@ object Streaming {
       build: Dataset[Ev] => DataFrame): DataFrame = {
     val spark = outer.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // The two-sentinel protocol makes Spark's no-data micro-batches
+    // redundant: sentinel wave 1 advances the watermark past every
+    // real window/session, and wave 2's DATA batch performs the
+    // emission — with no-data batches enabled each
+    // processAllAvailable additionally ran an empty batch per
+    // watermark advance (full offset-log/commit-log fsync + state
+    // commit each), roughly doubling the batch count per replay for
+    // zero rows. The sink's FILTERED content is identical: everything
+    // a no-data batch would have emitted beyond wave 2 is
+    // sentinel-keyed and dropped by every query's sentinel filter
+    // (streaming oracle 10/10 green both ways — measured round 13).
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
     val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
     sinkReaper
@@ -218,18 +230,27 @@ object Streaming {
 
     val (staging, maxTs) = stagedSrc.computeIfAbsent(dir, _ => {
       val st = Files.createTempDirectory("graft_stream_src").toString
-      val events = Tables.events(spark, dir)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      events.write.mode("append").parquet(st)
-      // one-row aggregate — the only thing the driver ever holds
-      val mx = events.agg(max(col("ts"))).head().getTimestamp(0)
-      locally { // pre-render both sentinel waves (see renderSentinels)
-        import spark.implicits._
-        renderSentinels(spark, st + "_sent", Seq(3, 6).map(h =>
-          h -> Seq(Ev(-1L, new Timestamp(mx.getTime + h * 3600L * 1000), -1L,
-            "sentinel", 0.0)).toDF()).toMap)
+      try {
+        val events = Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        events.write.mode("append").parquet(st)
+        // one-row aggregate — the only thing the driver ever holds
+        val mx = events.agg(max(col("ts"))).head().getTimestamp(0)
+        locally { // pre-render both sentinel waves (see renderSentinels)
+          import spark.implicits._
+          renderSentinels(st + "_sent", Seq(3, 6).map(h =>
+            h -> Seq(Ev(-1L, new Timestamp(mx.getTime + h * 3600L * 1000), -1L,
+              "sentinel", 0.0)).toDF()).toMap)
+        }
+        (st, mx)
+      } catch { case e: Throwable =>
+        // a staging/render failure must not orphan the half-written
+        // dirs: computeIfAbsent won't memoize on throw, so
+        // resetStaging could never reap them
+        deleteRecursively(java.nio.file.Paths.get(st))
+        deleteRecursively(java.nio.file.Paths.get(st + "_sent"))
+        throw e
       }
-      (st, mx)
     })
     // reap the PREVIOUS replay's sentinels now, while no query is
     // running (single-replay-at-a-time constraint above): this run's
@@ -450,6 +471,9 @@ object Streaming {
     import org.apache.spark.sql.streaming.GroupStateTimeout
     val sess = spark.newSession()
     sess.conf.set("spark.sql.shuffle.partitions", "8")
+    // no-data micro-batches off — see fileReplay (same two-sentinel
+    // protocol: wave 2's data batch is the emission batch)
+    sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
     val sinkDir = Files.createTempDirectory("graft_stream_sink").toString
     sinkReaper
@@ -457,17 +481,23 @@ object Streaming {
     if (prev != null) deleteRecursively(prev)
     val staging = stagedCdcLog.computeIfAbsent(dir, _ => {
       val st = Files.createTempDirectory("graft_stream_cdclog").toString
-      graft.queries.Incremental.cdcLog(sess, dir)
-        .withColumn("ts", timestamp_micros(lit(cdcBaseUs) + col("seq") * lit(3600000000L)))
-        .select("key", "name", "seq", "op", "ts")
-        .write.mode("append").parquet(st)
-      locally { // pre-render both sentinel waves (see renderSentinels)
-        import sess.implicits._
-        renderSentinels(sess, st + "_sent", Seq(100, 200).map(h =>
-          h -> Seq(CdcEv(-1L, "sentinel", -1L, "S",
-            new Timestamp(cdcBaseUs / 1000L + h * 3600L * 1000L))).toDF()).toMap)
+      try {
+        graft.queries.Incremental.cdcLog(sess, dir)
+          .withColumn("ts", timestamp_micros(lit(cdcBaseUs) + col("seq") * lit(3600000000L)))
+          .select("key", "name", "seq", "op", "ts")
+          .write.mode("append").parquet(st)
+        locally { // pre-render both sentinel waves (see renderSentinels)
+          import sess.implicits._
+          renderSentinels(st + "_sent", Seq(100, 200).map(h =>
+            h -> Seq(CdcEv(-1L, "sentinel", -1L, "S",
+              new Timestamp(cdcBaseUs / 1000L + h * 3600L * 1000L))).toDF()).toMap)
+        }
+        st
+      } catch { case e: Throwable =>
+        deleteRecursively(java.nio.file.Paths.get(st)) // see fileReplay
+        deleteRecursively(java.nio.file.Paths.get(st + "_sent"))
+        throw e
       }
-      st
     })
     locally { // reap the previous replay's sentinels (fileReplay rule)
       val listing = Files.list(java.nio.file.Paths.get(staging))

@@ -51,8 +51,20 @@ object Profile {
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      // let straggling listener events drain
-      Thread.sleep(300)
+      // let straggling listener events drain: poll until the captured
+      // stage count is stable across a 100 ms window (bounded at 3 s) —
+      // a fixed sleep raced late onStageCompleted events and silently
+      // under-reported stage-sum, the very metric the wall-vs-stage-sum
+      // gap analysis rests on (the listener bus has no public flush API)
+      locally {
+        var prev = -1
+        var cur = stages.synchronized(stages.size)
+        var waited = 0
+        while (cur != prev && waited < 3000) {
+          Thread.sleep(100); waited += 100
+          prev = cur; cur = stages.synchronized(stages.size)
+        }
+      }
       val snap = stages.synchronized(stages.toVector)
       val sum = snap.map(_.ms).sum / 1e3
       println(f"%nPROFILE $n wall=$wall%.2fs stage-sum=$sum%.2fs stages=${snap.size} tasks=${snap.map(_.tasks).sum}")

@@ -52,11 +52,25 @@ object Scale {
     * or pair); keyless calls use round-robin. */
   def fanScan(df: DataFrame, keys: Seq[Column]): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    val files = try df.inputFiles.length catch { case _: Exception => Int.MaxValue }
-    if (files >= cores) df
+    // inputFiles = 0 means the plan has no file-backed leaves at all
+    // (an in-memory/VALUES relation) — leave those unchanged: there is
+    // no scan to unburden, and a trivially small frame would pay a
+    // pointless exchange. An inspection failure also leaves the frame
+    // unchanged (fail-safe: no silent fan-out on an unknown plan), but
+    // is logged once so real analysis errors aren't swallowed.
+    val files = try df.inputFiles.length catch {
+      case e: Exception =>
+        if (inputFilesWarned.compareAndSet(false, true))
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"fanScan: inputFiles inspection failed (${e.getMessage}); leaving frame unchanged")
+        Int.MaxValue
+    }
+    if (files >= cores || files == 0) df
     else if (keys.nonEmpty) df.repartition(cores, keys: _*)
     else df.repartition(cores)
   }
+
+  private val inputFilesWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Write `df` as a bucketed+sorted managed table (parquet).
     *
