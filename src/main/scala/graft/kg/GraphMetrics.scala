@@ -60,9 +60,41 @@ object GraphMetrics {
 
   /** The co-occurrence edge set (weight ≥ 2, p1 < p2), checkpointed —
     * both metrics fan it into several join legs. */
-  private def edges(spark: SparkSession, dir: String): DataFrame =
-    KGQueries.kgCooccur(spark, dir).select(col("p1"), col("p2"))
-      .transform(graft.util.Checkpoints.compact(_, eager = true))
+  /** Co-occurrence edge memo: five queries (communities, kcore,
+    * random_walk, clustering_coeff, node_sim) each re-derived the
+    * has_part self-join + weight census per invocation (~1.5 s of the
+    * statements union, the fanned DISTINCT branch and the pair
+    * aggregation every time). One eager checkpoint per (session, dir),
+    * the ccMemo/censusMemo pattern: pinned so consumers' existing
+    * free()/freeAll() calls are no-ops on it, freed by [[resetMemo]]
+    * (Bench's sweep) before every cold measurement. */
+  private val edgesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[kg] def edges(spark: SparkSession, dir: String): DataFrame =
+    edgesMemo.getOrElseUpdate((spark, dir), {
+      val e = KGQueries.kgCooccur(spark, dir).select(col("p1"), col("p2"))
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
+      graft.util.Checkpoints.pin(e)
+      e
+    })
+
+  /** Undirected statement-graph edge memo (both directions exploded,
+    * hash-partitioned on the BFS join key `a` — localCheckpoint
+    * preserves the partitioning, so every hop join is exchange-free on
+    * the edge side): kg_khop rebuilt this frame on every invocation.
+    * Same lifecycle as [[edgesMemo]]. */
+  private val statementEdgesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[kg] def statementEdges(spark: SparkSession, dir: String): DataFrame =
+    statementEdgesMemo.getOrElseUpdate((spark, dir), {
+      val e = new TripleStore(spark, Triples.statements(spark, dir)).edges
+        .repartition(col("a"))
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
+      graft.util.Checkpoints.pin(e)
+      e
+    })
 
   /** kg_clustering_coeff — local clustering coefficient per node of
     * the co-occurrence network, as the exact rational
@@ -432,6 +464,16 @@ object GraphMetrics {
       graft.util.Checkpoints.free(settled)
     }
     censusMemo.clear()
+    edgesMemo.values.foreach { e =>
+      graft.util.Checkpoints.unpin(e)
+      graft.util.Checkpoints.free(e)
+    }
+    edgesMemo.clear()
+    statementEdgesMemo.values.foreach { e =>
+      graft.util.Checkpoints.unpin(e)
+      graft.util.Checkpoints.free(e)
+    }
+    statementEdgesMemo.clear()
   }
 
   /** kg_sp_census — the INTEGER-EXACT half of Brandes as its own

@@ -235,7 +235,11 @@ object KGQueries {
     val seeds = pat(st, "label").filter(col("o_val") === "ASIA")
       .filter(col("s") >= lit(Triples.REGION * NS) && col("s") < lit((Triples.REGION + 1) * NS))
       .select(col("s").as("node"))
-    TripleStore(spark, st).khop(seeds, k = 2)
+    // the undirected edge frame is the MEMOIZED pre-partitioned
+    // checkpoint (GraphMetrics.statementEdges) — rebuilt per
+    // invocation it was the query's dominant repeated cost
+    TripleStore(spark, st).khop(seeds, k = 2,
+      prebuilt = Some(GraphMetrics.statementEdges(spark, dir)))
   }
 
   /** kg_cooccur — companions network (apps/companions): part pairs
@@ -385,15 +389,14 @@ object KGQueries {
   }
 
   def kgTriangles(spark: SparkSession, dir: String): DataFrame = {
-    // the edge set feeds all three join legs — materialize the
-    // cooccur aggregation ONCE (it is itself a join + groupBy over
-    // has_part) instead of letting each leg re-run that plan
-    val e = kgCooccur(spark, dir).select(col("p1"), col("p2"))
-      .transform(graft.util.Checkpoints.compact(_, eager = true))
-    val out = triangleCensus(e)
+    // the edge set feeds all three join legs — read the MEMOIZED
+    // co-occurrence edge checkpoint (GraphMetrics.edges, shared with
+    // communities/kcore/random_walk/...) instead of materializing a
+    // private copy of the same join + groupBy per invocation; the memo
+    // is pinned, freed only by the reset hook
+    val e = GraphMetrics.edges(spark, dir)
+    triangleCensus(e)
       .transform(graft.util.Checkpoints.compact(_, eager = true)) // node census only — small
-    graft.util.Checkpoints.free(e)
-    out
   }
 
   /** Graph B for diff/upsert: a deterministic "stale remote copy" of

@@ -82,21 +82,21 @@ final class TripleStore(val spark: SparkSession, val statements: DataFrame) {
     * for k ≤ 1 the single consumer keeps the pair frame lazy.
     * Recurring expansions at scale should read a bucketed-by-source
     * edge layout instead ([[graft.util.Scale.writeBucketed]]). */
-  def khop(seeds: DataFrame, k: Int): DataFrame = {
-    val eRaw = statements.filter(col("o_id").isNotNull)
-      .select(col("s"), col("o_id"))
-      .select(explode(array(
-        struct(col("s").as("a"), col("o_id").as("b")),
-        struct(col("o_id").as("a"), col("s").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+  def khop(seeds: DataFrame, k: Int): DataFrame = khop(seeds, k, None)
+
+  /** [[khop]] with a caller-provided undirected edge frame (a memoized
+    * checkpoint — e.g. [[GraphMetrics.statementEdges]]); the frame is
+    * memo-owned, so the free below no-ops on it. */
+  def khop(seeds: DataFrame, k: Int, prebuilt: Option[DataFrame]): DataFrame = {
     // ≥ 2 hops: materialize the undirected edges PRE-PARTITIONED on
     // the join key `a` (the [[distances]] lesson — localCheckpoint
     // preserves the hash partitioning), so every hop's join exchanges
     // only the frontier side; one hop keeps the single lazy scan.
-    val e =
-      if (k >= 2) eRaw.repartition(col("a"))
+    val e = prebuilt.getOrElse {
+      if (k >= 2) edges.repartition(col("a"))
         .transform(graft.util.Checkpoints.compact(_, eager = true))
-      else eRaw
+      else edges
+    }
     // the seed frame is itself a statements scan — checkpoint it once
     // (node-set sized) or every hop's anti-join and the final result
     // union re-derive the whole statements sub-plan through it
