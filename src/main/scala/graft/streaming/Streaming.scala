@@ -233,7 +233,13 @@ object Streaming {
       try {
         val events = Tables.events(spark, dir)
           .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-        events.write.mode("append").parquet(st)
+        // stage as (shuffle-partition-count) part files, not the scan's
+        // single file: the file source parallelizes by FILE, so a
+        // 1-file staging ran every replay's data batch map side in ONE
+        // task (measured 1.1 s serial in stream_topk's first batch) —
+        // and that map stage repeats per replay, while the staging
+        // write runs once per (dataset, JVM). Row multiset unchanged.
+        events.repartition(8).write.mode("append").parquet(st)
         // one-row aggregate — the only thing the driver ever holds
         val mx = events.agg(max(col("ts"))).head().getTimestamp(0)
         locally { // pre-render both sentinel waves (see renderSentinels)
@@ -485,6 +491,7 @@ object Streaming {
         graft.queries.Incremental.cdcLog(sess, dir)
           .withColumn("ts", timestamp_micros(lit(cdcBaseUs) + col("seq") * lit(3600000000L)))
           .select("key", "name", "seq", "op", "ts")
+          .repartition(8) // multi-file staging — see fileReplay
           .write.mode("append").parquet(st)
         locally { // pre-render both sentinel waves (see renderSentinels)
           import sess.implicits._
@@ -557,7 +564,9 @@ object Streaming {
       val st = Files.createTempDirectory("graft_stream_docs").toString
       Tables.documents(sess, dir)
         .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-        .write.mode("append").parquet(st)
+        // 8 part files — the quality battery is compute-dense per row
+        // and the file source parallelizes by file (see fileReplay)
+        .repartition(8).write.mode("append").parquet(st)
       st
     })
     val docSchema = org.apache.spark.sql.types.StructType(Seq(
