@@ -66,7 +66,7 @@ object Dedup {
   /** Word trigram shingles, distinct per doc. Spark `element_at` and
     * DuckDB list indexing are both 1-based; the generated shingle
     * strings are identical. */
-  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
+  private def shinglesRaw(spark: SparkSession, dir: String): DataFrame =
     graft.util.Scale.fanScan(Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t")))
       .select(col("doc_id"),
@@ -74,6 +74,22 @@ object Dedup {
           expr("transform(sequence(1, size(t)-2), i -> concat_ws(' ', element_at(t,i), element_at(t,i+1), element_at(t,i+2)))"))
           .otherwise(array())).as("s"))
       .distinct()
+
+  /** Shingle memo: FIVE consumers (ngram_jaccard, minhash_lsh,
+    * clusters, incremental, the incremental store build) each re-ran
+    * the explode+distinct per invocation; one eager pinned checkpoint
+    * per (session, dir), freed by [[resetStores]] (Bench's sweep) —
+    * the kg-side edgesMemo pattern. */
+  private val shinglesMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def shingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesMemo.getOrElseUpdate((spark, dir), {
+      val sh = shinglesRaw(spark, dir)
+        .transform(graft.util.Checkpoints.compact(_, eager = true))
+      graft.util.Checkpoints.pin(sh)
+      sh
+    })
 
   private val shinglesSql =
     """(SELECT DISTINCT doc_id,
@@ -119,15 +135,16 @@ object Dedup {
   def ngramJaccard(spark: SparkSession, dir: String, maxDf: Option[Long]): DataFrame = {
     val sh0 = shingles(spark, dir)
     // sh fans into THREE legs below (sizes, a-side, b-side of the
-    // inverted-index join) — lazily checkpointed so the shingle
-    // explode+distinct runs once, not three times
-    val sh = graft.util.Checkpoints.compact(maxDf match {
+    // inverted-index join) — the memoized shingle checkpoint already
+    // serves that for the exact (declared) form; only the df-capped
+    // variant derives a further frame worth its own lazy checkpoint
+    val sh = maxDf match {
       case None => sh0
       case Some(cap) =>
         val df = sh0.groupBy(col("s")).agg(count(lit(1)).as("_df"))
           .filter(col("_df") <= cap).select(col("s"))
-        sh0.join(df, Seq("s"))
-    }, eager = false)
+        graft.util.Checkpoints.compact(sh0.join(df, Seq("s")), eager = false)
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = sh.select(col("doc_id").as("a"), col("s"))
       .join(sh.select(col("doc_id").as("b"), col("s")), Seq("s"))
@@ -273,7 +290,7 @@ object Dedup {
     * consumer, the knob trades storage for read amplification. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.registerAll(spark) // md5 word functions
-    val sh = shingles(spark, dir).transform(graft.util.Checkpoints.compact(_, eager = true))
+    val sh = shingles(spark, dir) // memoized checkpoint — serves all legs
     val cand = minhashPairs(sh).select(col("a"), col("b"))
     // CANDIDATE-DRIVEN verify: expand only the candidate pairs to
     // their shingle sets and count the intersection — cost ∝
@@ -339,6 +356,11 @@ object Dedup {
       spark.sql(s"DROP TABLE IF EXISTS $sigT")
     }
     storeMemo.clear()
+    shinglesMemo.values.foreach { sh =>
+      graft.util.Checkpoints.unpin(sh)
+      graft.util.Checkpoints.free(sh)
+    }
+    shinglesMemo.clear()
   }
 
   /** The signature-store probe: the batch's band keys equi-join the
@@ -380,7 +402,7 @@ object Dedup {
     val exact = docs.filter(isBatch)
       .join(spark.table(hashT).hint("merge").select(col("h"), col("doc_id").as("hd")), Seq("h"))
       .groupBy(col("doc_id")).agg(min(col("hd")).as("exact_dup_of"))
-    val sh = shingles(spark, dir).transform(graft.util.Checkpoints.compact(_, eager = true))
+    val sh = shingles(spark, dir) // memoized checkpoint — serves all legs
     val cand = incrementalCandidates(spark, dir, sh.filter(isBatch))
       .select(col("b"), col("hd")).distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
