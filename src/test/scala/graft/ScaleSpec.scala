@@ -69,13 +69,14 @@ class ScaleSpec extends SparkSpec {
     val plan = cand.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected SMJ in:\n$plan")
     assert(plan.contains("Bucketed: true"), s"store scan must use its buckets:\n$plan")
-    // the only exchanges are the probe's own: the Scale.fanScan
-    // repartition out of the single-file test scan (round 12 — a no-op
-    // on layouts with >= core-count splits), its signature groupBy,
+    // the only exchanges are the probe's own: its signature groupBy
     // and its co-partitioning to the store's buckets — the store side
-    // reads straight into the join
+    // reads straight into the join. (Round 13: the shingle frame is a
+    // memoized checkpoint, so the Scale.fanScan repartition that used
+    // to be the probe's third exchange now lives inside the
+    // checkpoint's one-time materialization, not in this plan.)
     val exchanges = "Exchange".r.findAllIn(plan).size
-    assert(exchanges == 3, s"store side must not shuffle (probe pays 3), got $exchanges:\n$plan")
+    assert(exchanges == 2, s"store side must not shuffle (probe pays 2), got $exchanges:\n$plan")
     // the store scan feeds its join-side Sort directly: no Exchange may
     // sit between the last pre-store Sort and the bucketed FileScan
     val storeScanAt = plan.indexOf("FileScan parquet spark_catalog.default.graft_sigstore")
